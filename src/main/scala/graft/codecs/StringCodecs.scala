@@ -1,0 +1,315 @@
+package graft.codecs
+
+import graft.core.{BlockReader, BlockWriter, PrefixVarInt}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** One lightweight-compression codec for a chunk of String values.
+  * Block wire format: `[id: u8][count: varint][payload…]`; ids 16+.
+  */
+sealed trait StringCodec extends Serializable {
+  def id: Byte
+  def name: String
+  def encode(values: Array[String], n: Int): Array[Byte]
+  final def encode(values: Array[String]): Array[Byte] = encode(values, values.length)
+  def decode(block: Array[Byte]): Array[String]
+
+  protected final def header(n: Int, cap: Int): BlockWriter = {
+    val w = new BlockWriter(cap)
+    w.putByte(id)
+    w.putVarint(n.toLong)
+    w
+  }
+  protected final def openReader(block: Array[Byte]): (BlockReader, Int) = {
+    val r = new BlockReader(block)
+    val gotId = r.getByte()
+    require(gotId == id, s"block codec id $gotId, expected $id ($name)")
+    (r, r.getVarint().toInt)
+  }
+}
+
+/** One-pass string chunk stats with exact sizes for raw/dict/rle and a
+  * sample-trained FSST table for size estimation.
+  */
+final case class StringStats(
+    count: Int,
+    totalBytes: Long,
+    rawBodySize: Long,
+    distinct: Int,
+    distinctOverflow: Boolean,
+    dictBodySize: Long, // -1 if overflowed
+    runCount: Int,
+    rleBodySize: Long
+)
+
+object StringCodecs {
+
+  final val DictCardCap = 1 << 14
+
+  def stats(values: Array[String], n: Int): StringStats = {
+    require(n > 0, "empty chunk")
+    var totalBytes = 0L
+    var rawBody = 0L
+    var rleBody = 0L
+    var runCount = 1
+    val seen = new java.util.LinkedHashMap[String, Integer]()
+    var overflow = false
+    var i = 0
+    while (i < n) {
+      val b = values(i).getBytes(UTF_8).length.toLong
+      totalBytes += b
+      rawBody += PrefixVarInt.len(b) + b
+      if (i > 0 && values(i) != values(i - 1)) runCount += 1
+      if (!overflow && !seen.containsKey(values(i))) {
+        seen.put(values(i), seen.size)
+        if (seen.size > DictCardCap) overflow = true
+      }
+      i += 1
+    }
+    // rle body: per run, len varint + bytes + runLen varint
+    var start = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || values(i) != values(start)) {
+        val b = values(start).getBytes(UTF_8).length.toLong
+        rleBody += PrefixVarInt.len(b) + b + PrefixVarInt.len((i - start).toLong)
+        start = i
+      }
+      i += 1
+    }
+    val dictBody =
+      if (overflow) -1L
+      else {
+        val card = seen.size
+        var dsz = PrefixVarInt.len(card.toLong).toLong
+        val it = seen.keySet().iterator()
+        while (it.hasNext) {
+          val b = it.next().getBytes(UTF_8).length.toLong
+          dsz += PrefixVarInt.len(b) + b
+        }
+        dsz + 1 + BitPacker.packedSize(n, BitPacker.bitsForUnsigned((card - 1).toLong))
+      }
+    StringStats(n, totalBytes, rawBody, math.min(seen.size, DictCardCap),
+      overflow, dictBody, runCount, rleBody)
+  }
+
+  private def headerSize(n: Int): Long = 1L + PrefixVarInt.len(n.toLong)
+
+  def sizeOf(codec: StringCodec, st: StringStats): Long = {
+    val h = headerSize(st.count)
+    codec match {
+      case RawStringCodec  => h + st.rawBodySize
+      case DictStringCodec => if (st.dictBodySize < 0) Long.MaxValue else h + st.dictBodySize
+      case RleStringCodec  => h + PrefixVarInt.len(st.runCount.toLong) + st.rleBodySize
+      case FsstStringCodec => Long.MaxValue // priced by trial, see select()
+    }
+  }
+
+  val exact: Seq[StringCodec] = Seq(RawStringCodec, DictStringCodec, RleStringCodec)
+
+  /** Stats-driven selection. Raw/dict/rle are priced exactly from stats;
+    * FSST is priced by training on a sample and, when competitive, by an
+    * exact trial sizing — the returned codec is the true minimum among
+    * every codec actually priced.
+    */
+  def select(values: Array[String], n: Int, st: StringStats): StringCodec = {
+    var best: StringCodec = RawStringCodec
+    var bestSize = sizeOf(RawStringCodec, st)
+    for (c <- Seq(DictStringCodec, RleStringCodec)) {
+      val s = sizeOf(c, st)
+      if (s < bestSize) { best = c; bestSize = s }
+    }
+    // FSST only plausibly wins when the chunk carries real text volume
+    if (st.totalBytes >= 1024) {
+      val fsstSize = FsstStringCodec.exactSize(values, n)
+      if (fsstSize < bestSize) { best = FsstStringCodec; bestSize = fsstSize }
+    }
+    best
+  }
+
+  def byId(id: Int): StringCodec = id match {
+    case 16 => RawStringCodec
+    case 17 => DictStringCodec
+    case 18 => RleStringCodec
+    case 19 => FsstStringCodec
+    case x  => throw new IllegalArgumentException(s"unknown string codec id $x")
+  }
+
+  def decode(block: Array[Byte]): Array[String] = byId(block(0) & 0xff).decode(block)
+}
+
+/** Plain layout: per-string byte length varints, then concatenated UTF-8. */
+case object RawStringCodec extends StringCodec {
+  val id: Byte = 16
+  val name = "raw"
+  def encode(values: Array[String], n: Int): Array[Byte] = {
+    val bytes = new Array[Array[Byte]](n)
+    var total = 0L
+    var i = 0
+    while (i < n) { bytes(i) = values(i).getBytes(UTF_8); total += bytes(i).length; i += 1 }
+    val w = header(n, (total + n * 2 + 16).toInt)
+    i = 0
+    while (i < n) { w.putVarint(bytes(i).length.toLong); i += 1 }
+    i = 0
+    while (i < n) { w.putBytes(bytes(i)); i += 1 }
+    w.result()
+  }
+  def decode(block: Array[Byte]): Array[String] = {
+    val (r, n) = openReader(block)
+    val lens = new Array[Int](n)
+    var i = 0
+    while (i < n) { lens(i) = r.getVarint().toInt; i += 1 }
+    val out = new Array[String](n)
+    i = 0
+    while (i < n) { out(i) = new String(r.getBytes(lens(i)), UTF_8); i += 1 }
+    out
+  }
+}
+
+/** Dictionary: first-seen-order entries, codes bit-packed. */
+case object DictStringCodec extends StringCodec {
+  val id: Byte = 17
+  val name = "dict"
+  def encode(values: Array[String], n: Int): Array[Byte] = {
+    val codes = new java.util.LinkedHashMap[String, Integer]()
+    val codeArr = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var c = codes.get(values(i))
+      if (c == null) { c = codes.size; codes.put(values(i), c) }
+      codeArr(i) = c.longValue()
+      i += 1
+    }
+    val card = codes.size
+    val width = BitPacker.bitsForUnsigned((card - 1).toLong)
+    val w = header(n, 64 + n)
+    w.putVarint(card.toLong)
+    val it = codes.keySet().iterator()
+    while (it.hasNext) {
+      val b = it.next().getBytes(UTF_8)
+      w.putVarint(b.length.toLong)
+      w.putBytes(b)
+    }
+    w.putByte(width)
+    w.putBytes(BitPacker.pack(codeArr, n, width))
+    w.result()
+  }
+  def decode(block: Array[Byte]): Array[String] = {
+    val (r, n) = openReader(block)
+    val card = r.getVarint().toInt
+    val dict = new Array[String](card)
+    var i = 0
+    while (i < card) { dict(i) = new String(r.getBytes(r.getVarint().toInt), UTF_8); i += 1 }
+    val width = r.getByte()
+    val codes = BitPacker.unpack(block, r.position, n, width)
+    val out = new Array[String](n)
+    i = 0
+    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    out
+  }
+}
+
+/** Run-length: `[runCount varint] (len varint, bytes, runLen varint)*`. */
+case object RleStringCodec extends StringCodec {
+  val id: Byte = 18
+  val name = "rle"
+  def encode(values: Array[String], n: Int): Array[Byte] = {
+    var runs = 1
+    var i = 1
+    while (i < n) { if (values(i) != values(i - 1)) runs += 1; i += 1 }
+    val w = header(n, n * 4 + 16)
+    w.putVarint(runs.toLong)
+    var start = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || values(i) != values(start)) {
+        val b = values(start).getBytes(UTF_8)
+        w.putVarint(b.length.toLong)
+        w.putBytes(b)
+        w.putVarint((i - start).toLong)
+        start = i
+      }
+      i += 1
+    }
+    w.result()
+  }
+  def decode(block: Array[Byte]): Array[String] = {
+    val (r, n) = openReader(block)
+    val runs = r.getVarint().toInt
+    val out = new Array[String](n)
+    var pos = 0
+    var k = 0
+    while (k < runs) {
+      val s = new String(r.getBytes(r.getVarint().toInt), UTF_8)
+      var len = r.getVarint().toInt
+      while (len > 0) { out(pos) = s; pos += 1; len -= 1 }
+      k += 1
+    }
+    require(pos == n, s"RLE runs covered $pos of $n rows")
+    out
+  }
+}
+
+/** FSST symbol-table compression (see [[Fsst]]). Layout:
+  * `[table][decLen varints][encLen varints][encoded bytes…]` — decoded
+  * lengths are kept so decode allocates exactly once per string.
+  */
+case object FsstStringCodec extends StringCodec {
+  val id: Byte = 19
+  val name = "fsst"
+
+  def encode(values: Array[String], n: Int): Array[Byte] = {
+    val table = Fsst.train(values, n)
+    val w = header(n, 64)
+    table.writeTo(w)
+    val raw = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { raw(i) = values(i).getBytes(UTF_8); i += 1 }
+    i = 0
+    while (i < n) { w.putVarint(raw(i).length.toLong); i += 1 }
+    // encode each string into a scratch, record encoded length, then bytes
+    val scratch = new BlockWriter(4096)
+    val encLens = new Array[Int](n)
+    i = 0
+    while (i < n) { encLens(i) = table.encodeInto(raw(i), scratch); i += 1 }
+    i = 0
+    while (i < n) { w.putVarint(encLens(i).toLong); i += 1 }
+    w.putBytes(scratch.result())
+    w.result()
+  }
+
+  /** Exact block size from a trained table without materializing output. */
+  def exactSize(values: Array[String], n: Int): Long = {
+    val table = Fsst.train(values, n)
+    val probe = new BlockWriter(256)
+    table.writeTo(probe)
+    var size = 1L + PrefixVarInt.len(n.toLong) + probe.size
+    var i = 0
+    while (i < n) {
+      val raw = values(i).getBytes(UTF_8)
+      val enc = table.encodedSize(raw)
+      size += PrefixVarInt.len(raw.length.toLong) + PrefixVarInt.len(enc.toLong) + enc
+      i += 1
+    }
+    size
+  }
+
+  def decode(block: Array[Byte]): Array[String] = {
+    val (r, n) = openReader(block)
+    val table = Fsst.readTable(r)
+    val decLens = new Array[Int](n)
+    val encLens = new Array[Int](n)
+    var i = 0
+    while (i < n) { decLens(i) = r.getVarint().toInt; i += 1 }
+    i = 0
+    while (i < n) { encLens(i) = r.getVarint().toInt; i += 1 }
+    val out = new Array[String](n)
+    var off = r.position
+    i = 0
+    while (i < n) {
+      out(i) = new String(table.decode(block, off, encLens(i), decLens(i)), UTF_8)
+      off += encLens(i)
+      i += 1
+    }
+    out
+  }
+}
