@@ -1,0 +1,358 @@
+package graft.engine
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.codecs._
+import graft.core.{BlockReader, BlockWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Input row after the derive stage: the five source columns plus the
+  * derived integer columns the engine encodes (north_star: lengths,
+  * hashes, commit ordinals, dictionary codes for repo/lang/path).
+  */
+final case class DerivedRow(
+    repo: String, path: String, commit: String, lang: String, content: String,
+    len_content: Long, hash64: Long, commit_ord: Long,
+    repo_code: Long, lang_code: Long, path_code: Long)
+
+final case class ColumnMetric(column: String, codec: String,
+    rawBytes: Long, encodedBytes: Long)
+
+/** Per-partition manifest: lineage + metrics + integrity digest. Presence
+  * of the manifest file is the partition's commit marker for
+  * checkpoint-resume.
+  */
+final case class PartManifest(part: Int, rows: Long, chunks: Int,
+    rawBytes: Long, encodedBytes: Long, skipped: Boolean,
+    digest: String, columns: Seq[ColumnMetric])
+
+/** The per-column lightweight-compression engine (SURVEY.md §3.4).
+  *
+  * Encode job: derive integer columns with Catalyst expressions →
+  * salted `repartitionByRange` over (repo, salt, path) so giant repos
+  * can't skew a partition → `sortWithinPartitions` to maximize run
+  * lengths → `mapPartitions` chunked stats+select+encode → one block
+  * container file + one manifest (commit marker) per partition.
+  *
+  * Decode job: `binaryFile` scan of containers → per-chunk codec decode →
+  * typed rows, with each chunk's sha256-of-row-sha256s digest recomputed
+  * and checked against the stored digest (per-row content integrity).
+  */
+object ColumnarEngine {
+
+  final val Magic = "GBLK1".getBytes(UTF_8)
+  final val ChunkRows = 65536
+  final val ChunkContentBytes = 32L << 20 // flush chunk at 32 MiB of content
+
+  val longColumns: Seq[String] =
+    Seq("len_content", "hash64", "commit_ord", "repo_code", "lang_code", "path_code")
+  val stringColumns: Seq[String] = Seq("repo", "path", "commit", "lang", "content")
+
+  // ---------------------------------------------------------------- derive
+
+  /** Catalyst-planned derivation of the integer columns. Dictionaries for
+    * repo/lang are tiny (broadcast); path's is high-cardinality and joins
+    * via shuffle (AQE picks the strategy).
+    */
+  def derive(src: Dataset[SourceFile]): Dataset[DerivedRow] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val df = src.toDF()
+    val repoDict = GlobalDictionary.build(df, "repo").withColumnsRenamed(
+      Map("value" -> "repo", "code" -> "repo_code"))
+    val langDict = GlobalDictionary.build(df, "lang").withColumnsRenamed(
+      Map("value" -> "lang", "code" -> "lang_code"))
+    val pathDict = GlobalDictionary.build(df, "path").withColumnsRenamed(
+      Map("value" -> "path", "code" -> "path_code"))
+    val wCommit = Window.partitionBy($"repo").orderBy($"commit")
+    df.withColumn("len_content", length($"content").cast("long"))
+      .withColumn("hash64", xxhash64($"content"))
+      .withColumn("commit_ord", dense_rank().over(wCommit).cast("long"))
+      .join(broadcast(repoDict), "repo")
+      .join(broadcast(langDict), "lang")
+      .join(pathDict, "path")
+      .select($"repo", $"path", $"commit", $"lang", $"content",
+        $"len_content", $"hash64", $"commit_ord",
+        $"repo_code", $"lang_code", $"path_code")
+      .as[DerivedRow]
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Salted repartition + in-partition sort (north_rule skew handling):
+    * the salt splits any giant repo across `saltBuckets` partitions, so no
+    * single partition carries more than ~1/saltBuckets of a hot repo.
+    *
+    * Deliberately HASH partitioning (Murmur3, fixed seed — deterministic
+    * across runs and cluster sizes), not `repartitionByRange`: Spark's
+    * range partitioner derives its reservoir-sampling seed from the RDD
+    * id, so range boundaries drift between job runs — which would break
+    * partition-granular checkpoint-resume (a resumed run must reproduce
+    * the exact partition membership of the failed run). The
+    * `sortWithinPartitions` below restores what the codecs actually need
+    * from range partitioning: long (repo, lang, path) runs inside each
+    * partition for RLE/dict/delta.
+    */
+  def partitionForEncoding(ds: Dataset[DerivedRow], numParts: Int,
+                           saltBuckets: Int = 16): Dataset[DerivedRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.withColumn("_salt", pmod(xxhash64($"path"), lit(saltBuckets.toLong)))
+      .repartition(numParts, $"repo", $"_salt")
+      .sortWithinPartitions($"repo", $"lang", $"path")
+      .drop("_salt")
+      .as[DerivedRow]
+  }
+
+  /** Resumable encode: partitions whose manifest already exists are
+    * skipped (checkpoint-resume at partition granularity; container files
+    * are written tmp-then-atomic-rename, manifest last, so a killed run
+    * leaves either nothing or a fully committed partition).
+    */
+  def encode(ds: Dataset[DerivedRow], outDir: String, numParts: Int,
+             saltBuckets: Int = 16): Array[PartManifest] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir, "blocks"))
+    Files.createDirectories(Paths.get(outDir, "manifests"))
+    // resume is only meaningful against the same partitioning layout:
+    // refuse to "resume" a run whose numParts/saltBuckets differ, instead
+    // of silently skipping partitions that never existed in this layout.
+    val jobDesc = Paths.get(outDir, "_job.json")
+    val desc = s"""{"numParts":$numParts,"saltBuckets":$saltBuckets}"""
+    if (Files.exists(jobDesc)) {
+      val prev = new String(Files.readAllBytes(jobDesc), UTF_8)
+      require(prev == desc,
+        s"outDir $outDir was written with layout $prev; cannot resume with $desc")
+    } else Files.write(jobDesc, desc.getBytes(UTF_8))
+    val done = completedParts(outDir)
+    val doneB = spark.sparkContext.broadcast(done)
+    val out = outDir
+    val manifests = partitionForEncoding(ds, numParts, saltBuckets)
+      .mapPartitions { it =>
+        val part = TaskContext.getPartitionId()
+        if (doneB.value.contains(part)) Iterator.single(
+          PartManifest(part, 0L, 0, 0L, 0L, skipped = true, "", Nil))
+        else Iterator.single(encodePartition(part, it, out))
+      }
+      .collect()
+    manifests.sortBy(_.part)
+  }
+
+  /** Partition ids with a committed manifest in outDir. */
+  def completedParts(outDir: String): Set[Int] = {
+    val dir = Paths.get(outDir, "manifests")
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .asScala_likeToSet()
+      finally s.close()
+    }
+  }
+
+  // tiny helper to avoid pulling in scala-jdk converters on a hot path
+  implicit private class PathIterOps(it: java.util.Iterator[Path]) {
+    def asScala_likeToSet(): Set[Int] = {
+      var acc = Set.empty[Int]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("part-") && name.endsWith(".json"))
+          acc += name.stripPrefix("part-").stripSuffix(".json").toInt
+      }
+      acc
+    }
+  }
+
+  private def encodePartition(part: Int, it: Iterator[DerivedRow],
+                              outDir: String): PartManifest = {
+    val w = new BlockWriter(1 << 20)
+    w.putBytes(Magic)
+    w.putVarint(part.toLong)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val partDigest = java.security.MessageDigest.getInstance("SHA-256")
+    val colMetrics = new java.util.LinkedHashMap[String, Array[Long]]() // name -> (raw, enc) per codec name key
+    val codecByCol = new java.util.LinkedHashMap[String, String]()
+    var rows = 0L
+    var chunks = 0
+    var rawTotal = 0L
+
+    val bufRows = new scala.collection.mutable.ArrayBuffer[DerivedRow](ChunkRows)
+    var bufBytes = 0L
+
+    def flushChunk(): Unit = {
+      if (bufRows.isEmpty) return
+      val n = bufRows.length
+      chunks += 1
+      rows += n
+      w.putVarint(n.toLong)
+      w.putVarint((longColumns.size + stringColumns.size).toLong)
+      // per-row content sha256 -> chunk digest
+      val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
+      var i = 0
+      while (i < n) {
+        sha.reset()
+        chunkSha.update(sha.digest(bufRows(i).content.getBytes(UTF_8)))
+        i += 1
+      }
+      val digest = chunkSha.digest()
+
+      def writeCol(name: String, kind: Int, block: Array[Byte],
+                   codecName: String, raw: Long): Unit = {
+        val nb = name.getBytes(UTF_8)
+        w.putVarint(nb.length.toLong)
+        w.putBytes(nb)
+        w.putByte(kind)
+        w.putVarint(block.length.toLong)
+        w.putBytes(block)
+        rawTotal += raw
+        val m = colMetrics.computeIfAbsent(name, _ => Array(0L, 0L))
+        m(0) += raw
+        m(1) += block.length
+        codecByCol.merge(name, codecName, (a, b) => if (a == b) a else s"$a+$b")
+      }
+
+      val longs = new Array[Long](n)
+      def fillLongs(get: DerivedRow => Long): Unit = {
+        var j = 0
+        while (j < n) { longs(j) = get(bufRows(j)); j += 1 }
+      }
+      val longGetters: Seq[(String, DerivedRow => Long)] = Seq(
+        "len_content" -> (_.len_content), "hash64" -> (_.hash64),
+        "commit_ord" -> (_.commit_ord), "repo_code" -> (_.repo_code),
+        "lang_code" -> (_.lang_code), "path_code" -> (_.path_code))
+      for ((name, get) <- longGetters) {
+        fillLongs(get)
+        val st = LongCodecs.stats(longs, n)
+        val codec = LongCodecs.select(st)
+        writeCol(name, 0, codec.encode(longs, n), codec.name, 8L * n)
+      }
+      val strs = new Array[String](n)
+      def fillStrs(get: DerivedRow => String): Unit = {
+        var j = 0
+        while (j < n) { strs(j) = get(bufRows(j)); j += 1 }
+      }
+      val strGetters: Seq[(String, DerivedRow => String)] = Seq(
+        "repo" -> (_.repo), "path" -> (_.path), "commit" -> (_.commit),
+        "lang" -> (_.lang), "content" -> (_.content))
+      for ((name, get) <- strGetters) {
+        fillStrs(get)
+        val st = StringCodecs.stats(strs, n)
+        val codec = StringCodecs.select(strs, n, st)
+        writeCol(name, 1, codec.encode(strs, n), codec.name, st.totalBytes)
+      }
+      w.putBytes(digest)
+      partDigest.update(digest)
+      bufRows.clear()
+      bufBytes = 0L
+    }
+
+    while (it.hasNext) {
+      val r = it.next()
+      bufRows += r
+      bufBytes += r.content.length
+      if (bufRows.length >= ChunkRows || bufBytes >= ChunkContentBytes) flushChunk()
+    }
+    flushChunk()
+
+    val digestHex = partDigest.digest().map(b => f"$b%02x").mkString
+    if (rows > 0) {
+      val tmp = Paths.get(outDir, "blocks", s".tmp-part-$part")
+      Files.write(tmp, w.result())
+      Files.move(tmp, Paths.get(outDir, "blocks", s"part-$part.gblk"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val cols = {
+      val b = Seq.newBuilder[ColumnMetric]
+      colMetrics.forEach { (name, m) =>
+        b += ColumnMetric(name, codecByCol.get(name), m(0), m(1))
+      }
+      b.result()
+    }
+    val encTotal = cols.map(_.encodedBytes).sum
+    val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
+      skipped = false, digestHex, cols)
+    writeManifestJson(outDir, manifest)
+    manifest
+  }
+
+  private def writeManifestJson(outDir: String, m: PartManifest): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val cols = m.columns.map(c =>
+      s"""{"column":${q(c.column)},"codec":${q(c.codec)},"rawBytes":${c.rawBytes},"encodedBytes":${c.encodedBytes}}"""
+    ).mkString("[", ",", "]")
+    val json =
+      s"""{"part":${m.part},"rows":${m.rows},"chunks":${m.chunks},"rawBytes":${m.rawBytes},""" +
+      s""""encodedBytes":${m.encodedBytes},"digest":${q(m.digest)},"columns":$cols}"""
+    val tmp = Paths.get(outDir, "manifests", s".tmp-part-${m.part}")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(outDir, "manifests", s"part-${m.part}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Manifests as a DataFrame (metrics/lineage query surface). */
+  def manifests(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.json(s"$outDir/manifests/part-*.json")
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode all containers back to typed rows; every chunk's stored
+    * per-row-content digest is recomputed and enforced.
+    */
+  def decode(spark: SparkSession, outDir: String): Dataset[DerivedRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$outDir/blocks/*.gblk")
+      .select($"content").as[Array[Byte]]
+      .flatMap(bytes => decodeContainer(bytes))
+  }
+
+  def decodeContainer(bytes: Array[Byte]): Iterator[DerivedRow] = {
+    val r = new BlockReader(bytes)
+    val magic = r.getBytes(Magic.length)
+    require(java.util.Arrays.equals(magic, Magic), "bad container magic")
+    r.getVarint() // part id (informational)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val out = Iterator.unfold(()) { _ =>
+      if (!r.hasRemaining) None
+      else {
+        val n = r.getVarint().toInt
+        val nCols = r.getVarint().toInt
+        val longs = new java.util.HashMap[String, Array[Long]]()
+        val strs = new java.util.HashMap[String, Array[String]]()
+        var c = 0
+        while (c < nCols) {
+          val name = new String(r.getBytes(r.getVarint().toInt), UTF_8)
+          val kind = r.getByte()
+          val block = r.getBytes(r.getVarint().toInt)
+          if (kind == 0) longs.put(name, LongCodecs.decode(block))
+          else strs.put(name, StringCodecs.decode(block))
+          c += 1
+        }
+        val stored = r.getBytes(32)
+        val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
+        val content = strs.get("content")
+        var i = 0
+        while (i < n) {
+          sha.reset()
+          chunkSha.update(sha.digest(content(i).getBytes(UTF_8)))
+          i += 1
+        }
+        require(java.util.Arrays.equals(chunkSha.digest(), stored),
+          "chunk content digest mismatch: decoded rows differ from encoded rows")
+        val rows = (0 until n).iterator.map { j =>
+          DerivedRow(
+            strs.get("repo")(j), strs.get("path")(j), strs.get("commit")(j),
+            strs.get("lang")(j), content(j),
+            longs.get("len_content")(j), longs.get("hash64")(j),
+            longs.get("commit_ord")(j), longs.get("repo_code")(j),
+            longs.get("lang_code")(j), longs.get("path_code")(j))
+        }
+        Some((rows, ()))
+      }
+    }
+    out.flatten
+  }
+}
