@@ -1,13 +1,462 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.PrefixVarInt
+import graft.codecs.{LongCodecs, StringCodecs}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.SimHash64.simhash64
+
+/** Driver contract — one `queries` entry per operator (SURVEY.md §2.3 +
+  * training-data ops), each with an ANSI-SQL DuckDB oracle where the
+  * semantics are SQL-expressible. Column names are aligned on both sides
+  * (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-sum money trick: double sums are order-sensitive, integer-cent
+    * sums are exact in any order on both engines.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------- relational core
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          sum(cents(col("l_discount"))).as("sum_disc_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_join_broadcast" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q3_filter_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+          && col("l_discount") >= 0.02 && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q4_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey").as("custkey"), col("rnk").cast("long").as("rnk"))
+        .orderBy(col("nationkey"), col("rnk"))
+    }),
+
+    "q6_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q7_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q8_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q9_setop" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("k")).distinct()
+      val su = t(s, d, "supplier").select(col("s_suppkey").as("k")).distinct()
+      li.intersect(su).agg(count(lit(1)).as("n_common"))
+    }),
+
+    "q10_case_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority").startsWith("5"), 1L).otherwise(0L)).as("n_low"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q11_semi_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val li = t(s, d, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .filter(col("p_size") >= 20)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(cents(col("p_retailprice"))).as("price_cents"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q12_time_agg" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ------------------------------------------- codec kernels vs SQL oracle
+    "q20_varint_len_hist" -> ((s, d) => {
+      val lenUdf = udf((v: Long) => PrefixVarInt.len(v))
+      t(s, d, "lineitem")
+        .select(lenUdf(col("l_orderkey")).cast("long").as("len_class"))
+        .groupBy(col("len_class"))
+        .agg(count(lit(1)).as("n_values"))
+        .orderBy(col("len_class"))
+    }),
+
+    "q21_zigzag_sum" -> ((s, d) => {
+      val zzUdf = udf((v: Long) => PrefixVarInt.zigzagEncode(v))
+      t(s, d, "lineitem")
+        .withColumn("v", col("l_linenumber").cast("long") - 4L)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(zzUdf(col("v"))).as("sum_zigzag"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ------------------------------------------------ dedup / text analysis
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    "d2_token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d3_quality" -> ((s, d) => {
+      TextAnalysis.qualityColumns(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("alpha_ratio"), 6).as("alpha_r6"),
+          round(col("punct_ratio"), 6).as("punct_r6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d4_lang_id" -> ((s, d) => {
+      TextAnalysis.langIdColumns(t(s, d, "documents"), "text")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    "d5_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d6_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d7_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccard(t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 1, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d8_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --------------------------------------------------- similarity search
+    "e1_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "e2_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "e3_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -------------------------------------------------- multimodal plumbing
+    "m1_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.payloadsFromText(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractMetadata(media).toDF()
+        .select(col("doc_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "m2_frame_sample" -> ((s, d) => {
+      val media = Multimodal.payloadsFromText(t(s, d, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyNth = 64)
+        .select(col("doc_id"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------- engine codec metrics
+    "c1_codec_select" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"), col("lang"))
+        .as[(Long, Long, String, String)]
+      docs.mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val n = rows.length
+          def longCol(name: String, vs: Array[Long]) = {
+            val st = LongCodecs.stats(vs, n)
+            val c = LongCodecs.select(st)
+            (name, c.name, 8L * n, c.encode(vs, n).length.toLong)
+          }
+          def strCol(name: String, vs: Array[String]) = {
+            val st = StringCodecs.stats(vs, n)
+            val c = StringCodecs.select(vs, n, st)
+            (name, c.name, st.totalBytes, c.encode(vs, n).length.toLong)
+          }
+          Iterator(
+            longCol("doc_id", rows.map(_._1)),
+            longCol("n_chars", rows.map(_._2)),
+            strCol("text", rows.map(_._3)),
+            strCol("lang", rows.map(_._4)))
+        }
+      }.toDF("column", "codec", "raw_bytes", "encoded_bytes")
+        .groupBy(col("column"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("raw_bytes")).as("raw_bytes"),
+          sum(col("encoded_bytes")).as("encoded_bytes"))
+        .orderBy(col("column"))
+    }),
+
+    "c2_roundtrip_check" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .as[(Long, Long, Long)]
+      li.mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val n = rows.length
+          def check(name: String, vs: Array[Long]) = {
+            val c = LongCodecs.select(LongCodecs.stats(vs, n))
+            val back = LongCodecs.decode(c.encode(vs, n))
+            val mismatches = vs.indices.count(i => vs(i) != back(i)).toLong
+            (name, n.toLong, mismatches)
+          }
+          Iterator(check("l_orderkey", rows.map(_._1)),
+            check("l_partkey", rows.map(_._2)),
+            check("l_suppkey", rows.map(_._3)))
+        }
+      }.toDF("column", "n_rows", "mismatches")
+        .groupBy(col("column"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("mismatches")).as("mismatches"))
+        .orderBy(col("column"))
+    })
+  )
+
+  /** DuckDB oracles; keys omitted here get the driver's rows-only check
+    * (non-SQL-expressible: engine codecs, xxhash64/simhash-based ops, LSH).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q2_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q3_filter_agg" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount >= 0.02 AND l_quantity < 24""",
+
+    "q4_topk" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY price_cents DESC, o_orderkey ASC LIMIT 10""",
+
+    "q5_window" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey AS custkey, rnk
+         FROM (SELECT c_nationkey, c_custkey,
+                 row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+               FROM customer)
+         WHERE rnk <= 3 ORDER BY nationkey, rnk""",
+
+    "q6_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q7_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_custs FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q8_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_custs
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q9_setop" ->
+      """SELECT count(*) AS n_common FROM (
+         SELECT DISTINCT l_suppkey AS k FROM lineitem
+         INTERSECT
+         SELECT DISTINCT s_suppkey AS k FROM supplier)""",
+
+    "q10_case_agg" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+         CAST(sum(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         count(*) AS n_total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q11_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM part
+         WHERE p_size >= 20
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q12_time_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q20_varint_len_hist" ->
+      """SELECT CASE
+           WHEN l_orderkey <= 127 THEN 1
+           WHEN l_orderkey <= 16383 THEN 2
+           WHEN l_orderkey <= 2097151 THEN 3
+           WHEN l_orderkey <= 268435455 THEN 4
+           WHEN l_orderkey <= 34359738367 THEN 5
+           WHEN l_orderkey <= 4398046511103 THEN 6
+           WHEN l_orderkey <= 562949953421311 THEN 7
+           WHEN l_orderkey <= 72057594037927935 THEN 8
+           ELSE 9 END :: BIGINT AS len_class, count(*) AS n_values
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q21_zigzag_sum" ->
+      """SELECT l_returnflag,
+         sum(xor((CAST(l_linenumber AS BIGINT) - 4) * 2,
+                 CASE WHEN l_linenumber - 4 < 0 THEN -1 ELSE 0 END)) :: BIGINT AS sum_zigzag,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "d2_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "d3_quality" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_r6,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_r6
+         FROM documents ORDER BY doc_id""",
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         16 + octet_length(CAST(text AS BLOB)) % 640 AS width,
+         16 + (octet_length(CAST(text AS BLOB)) // 640) % 480 AS height,
+         CASE WHEN doc_id % 3 = 2
+           THEN 1 + octet_length(CAST(text AS BLOB)) % 7 ELSE 1 END AS frames
+         FROM documents ORDER BY doc_id""",
+
+    "m2_frame_sample" ->
+      """SELECT doc_id,
+         CAST(1 + greatest(octet_length(CAST(text AS BLOB)) - 1, 0) // 64 AS INT) AS n_frames
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id"""
+  )
 }

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark columnar compression engines"),
+    (4L, ""),
+    (5L, "one")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) === 2L) // docs 0 and 1 collapse onto keep_id 0
+    assert(r(2L) === 1L && r(3L) === 1L)
+    assert(r.values.sum === 6L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs.filter($"doc_id" < 4), "doc_id", "text",
+      shingleSize = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 === 1.0)
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L)), "near-dup pair missing")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc matched")
+  }
+
+  test("simhash: identical texts have distance 0, near dups small, distinct texts far") {
+    graft.functions.SimHash64.register(spark)
+    val h = docs.select($"doc_id", graft.functions.SimHash64.simhash64($"text").as("h"))
+    val m = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) === m(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(2L)) < hamming(m(0L), m(3L)),
+      "near dup must be closer than unrelated text")
+    // pure function parity with the expression
+    assert(m(0L) === graft.functions.SimHash64.compute(
+      "the quick brown fox jumps over the lazy dog again and again"))
+  }
+
+  test("simhashPairs blocks find hamming<=3 neighbors") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, empty text never NaNs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.values.forall(j => !j.isNaN && j >= 0.1 && j <= 1.0))
+  }
+
+  test("brute-force ANN returns k ranked neighbors; LSH recall over itself") {
+    val rnd = new scala.util.Random(7)
+    // 3 tight clusters of 20 vectors each
+    val vecs = (0 until 60).map { i =>
+      val center = Array.tabulate(8)(d => if (d == i / 20) 10.0 else 0.0)
+      (i.toLong, center.map(c => (c + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 5)
+      .collect()
+    assert(brute.length === 5)
+    assert(brute.forall(_.getLong(1) < 20), "neighbors must come from query's cluster")
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 5, dim = 8)
+      .collect()
+    assert(lsh.nonEmpty, "LSH with multiprobe must find same-cluster candidates")
+    assert(lsh.forall(_.getLong(1) < 20))
+    // LSH top hit should agree with brute-force top hit
+    assert(lsh.head.getLong(1) === brute.head.getLong(1))
+  }
+
+  test("embedding near-dup finds duplicated vectors") {
+    val base = Array.tabulate(16)(_.toFloat)
+    val vecs = Seq(
+      (0L, base), (1L, base.map(x => x * 1.0001f)), // near-identical direction
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", dim = 16,
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((0L, 1L)))
+  }
+
+  test("multimodal metadata matches the stub formula and batches per partition") {
+    val media = Multimodal.payloadsFromText(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val meta = Multimodal.extractMetadata(media).collect()
+    assert(meta.length === 6)
+    val m0 = meta.find(_.doc_id == 0L).get
+    val len0 = "the quick brown fox jumps over the lazy dog again and again"
+      .getBytes("UTF-8").length.toLong
+    assert(m0.byte_len === len0)
+    assert(m0.width === 16L + len0 % 640L)
+    assert(m0.kind === "image")
+    val frames = Multimodal.sampleFrames(media, everyNth = 16).collect()
+    assert(frames.forall(_.getInt(1) >= 1))
+  }
+
+  test("language id picks the dominant stopword language") {
+    val samples = Seq(
+      (1L, "the cat and the dog went to the park for a walk in the sun"),
+      (2L, "el gato y el perro en la casa con los amigos por un dia"),
+      (3L, "le chat et le chien dans les maisons des amis en ville"),
+      (4L, "der hund und die katze mit den kindern von der schule zu haus"),
+      (5L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdColumns(samples, "text")
+      .select($"doc_id", $"lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en" && got(2L) === "es" && got(3L) === "fr" && got(4L) === "de")
+    assert(got(5L) === "und")
+  }
+
+  test("token count and fingerprint edge cases") {
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c")).toDF("doc_id", "text")
+    val tc = edge.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 3))
+    val fp = edge.filter($"doc_id" >= 3)
+      .select(TextAnalysis.fingerprint($"text", 2)).collect()
+    assert(fp.forall(!_.isNullAt(0)))
+  }
+}
