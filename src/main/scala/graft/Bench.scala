@@ -1,24 +1,188 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.codecs.{LongCodecs, VarintLongCodec}
+import graft.core.{BlockReader, BlockWriter, PrefixVarInt}
+import graft.engine.{ColumnarEngine, SourceTable}
+
+/** Benchmark main (driver contract): times every `SparkEntry` query on
+  * `SPARK_GRAFT_SF_DIR`, measures engine encode/decode throughput on the
+  * synthesized source-code table, and mirrors the reference's criterion
+  * harness (uniform/zipf length-class element throughput,
+  * reference: benches/bench.rs). Prints ONE JSON line.
+  *
+  * Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ENGINE_ROWS
+  * (default 50000), SPARK_GRAFT_SCALING=1 adds a second engine run at
+  * CPUS/4 cores to report N->4N scaling efficiency.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeSec[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Engine encode+decode throughput at a given parallelism. */
+  private def engineBench(cpus: Int, rows: Int): Map[String, Double] = {
+    val spark = session(cpus)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
+      val derived = ColumnarEngine.derive(
+        SourceTable.synthesize(spark, rows.toLong, cpus * 2)).cache()
+      derived.count() // materialize input outside the timed section
+      val (manifests, encSec) = timeSec(
+        ColumnarEngine.encode(derived, dir, numParts = cpus * 2))
+      val rawBytes = manifests.map(_.rawBytes).sum.toDouble
+      val encBytes = manifests.map(_.encodedBytes).sum.toDouble
+      val (n, decSec) = timeSec(ColumnarEngine.decode(spark, dir).count())
+      derived.unpersist()
+      deleteRec(new java.io.File(dir))
+      Map(
+        "encode_sec" -> encSec,
+        "decode_sec" -> decSec,
+        "encode_mb_per_s" -> rawBytes / 1e6 / encSec,
+        "decode_mb_per_s" -> rawBytes / 1e6 / decSec,
+        "encode_rows_per_s" -> rows / encSec,
+        "decode_rows_per_s" -> n / decSec,
+        "compression_ratio" -> encBytes / rawBytes,
+        "rows" -> rows.toDouble)
+    } finally spark.stop()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Reference-mirroring microbench: encode/decode element throughput per
+    * length class and under the reference's zipf weights
+    * (reference: benches/bench.rs:9-13 weights, :15-27 ranges).
+    */
+  private def codecMicrobench(): Map[String, Double] = {
+    val rnd = new java.util.Random(0xab)
+    val N = 1 << 20
+    def genClass(cls: Int): Array[Long] = {
+      val min = if (cls == 1) 0L else PrefixVarInt.MaxValue(cls - 1) + 1
+      val max = PrefixVarInt.MaxValue(cls)
+      val span = max - min
+      Array.fill(N)(
+        if (span == -1L) rnd.nextLong()
+        else min + java.lang.Long.remainderUnsigned(rnd.nextLong(), span + 1))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def measurePut(vs: Array[Long]): Double = {
+      val w = new BlockWriter(N * 9 + 16)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 3) {
+        w.reset()
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < N) { w.putVarint(vs(i)); i += 1 }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
+      }
+      N / best / 1e6 // Melem/s
+    }
+    def measureGet(vs: Array[Long]): Double = {
+      val w = new BlockWriter(N * 9 + 16)
+      var i = 0
+      while (i < N) { w.putVarint(vs(i)); i += 1 }
+      val block = w.result()
+      var best = Double.MaxValue
+      var rep = 0
+      var sink = 0L
+      while (rep < 3) {
+        val r = new BlockReader(block)
+        val t0 = System.nanoTime()
+        i = 0
+        while (i < N) { sink ^= r.getVarint(); i += 1 }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
+      }
+      if (sink == 42) println() // keep the loop live
+      N / best / 1e6
+    }
+    val one = genClass(1)
+    val nine = genClass(9)
+    // zipf mix over classes with the reference's weights
+    val weights = Array(7560, 3780, 2520, 1890, 1512, 1260, 1080, 945, 840)
+    val cum = weights.scanLeft(0)(_ + _).tail
+    val classes = (1 to 9).map(genClass)
+    val zipf = Array.fill(N) {
+      val u = rnd.nextInt(cum.last)
+      val cls = cum.indexWhere(u < _)
+      classes(cls)(rnd.nextInt(N))
+    }
+    Map(
+      "put_1byte_melem_s" -> measurePut(one),
+      "get_1byte_melem_s" -> measureGet(one),
+      "put_9byte_melem_s" -> measurePut(nine),
+      "get_9byte_melem_s" -> measureGet(nine),
+      "put_zipf_melem_s" -> measurePut(zipf),
+      "get_zipf_melem_s" -> measureGet(zipf))
+  }
+
+  private def fmt(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val engineRows = sys.env.getOrElse("SPARK_GRAFT_ENGINE_ROWS", "50000").toInt
+
+    val spark = session(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec =
+        try timeSec(fn(spark, sfDir).count())._2
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      name -> sec
+    }
     spark.stop()
+
+    val engine = engineBench(cpus, engineRows)
+    val micro = codecMicrobench()
+
+    val scaling: Map[String, Double] =
+      if (sys.env.get("SPARK_GRAFT_SCALING").contains("1")) {
+        val small = engineBench(math.max(cpus / 4, 1), engineRows)
+        val effEnc = (engine("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
+        val effDec = (engine("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
+        Map(
+          s"encode_rows_per_s_n${cpus / 4}" -> small("encode_rows_per_s"),
+          s"encode_rows_per_s_n$cpus" -> engine("encode_rows_per_s"),
+          "encode_scaling_efficiency" -> effEnc,
+          s"decode_rows_per_s_n${cpus / 4}" -> small("decode_rows_per_s"),
+          s"decode_rows_per_s_n$cpus" -> engine("decode_rows_per_s"),
+          "decode_scaling_efficiency" -> effDec)
+      } else Map.empty
+
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum +
+      engine("encode_sec") + engine("decode_sec")
+    def obj(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val qs = obj(queryTimes ++ Seq(
+      "engine_encode" -> engine("encode_sec"),
+      "engine_decode" -> engine("decode_sec")))
+    val extras =
+      s""","engine":${obj(engine)},"codec_microbench":${obj(micro)}""" +
+        (if (scaling.nonEmpty) s""","scaling":${obj(scaling)}""" else "")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus$extras}""")
   }
 }

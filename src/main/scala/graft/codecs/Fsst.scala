@@ -7,9 +7,13 @@ import graft.core.{BlockReader, BlockWriter}
   * public paper; implemented from scratch, simplified).
   *
   * A per-chunk table of up to 255 symbols (1..8 bytes, codes 0..254) is
-  * trained by iterative greedy re-segmentation of a sample; code 255
-  * escapes a literal byte. Strings are encoded independently, preserving
-  * per-row random access.
+  * trained by iterative greedy re-segmentation of a bounded sample; code
+  * 255 escapes a literal byte. Strings are encoded independently,
+  * preserving per-row random access.
+  *
+  * Hot-path design: candidate symbols are packed big-endian left-aligned
+  * into a Long and probed in per-length open-addressing maps — no
+  * per-position allocation, ≤8 primitive hash probes per input position.
   */
 object Fsst {
 
@@ -19,33 +23,44 @@ object Fsst {
   final val TrainIterations = 5
   final val SampleCap = 1 << 16 // 64 KiB training sample per chunk
 
+  @inline private def packedMask(len: Int): Long = -1L << ((8 - len) * 8)
+
+  /** Big-endian left-aligned pack of up to 8 bytes at s(off..). */
+  @inline private def packAt(s: Array[Byte], off: Int, end: Int): Long = {
+    var w = 0L
+    var j = 0
+    val m = math.min(8, end - off)
+    while (j < m) { w |= (s(off + j) & 0xffL) << ((7 - j) * 8); j += 1 }
+    w
+  }
+
   /** Immutable trained table with longest-match encode lookup. */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
-    // latin-1 key (bijective byte<->char) -> code
-    private val lookup = new java.util.HashMap[String, Integer]()
+    // lookup(len-1): packed(symbol) -> code, for len in 1..8
+    private val lookup = Array.fill(MaxSymbolLen)(new LongIntMap())
     private var maxLenV = 1
     locally {
       var c = 0
       while (c < symbols.length) {
-        lookup.put(key(symbols(c), 0, symbols(c).length), c)
-        if (symbols(c).length > maxLenV) maxLenV = symbols(c).length
+        val sym = symbols(c)
+        lookup(sym.length - 1).put(packAt(sym, 0, sym.length), c)
+        if (sym.length > maxLenV) maxLenV = sym.length
         c += 1
       }
     }
 
-    /** Code of the exact byte sequence, or -1. */
-    def codeOf(b: Array[Byte], off: Int, len: Int): Int = {
-      val c = lookup.get(key(b, off, len))
-      if (c == null) -1 else c.intValue()
-    }
-
     def maxLen: Int = maxLenV
 
-    @inline private def key(b: Array[Byte], off: Int, len: Int): String = {
-      val cs = new Array[Char](len)
-      var i = 0
-      while (i < len) { cs(i) = (b(off + i) & 0xff).toChar; i += 1 }
-      new String(cs)
+    /** Longest match at s(i): returns (code << 8) | matchedLen, or -1. */
+    @inline def longestMatch(s: Array[Byte], i: Int, end: Int): Int = {
+      val w = packAt(s, i, end)
+      var len = math.min(maxLenV, end - i)
+      while (len >= 1) {
+        val code = lookup(len - 1).get(w & packedMask(len))
+        if (code >= 0) return (code << 8) | len
+        len -= 1
+      }
+      -1
     }
 
     /** Greedy longest-match encode of src into w; returns bytes written. */
@@ -54,17 +69,11 @@ object Fsst {
       var i = 0
       val n = src.length
       while (i < n) {
-        var len = math.min(maxLenV, n - i)
-        var code = -1
-        while (len >= 1 && code < 0) {
-          val c = lookup.get(key(src, i, len))
-          if (c != null) code = c.intValue()
-          else len -= 1
-        }
-        if (code >= 0) {
-          w.putByte(code)
+        val m = longestMatch(src, i, n)
+        if (m >= 0) {
+          w.putByte(m >>> 8)
           written += 1
-          i += len
+          i += m & 0xff
         } else {
           w.putByte(EscapeCode)
           w.putByte(src(i) & 0xff)
@@ -73,23 +82,6 @@ object Fsst {
         }
       }
       written
-    }
-
-    /** Exact encoded size without materializing (for the selector). */
-    def encodedSize(src: Array[Byte]): Int = {
-      var size = 0
-      var i = 0
-      val n = src.length
-      while (i < n) {
-        var len = math.min(maxLenV, n - i)
-        var code = -1
-        while (len >= 1 && code < 0) {
-          if (lookup.containsKey(key(src, i, len))) code = 0 else len -= 1
-        }
-        if (code >= 0) { size += 1; i += len }
-        else { size += 2; i += 1 }
-      }
-      size
     }
 
     def decode(src: Array[Byte], off: Int, encLen: Int, decLen: Int): Array[Byte] = {
@@ -133,13 +125,12 @@ object Fsst {
     new SymbolTable(syms)
   }
 
-  /** Train a symbol table on a sample of the chunk's bytes: start from
-    * single-byte frequency, then iteratively re-segment with the current
-    * table and promote frequent adjacent-symbol concatenations (gain =
-    * frequency x length, as in the FSST paper's bottom-up construction).
+  /** Train a symbol table on a bounded sample: start from literal bytes,
+    * then iteratively re-segment with the current table and promote
+    * frequent symbols and adjacent-symbol concatenations by gain =
+    * frequency x length (the FSST paper's bottom-up construction).
     */
   def train(strings: Array[String], n: Int): SymbolTable = {
-    // build the bounded sample
     var total = 0
     val sample = new java.io.ByteArrayOutputStream()
     var i = 0
@@ -156,58 +147,62 @@ object Fsst {
     var table = new SymbolTable(Array.empty)
     var iter = 0
     while (iter < TrainIterations) {
-      val gains = new java.util.HashMap[String, Long]()
-      // segment the sample with the current table, counting symbols and
-      // adjacent-pair concatenations
+      // gains per candidate, keyed by (len, packed prefix)
+      val gains = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, Long]())
+      @inline def bump(off: Int, len: Int): Unit = {
+        val k = java.lang.Long.valueOf(packAt(s, off, s.length) & packedMask(len))
+        val m = gains(len - 1)
+        val cur = m.get(k)
+        m.put(k, (if (cur == null) 0L else cur.longValue()) + len)
+      }
       var pos = 0
       var prevStart = -1
       var prevLen = 0
       while (pos < s.length) {
-        var len = math.min(table.maxLen, s.length - pos)
-        var matched = -1
-        // longest match against current table (or literal byte)
-        while (len >= 1 && matched < 0) {
-          if (table.codeOf(s, pos, len) >= 0) matched = len else len -= 1
-        }
-        val segLen = if (matched > 0) matched else 1
-        bump(gains, s, pos, segLen)
-        if (prevStart >= 0 && prevLen + segLen <= MaxSymbolLen)
-          bump(gains, s, prevStart, prevLen + segLen)
+        val m = table.longestMatch(s, pos, s.length)
+        val segLen = if (m >= 0) m & 0xff else 1
+        bump(pos, segLen)
+        if (prevStart >= 0 && prevLen + segLen <= MaxSymbolLen
+            && prevStart + prevLen + segLen <= s.length)
+          bump(prevStart, prevLen + segLen)
         prevStart = pos
         prevLen = segLen
         pos += segLen
       }
-      // take top-255 by gain
-      val entries = new java.util.ArrayList(gains.entrySet())
-      entries.sort((a, b) => java.lang.Long.compare(b.getValue, a.getValue))
-      val m = math.min(MaxSymbols, entries.size)
+      // collect all candidates, take top-255 by gain (stable order:
+      // gain desc, then len desc, then packed value — fully deterministic)
+      val cands = new java.util.ArrayList[(Long, Int, Long)]() // (packed, len, gain)
+      var len = 1
+      while (len <= MaxSymbolLen) {
+        val it = gains(len - 1).entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          cands.add((e.getKey.longValue(), len, e.getValue))
+        }
+        len += 1
+      }
+      cands.sort { (a, b) =>
+        val g = java.lang.Long.compare(b._3, a._3)
+        if (g != 0) g
+        else {
+          val l = Integer.compare(b._2, a._2)
+          if (l != 0) l else java.lang.Long.compareUnsigned(a._1, b._1)
+        }
+      }
+      val m = math.min(MaxSymbols, cands.size)
       val syms = new Array[Array[Byte]](m)
       var k = 0
       while (k < m) {
-        syms(k) = latin1Bytes(entries.get(k).getKey)
+        val (packed, slen, _) = cands.get(k)
+        val bytes = new Array[Byte](slen)
+        var j = 0
+        while (j < slen) { bytes(j) = (packed >>> ((7 - j) * 8)).toByte; j += 1 }
+        syms(k) = bytes
         k += 1
       }
       table = new SymbolTable(syms)
       iter += 1
     }
     table
-  }
-
-  @inline private def latin1Bytes(key: String): Array[Byte] = {
-    val out = new Array[Byte](key.length)
-    var i = 0
-    while (i < key.length) { out(i) = key.charAt(i).toByte; i += 1 }
-    out
-  }
-
-  @inline private def bump(m: java.util.HashMap[String, Long], s: Array[Byte], off: Int, len: Int): Unit = {
-    val cs = new Array[Char](len)
-    var i = 0
-    while (i < len) { cs(i) = (s(off + i) & 0xff).toChar; i += 1 }
-    val k = new String(cs)
-    val cur = m.get(k)
-    // gain = freq * len: every occurrence saves (len - 1) bytes vs literals,
-    // and len weighting matches the paper's apparent-gain heuristic
-    m.put(k, (if (cur == null) 0L else cur) + len)
   }
 }

@@ -106,12 +106,13 @@ object StringCodecs {
 
   val exact: Seq[StringCodec] = Seq(RawStringCodec, DictStringCodec, RleStringCodec)
 
-  /** Stats-driven selection. Raw/dict/rle are priced exactly from stats;
-    * FSST is priced by training on a sample and, when competitive, by an
-    * exact trial sizing — the returned codec is the true minimum among
-    * every codec actually priced.
+  /** Stats-driven selection + encoding in one pass. Raw/dict/rle are
+    * priced exactly from stats (no encode needed to price); FSST is
+    * priced by a single train+encode whose block is returned directly if
+    * it wins — the chosen codec is the true minimum among all priced
+    * codecs with no duplicated work.
     */
-  def select(values: Array[String], n: Int, st: StringStats): StringCodec = {
+  def encodeBest(values: Array[String], n: Int, st: StringStats): (StringCodec, Array[Byte]) = {
     var best: StringCodec = RawStringCodec
     var bestSize = sizeOf(RawStringCodec, st)
     for (c <- Seq(DictStringCodec, RleStringCodec)) {
@@ -120,11 +121,14 @@ object StringCodecs {
     }
     // FSST only plausibly wins when the chunk carries real text volume
     if (st.totalBytes >= 1024) {
-      val fsstSize = FsstStringCodec.exactSize(values, n)
-      if (fsstSize < bestSize) { best = FsstStringCodec; bestSize = fsstSize }
+      val fsstBlock = FsstStringCodec.encode(values, n)
+      if (fsstBlock.length < bestSize) return (FsstStringCodec, fsstBlock)
     }
-    best
+    (best, best.encode(values, n))
   }
+
+  def select(values: Array[String], n: Int, st: StringStats): StringCodec =
+    encodeBest(values, n, st)._1
 
   def byId(id: Int): StringCodec = id match {
     case 16 => RawStringCodec
@@ -277,21 +281,9 @@ case object FsstStringCodec extends StringCodec {
     w.result()
   }
 
-  /** Exact block size from a trained table without materializing output. */
-  def exactSize(values: Array[String], n: Int): Long = {
-    val table = Fsst.train(values, n)
-    val probe = new BlockWriter(256)
-    table.writeTo(probe)
-    var size = 1L + PrefixVarInt.len(n.toLong) + probe.size
-    var i = 0
-    while (i < n) {
-      val raw = values(i).getBytes(UTF_8)
-      val enc = table.encodedSize(raw)
-      size += PrefixVarInt.len(raw.length.toLong) + PrefixVarInt.len(enc.toLong) + enc
-      i += 1
-    }
-    size
-  }
+  /** Exact block size (one full train+encode; kept for tests). */
+  def exactSize(values: Array[String], n: Int): Long =
+    encode(values, n).length.toLong
 
   def decode(block: Array[Byte]): Array[String] = {
     val (r, n) = openReader(block)

@@ -27,7 +27,8 @@ final class BlockWriter(initialCapacity: Int = 4096) {
       buf(pos) = raw.toByte
       pos += 1
     } else {
-      pos += PrefixVarInt.encode(raw, buf, pos)
+      // ensure(MaxLen) guarantees the word-store fast path is always safe
+      pos += PrefixVarInt.encodeMultibyteFast(raw, buf, pos)
     }
   }
 
@@ -82,9 +83,12 @@ final class BlockReader(buf: Array[Byte], start: Int, end: Int) {
     else {
       val n = PrefixVarInt.leadingOnes(tag) + 1
       if (pos + n > end) { pos = end; DecodeError.eob() } // drain semantics
+      // word-load fast path when ≥ MaxLen bytes remain (reference
+      // src/bytes.rs:129-137), byte ladder near the buffer tail
       val v =
-        if (n == 9) PrefixVarInt.readBE(buf, pos + 1, 8)
-        else PrefixVarInt.readBE(buf, pos, n) & PrefixVarInt.MaxValue(n)
+        if (pos + PrefixVarInt.MaxLen <= end)
+          PrefixVarInt.decodeMultibyteFast(tag, n, buf, pos)
+        else PrefixVarInt.decodeMultibyte(tag, buf, pos)
       pos += n
       v
     }

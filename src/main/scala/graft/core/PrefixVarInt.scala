@@ -104,20 +104,127 @@ object PrefixVarInt {
     } else encodeMultibyte(raw, dst, off)
   }
 
-  /** Multi-byte encode path (reference: src/raw.rs:60-101).
-    * Writes the n-byte big-endian word `raw | tagPrefix(n)`; for n == 9
-    * writes the literal 0xFF tag byte then the raw 8-byte BE u64
+  /** Multi-byte encode path (reference: src/raw.rs:60-101) — unrolled
+    * per-length stores mirroring the reference's distinct-branch-per-
+    * length structure (JIT-friendlier than a generic store loop). For
+    * n == 9 writes the literal 0xFF tag byte then the raw 8-byte BE u64
     * (reference: src/raw.rs:96-99).
     */
-  private def encodeMultibyte(raw: Long, dst: Array[Byte], off: Int): Int = {
+  private[core] def encodeMultibyte(raw: Long, dst: Array[Byte], off: Int): Int = {
+    val n = len(raw)
+    (n: @annotation.switch) match {
+      case 2 =>
+        dst(off) = ((raw >>> 8) | 0x80L).toByte
+        dst(off + 1) = raw.toByte
+      case 3 =>
+        dst(off) = ((raw >>> 16) | 0xc0L).toByte
+        dst(off + 1) = (raw >>> 8).toByte
+        dst(off + 2) = raw.toByte
+      case 4 =>
+        dst(off) = ((raw >>> 24) | 0xe0L).toByte
+        dst(off + 1) = (raw >>> 16).toByte
+        dst(off + 2) = (raw >>> 8).toByte
+        dst(off + 3) = raw.toByte
+      case 5 =>
+        dst(off) = ((raw >>> 32) | 0xf0L).toByte
+        dst(off + 1) = (raw >>> 24).toByte
+        dst(off + 2) = (raw >>> 16).toByte
+        dst(off + 3) = (raw >>> 8).toByte
+        dst(off + 4) = raw.toByte
+      case 6 =>
+        dst(off) = ((raw >>> 40) | 0xf8L).toByte
+        dst(off + 1) = (raw >>> 32).toByte
+        dst(off + 2) = (raw >>> 24).toByte
+        dst(off + 3) = (raw >>> 16).toByte
+        dst(off + 4) = (raw >>> 8).toByte
+        dst(off + 5) = raw.toByte
+      case 7 =>
+        dst(off) = ((raw >>> 48) | 0xfcL).toByte
+        dst(off + 1) = (raw >>> 40).toByte
+        dst(off + 2) = (raw >>> 32).toByte
+        dst(off + 3) = (raw >>> 24).toByte
+        dst(off + 4) = (raw >>> 16).toByte
+        dst(off + 5) = (raw >>> 8).toByte
+        dst(off + 6) = raw.toByte
+      case 8 =>
+        dst(off) = ((raw >>> 56) | 0xfeL).toByte
+        dst(off + 1) = (raw >>> 48).toByte
+        dst(off + 2) = (raw >>> 40).toByte
+        dst(off + 3) = (raw >>> 32).toByte
+        dst(off + 4) = (raw >>> 24).toByte
+        dst(off + 5) = (raw >>> 16).toByte
+        dst(off + 6) = (raw >>> 8).toByte
+        dst(off + 7) = raw.toByte
+      case _ =>
+        dst(off) = -1 // 0xFF
+        dst(off + 1) = (raw >>> 56).toByte
+        dst(off + 2) = (raw >>> 48).toByte
+        dst(off + 3) = (raw >>> 40).toByte
+        dst(off + 4) = (raw >>> 32).toByte
+        dst(off + 5) = (raw >>> 24).toByte
+        dst(off + 6) = (raw >>> 16).toByte
+        dst(off + 7) = (raw >>> 8).toByte
+        dst(off + 8) = raw.toByte
+    }
+    n
+  }
+
+  // Unaligned big-endian word access — the JVM analogue of the
+  // reference's unaligned word loads/stores (reference: src/raw.rs:64-98).
+  private val LONG_BE: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+      classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+
+  /** Fast multi-byte encode requiring ≥ MaxLen bytes of headroom at
+    * dst(off) (the reference's fast-path contract, src/raw.rs:57-59):
+    * one 8-byte word store; bytes past the value are scratch the caller's
+    * cursor never exposes.
+    */
+  private[core] def encodeMultibyteFast(raw: Long, dst: Array[Byte], off: Int): Int = {
     val n = len(raw)
     if (n == 9) {
       dst(off) = -1 // 0xFF
-      writeBE(raw, dst, off + 1, 8)
-      9
+      LONG_BE.set(dst, off + 1, raw)
     } else {
-      writeBE(raw | (TagPrefix64(n) >>> ((8 - n) * 8)), dst, off, n)
-      n
+      LONG_BE.set(dst, off, (raw << ((8 - n) * 8)) | TagPrefix64(n))
+    }
+    n
+  }
+
+  /** Fast multi-byte decode requiring ≥ MaxLen readable bytes at src(off):
+    * one 8-byte word load, shift, mask (reference: src/raw.rs:176-218).
+    */
+  private[core] def decodeMultibyteFast(tag: Int, n: Int, src: Array[Byte], off: Int): Long = {
+    // NB: `val w: Long = vh.get(...)` makes scalac emit the exact
+    // primitive polymorphic signature; `.asInstanceOf[Long]` would box.
+    if (n == 9) {
+      val w: Long = LONG_BE.get(src, off + 1)
+      w
+    } else {
+      val w: Long = LONG_BE.get(src, off)
+      (w >>> ((8 - n) * 8)) & MaxValue(n)
+    }
+  }
+
+  /** Unrolled multi-byte decode at src(off); the tag byte is src(off) and
+    * the caller has verified `off + lenFromTag(tag) <= end` (reference
+    * ladder: src/raw.rs:176-218).
+    */
+  private[core] def decodeMultibyte(tag: Int, src: Array[Byte], off: Int): Long = {
+    @inline def b(i: Int): Long = src(off + i) & 0xffL
+    (leadingOnes(tag) + 1: @annotation.switch) match {
+      case 2 => ((tag & 0x3fL) << 8) | b(1)
+      case 3 => ((tag & 0x1fL) << 16) | (b(1) << 8) | b(2)
+      case 4 => ((tag & 0x0fL) << 24) | (b(1) << 16) | (b(2) << 8) | b(3)
+      case 5 => ((tag & 0x07L) << 32) | (b(1) << 24) | (b(2) << 16) | (b(3) << 8) | b(4)
+      case 6 => ((tag & 0x03L) << 40) | (b(1) << 32) | (b(2) << 24) | (b(3) << 16) |
+        (b(4) << 8) | b(5)
+      case 7 => ((tag & 0x01L) << 48) | (b(1) << 40) | (b(2) << 32) | (b(3) << 24) |
+        (b(4) << 16) | (b(5) << 8) | b(6)
+      case 8 => (b(1) << 48) | (b(2) << 40) | (b(3) << 32) | (b(4) << 24) |
+        (b(5) << 16) | (b(6) << 8) | b(7)
+      case _ => (b(1) << 56) | (b(2) << 48) | (b(3) << 40) | (b(4) << 32) |
+        (b(5) << 24) | (b(6) << 16) | (b(7) << 8) | b(8)
     }
   }
 

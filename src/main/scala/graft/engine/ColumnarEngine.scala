@@ -241,8 +241,8 @@ object ColumnarEngine {
       for ((name, get) <- strGetters) {
         fillStrs(get)
         val st = StringCodecs.stats(strs, n)
-        val codec = StringCodecs.select(strs, n, st)
-        writeCol(name, 1, codec.encode(strs, n), codec.name, st.totalBytes)
+        val (codec, block) = StringCodecs.encodeBest(strs, n, st)
+        writeCol(name, 1, block, codec.name, st.totalBytes)
       }
       w.putBytes(digest)
       partDigest.update(digest)
