@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch workload: ParallelGC sustains much higher allocation throughput
+  // than G1 for the string-heavy encode/decode paths
+  "-XX:+UseParallelGC",
 )

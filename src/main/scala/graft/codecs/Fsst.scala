@@ -20,8 +20,8 @@ object Fsst {
   final val EscapeCode = 255
   final val MaxSymbols = 255
   final val MaxSymbolLen = 8
-  final val TrainIterations = 5
-  final val SampleCap = 1 << 16 // 64 KiB training sample per chunk
+  final val TrainIterations = 3
+  final val SampleCap = 1 << 15 // 32 KiB training sample per chunk
 
   @inline private def packedMask(len: Int): Long = -1L << ((8 - len) * 8)
 
@@ -148,12 +148,12 @@ object Fsst {
     var iter = 0
     while (iter < TrainIterations) {
       // gains per candidate, keyed by (len, packed prefix)
-      val gains = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, Long]())
+      val gains = Array.fill(MaxSymbolLen)(new java.util.HashMap[java.lang.Long, java.lang.Long]())
       @inline def bump(off: Int, len: Int): Unit = {
         val k = java.lang.Long.valueOf(packAt(s, off, s.length) & packedMask(len))
         val m = gains(len - 1)
         val cur = m.get(k)
-        m.put(k, (if (cur == null) 0L else cur.longValue()) + len)
+        m.put(k, java.lang.Long.valueOf((if (cur eq null) 0L else cur.longValue()) + len))
       }
       var pos = 0
       var prevStart = -1
@@ -177,7 +177,7 @@ object Fsst {
         val it = gains(len - 1).entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
-          cands.add((e.getKey.longValue(), len, e.getValue))
+          cands.add((e.getKey.longValue(), len, e.getValue.longValue()))
         }
         len += 1
       }

@@ -12,7 +12,10 @@ sealed trait LongCodec extends Serializable {
   def name: String
   def encode(values: Array[Long], n: Int): Array[Byte]
   final def encode(values: Array[Long]): Array[Byte] = encode(values, values.length)
-  def decode(block: Array[Byte]): Array[Long]
+  /** Decode a block that lives at buf(off until end) — zero-copy slice
+    * form so container decode never duplicates block bytes. */
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long]
+  final def decode(block: Array[Byte]): Array[Long] = decode(block, 0, block.length)
 
   protected final def header(n: Int, cap: Int): BlockWriter = {
     val w = new BlockWriter(cap)
@@ -20,8 +23,8 @@ sealed trait LongCodec extends Serializable {
     w.putVarint(n.toLong)
     w
   }
-  protected final def openReader(block: Array[Byte]): (BlockReader, Int) = {
-    val r = new BlockReader(block)
+  protected final def openReader(buf: Array[Byte], off: Int, end: Int): (BlockReader, Int) = {
+    val r = new BlockReader(buf, off, end)
     val gotId = r.getByte()
     require(gotId == id, s"block codec id $gotId, expected $id ($name)")
     (r, r.getVarint().toInt)
@@ -159,6 +162,9 @@ object LongCodecs {
   }
 
   def decode(block: Array[Byte]): Array[Long] = byId(block(0) & 0xff).decode(block)
+
+  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[Long] =
+    byId(buf(off) & 0xff).decode(buf, off, end)
 }
 
 /** Zigzag + prefix-varint per value — the reference codec itself, applied
@@ -173,8 +179,8 @@ case object VarintLongCodec extends LongCodec {
     while (i < n) { w.putSignedVarint(values(i)); i += 1 }
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = r.getSignedVarint(); i += 1 }
@@ -199,8 +205,8 @@ case object DeltaLongCodec extends LongCodec {
     }
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val out = new Array[Long](n)
     var acc = 0L
     var i = 0
@@ -232,8 +238,8 @@ case object RleLongCodec extends LongCodec {
     }
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val runs = r.getVarint().toInt
     val out = new Array[Long](n)
     var pos = 0
@@ -274,11 +280,11 @@ case object ForLongCodec extends LongCodec {
     w.putBytes(BitPacker.pack(offsets, n, width))
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val min = r.getSignedVarint()
     val width = r.getByte()
-    val out = BitPacker.unpack(block, r.position, n, width)
+    val out = BitPacker.unpack(buf, r.position, n, width)
     var i = 0
     while (i < n) { out(i) += min; i += 1 }
     out
@@ -306,10 +312,10 @@ case object BitPackLongCodec extends LongCodec {
     w.putBytes(BitPacker.pack(values, n, width))
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val width = r.getByte()
-    BitPacker.unpack(block, r.position, n, width)
+    BitPacker.unpack(buf, r.position, n, width)
   }
 }
 
@@ -346,15 +352,15 @@ case object DictLongCodec extends LongCodec {
     w.putBytes(BitPacker.pack(codes, n, width))
     w.result()
   }
-  def decode(block: Array[Byte]): Array[Long] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    val (r, n) = openReader(buf, off, end)
     val card = r.getVarint().toInt
     val dict = new Array[Long](card)
     dict(0) = r.getSignedVarint()
     var i = 1
     while (i < card) { dict(i) = dict(i - 1) + r.getVarint(); i += 1 }
     val width = r.getByte()
-    val codes = BitPacker.unpack(block, r.position, n, width)
+    val codes = BitPacker.unpack(buf, r.position, n, width)
     val out = new Array[Long](n)
     i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }

@@ -11,7 +11,10 @@ sealed trait StringCodec extends Serializable {
   def name: String
   def encode(values: Array[String], n: Int): Array[Byte]
   final def encode(values: Array[String]): Array[Byte] = encode(values, values.length)
-  def decode(block: Array[Byte]): Array[String]
+  /** Decode a block that lives at buf(off until end) — zero-copy slice
+    * form so container decode never duplicates block bytes. */
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[String]
+  final def decode(block: Array[Byte]): Array[String] = decode(block, 0, block.length)
 
   protected final def header(n: Int, cap: Int): BlockWriter = {
     val w = new BlockWriter(cap)
@@ -19,8 +22,8 @@ sealed trait StringCodec extends Serializable {
     w.putVarint(n.toLong)
     w
   }
-  protected final def openReader(block: Array[Byte]): (BlockReader, Int) = {
-    val r = new BlockReader(block)
+  protected final def openReader(buf: Array[Byte], off: Int, end: Int): (BlockReader, Int) = {
+    val r = new BlockReader(buf, off, end)
     val gotId = r.getByte()
     require(gotId == id, s"block codec id $gotId, expected $id ($name)")
     (r, r.getVarint().toInt)
@@ -45,6 +48,24 @@ object StringCodecs {
 
   final val DictCardCap = 1 << 14
 
+  /** UTF-8 encoded length without materializing the bytes — stats must
+    * not copy the whole chunk just to learn sizes.
+    */
+  def utf8Length(s: String): Long = {
+    var bytes = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) bytes += 1
+      else if (c < 0x800) bytes += 2
+      else if (Character.isHighSurrogate(c)) { bytes += 4; i += 1 }
+      else bytes += 3
+      i += 1
+    }
+    bytes
+  }
+
   def stats(values: Array[String], n: Int): StringStats = {
     require(n > 0, "empty chunk")
     var totalBytes = 0L
@@ -55,7 +76,7 @@ object StringCodecs {
     var overflow = false
     var i = 0
     while (i < n) {
-      val b = values(i).getBytes(UTF_8).length.toLong
+      val b = utf8Length(values(i))
       totalBytes += b
       rawBody += PrefixVarInt.len(b) + b
       if (i > 0 && values(i) != values(i - 1)) runCount += 1
@@ -70,7 +91,7 @@ object StringCodecs {
     i = 1
     while (i <= n) {
       if (i == n || values(i) != values(start)) {
-        val b = values(start).getBytes(UTF_8).length.toLong
+        val b = utf8Length(values(start))
         rleBody += PrefixVarInt.len(b) + b + PrefixVarInt.len((i - start).toLong)
         start = i
       }
@@ -83,7 +104,7 @@ object StringCodecs {
         var dsz = PrefixVarInt.len(card.toLong).toLong
         val it = seen.keySet().iterator()
         while (it.hasNext) {
-          val b = it.next().getBytes(UTF_8).length.toLong
+          val b = utf8Length(it.next())
           dsz += PrefixVarInt.len(b) + b
         }
         dsz + 1 + BitPacker.packedSize(n, BitPacker.bitsForUnsigned((card - 1).toLong))
@@ -119,8 +140,11 @@ object StringCodecs {
       val s = sizeOf(c, st)
       if (s < bestSize) { best = c; bestSize = s }
     }
-    // FSST only plausibly wins when the chunk carries real text volume
-    if (st.totalBytes >= 1024) {
+    // FSST trial gate: worth a train+encode only when the chunk carries
+    // real text volume AND no exactly-priced codec already compresses
+    // ≥4x (FSST on text rarely beats that; skipping keeps the per-chunk
+    // fixed training cost off columns dict/rle already win).
+    if (st.totalBytes >= 1024 && bestSize * 4 > st.totalBytes) {
       val fsstBlock = FsstStringCodec.encode(values, n)
       if (fsstBlock.length < bestSize) return (FsstStringCodec, fsstBlock)
     }
@@ -139,6 +163,9 @@ object StringCodecs {
   }
 
   def decode(block: Array[Byte]): Array[String] = byId(block(0) & 0xff).decode(block)
+
+  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[String] =
+    byId(buf(off) & 0xff).decode(buf, off, end)
 }
 
 /** Plain layout: per-string byte length varints, then concatenated UTF-8. */
@@ -157,8 +184,8 @@ case object RawStringCodec extends StringCodec {
     while (i < n) { w.putBytes(bytes(i)); i += 1 }
     w.result()
   }
-  def decode(block: Array[Byte]): Array[String] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+    val (r, n) = openReader(buf, off, end)
     val lens = new Array[Int](n)
     var i = 0
     while (i < n) { lens(i) = r.getVarint().toInt; i += 1 }
@@ -197,14 +224,14 @@ case object DictStringCodec extends StringCodec {
     w.putBytes(BitPacker.pack(codeArr, n, width))
     w.result()
   }
-  def decode(block: Array[Byte]): Array[String] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+    val (r, n) = openReader(buf, off, end)
     val card = r.getVarint().toInt
     val dict = new Array[String](card)
     var i = 0
     while (i < card) { dict(i) = new String(r.getBytes(r.getVarint().toInt), UTF_8); i += 1 }
     val width = r.getByte()
-    val codes = BitPacker.unpack(block, r.position, n, width)
+    val codes = BitPacker.unpack(buf, r.position, n, width)
     val out = new Array[String](n)
     i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
@@ -236,8 +263,8 @@ case object RleStringCodec extends StringCodec {
     }
     w.result()
   }
-  def decode(block: Array[Byte]): Array[String] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+    val (r, n) = openReader(buf, off, end)
     val runs = r.getVarint().toInt
     val out = new Array[String](n)
     var pos = 0
@@ -285,8 +312,8 @@ case object FsstStringCodec extends StringCodec {
   def exactSize(values: Array[String], n: Int): Long =
     encode(values, n).length.toLong
 
-  def decode(block: Array[Byte]): Array[String] = {
-    val (r, n) = openReader(block)
+  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+    val (r, n) = openReader(buf, off, end)
     val table = Fsst.readTable(r)
     val decLens = new Array[Int](n)
     val encLens = new Array[Int](n)
@@ -295,11 +322,11 @@ case object FsstStringCodec extends StringCodec {
     i = 0
     while (i < n) { encLens(i) = r.getVarint().toInt; i += 1 }
     val out = new Array[String](n)
-    var off = r.position
+    var pos = r.position
     i = 0
     while (i < n) {
-      out(i) = new String(table.decode(block, off, encLens(i), decLens(i)), UTF_8)
-      off += encLens(i)
+      out(i) = new String(table.decode(buf, pos, encLens(i), decLens(i)), UTF_8)
+      pos += encLens(i)
       i += 1
     }
     out

@@ -103,6 +103,12 @@ final class BlockReader(buf: Array[Byte], start: Int, end: Int) {
     b
   }
 
+  /** Advance the cursor without copying (zero-copy slice consumers). */
+  def skip(n: Int): Unit = {
+    if (pos + n > end) { pos = end; DecodeError.eob() }
+    pos += n
+  }
+
   def getBytes(n: Int): Array[Byte] = {
     if (pos + n > end) { pos = end; DecodeError.eob() }
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
