@@ -169,6 +169,40 @@ object Bench {
       "get_zipf_melem_s" -> measureGet(zipf))
   }
 
+  /** Pure-CPU codec scaling: T threads, each encoding+decoding its own
+    * zipf buffer — isolates the kernels' parallel scalability from Spark
+    * scheduling and the sandbox VM's shared memory bandwidth.
+    */
+  private def codecScaling(threads: Int): Double = {
+    val N = 1 << 19
+    val rnd = new java.util.Random(0xab + threads)
+    val data = Array.fill(threads)(Array.fill(N)(
+      rnd.nextLong() >>> rnd.nextInt(58))) // mixed length classes
+    val totalOps = new java.util.concurrent.atomic.AtomicLong()
+    def work(vs: Array[Long], untilNanos: Long): Long = {
+      var ops = 0L
+      val w = new BlockWriter(N * 9 + 16)
+      while (System.nanoTime() < untilNanos) {
+        w.reset()
+        var i = 0
+        while (i < N) { w.putVarint(vs(i)); i += 1 }
+        val r = new BlockReader(w.result())
+        var sink = 0L
+        i = 0
+        while (i < N) { sink ^= r.getVarint(); i += 1 }
+        if (sink == 42) println()
+        ops += 2L * N
+      }
+      ops
+    }
+    val until = System.nanoTime() + 2_000_000_000L
+    val ts = data.map(vs => new Thread(() => { totalOps.addAndGet(work(vs, until)); () }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    totalOps.get() / ((System.nanoTime() - t0) / 1e9) / 1e6 // Melem/s aggregate
+  }
+
   private def fmt(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
 
@@ -203,7 +237,12 @@ object Bench {
         engine = large
         val effEnc = (large("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
         val effDec = (large("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
+        val codecN = codecScaling(math.max(cpus / 4, 1))
+        val codec4N = codecScaling(cpus)
         Map(
+          s"codec_melem_s_t${cpus / 4}" -> codecN,
+          s"codec_melem_s_t$cpus" -> codec4N,
+          "codec_scaling_efficiency" -> codec4N / codecN / 4.0,
           s"encode_rows_per_s_n${cpus / 4}" -> small("encode_rows_per_s"),
           s"encode_rows_per_s_n$cpus" -> large("encode_rows_per_s"),
           "encode_scaling_efficiency" -> effEnc,
