@@ -148,20 +148,21 @@ object SparkEntry {
 
     // ------------------------------------------- codec kernels vs SQL oracle
     "q20_varint_len_hist" -> ((s, d) => {
-      val lenUdf = udf((v: Long) => PrefixVarInt.len(v))
+      graft.functions.CodecExpressions.register(s)
       t(s, d, "lineitem")
-        .select(lenUdf(col("l_orderkey")).cast("long").as("len_class"))
+        .select(graft.functions.CodecExpressions.prefix_varint_len(col("l_orderkey"))
+          .cast("long").as("len_class"))
         .groupBy(col("len_class"))
         .agg(count(lit(1)).as("n_values"))
         .orderBy(col("len_class"))
     }),
 
     "q21_zigzag_sum" -> ((s, d) => {
-      val zzUdf = udf((v: Long) => PrefixVarInt.zigzagEncode(v))
+      graft.functions.CodecExpressions.register(s)
       t(s, d, "lineitem")
         .withColumn("v", col("l_linenumber").cast("long") - 4L)
         .groupBy(col("l_returnflag"))
-        .agg(sum(zzUdf(col("v"))).as("sum_zigzag"),
+        .agg(sum(graft.functions.CodecExpressions.zigzag_encode(col("v"))).as("sum_zigzag"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
