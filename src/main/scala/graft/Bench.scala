@@ -56,7 +56,7 @@ object Bench {
       System.err.println(f"[bench] engine n=$cpus prep ${prepSec}%.1f s")
       // this sandbox VM's wall-clock noise is 2-10x run-to-run; take the
       // best of `reps` so throughput reflects the engine, not the noise
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var manifests: Array[graft.engine.PartManifest] = null
       var encSec = Double.MaxValue
       for (r <- 1 to reps) {
