@@ -146,6 +146,24 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    "q13_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q14_running_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ------------------------------------------- codec kernels vs SQL oracle
     "q20_varint_len_hist" -> ((s, d) => {
       graft.functions.CodecExpressions.register(s)
@@ -405,6 +423,20 @@ object SparkEntry {
          count(*) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q14_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_cents
+         FROM orders WHERE o_custkey < 50
+         ORDER BY o_custkey, o_orderkey""",
 
     "q20_varint_len_hist" ->
       """SELECT CASE

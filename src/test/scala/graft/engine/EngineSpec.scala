@@ -109,6 +109,21 @@ class EngineSpec extends AnyFunSuite {
     assert(codes === (0L until d1.size.toLong), "codes are dense 0..card-1")
   }
 
+  test("salted partitioning bounds the zipf-head repo's share of any partition") {
+    import spark.implicits._
+    val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 3000, 8))
+    val parted = ColumnarEngine.partitionForEncoding(derived, numParts = 16, saltBuckets = 16)
+    val sizes = parted.mapPartitions(it => Iterator.single(it.size)).collect()
+    val total = sizes.sum
+    assert(total === 3000)
+    // head repo carries ~19% of rows (zipf 1/rank over 50 repos); without
+    // salting one hash partition would hold all of it. With 16 salt
+    // buckets no partition may exceed ~3x the mean.
+    val mean = total.toDouble / sizes.count(_ > 0)
+    assert(sizes.max <= mean * 3,
+      s"partition skew too high: max=${sizes.max} mean=$mean sizes=${sizes.toSeq}")
+  }
+
   test("manifests DataFrame exposes lineage metrics") {
     val dir = tempDir("manifest")
     val src = SourceTable.synthesize(spark, 300, 2)
