@@ -310,6 +310,28 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    // full engine chain under the DuckDB oracle: documents -> SourceFile
+    // shape -> derive -> chunked encode (containers on disk) -> columnar
+    // projection read (only lang + len_content decoded) -> aggregate;
+    // the oracle aggregates the RAW documents table, so any encode/decode
+    // defect anywhere in the chain breaks the match.
+    "c3_engine_agg" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "documents").select(
+        concat(lit("repo/"), col("source")).as("repo"),
+        concat(lit("docs/doc_"), col("doc_id")).as("path"),
+        concat(lit("c"), col("doc_id")).as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.engine.SourceFile]
+      val dir = java.nio.file.Files.createTempDirectory("graft-c3").toString
+      graft.engine.ColumnarEngine.encode(
+        graft.engine.ColumnarEngine.derive(src), dir, numParts = 4)
+      graft.engine.ColumnarEngine.readColumns(s, dir, Seq("lang", "len_content"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len_content")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "c2_roundtrip_check" -> ((s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem")
@@ -476,6 +498,11 @@ object SparkEntry {
          round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
            / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_r6
          FROM documents ORDER BY doc_id""",
+
+    "c3_engine_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -319,6 +319,68 @@ object ColumnarEngine {
       .flatMap(bytes => decodeContainer(bytes))
   }
 
+  /** Columnar projection read: decode ONLY the requested columns from the
+    * containers, skipping every other column's block bytes (the format's
+    * per-column blocks + length prefixes make projection a seek, not a
+    * decode). Returns one row per source row with the selected columns.
+    */
+  def readColumns(spark: SparkSession, outDir: String,
+                  columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(columns.nonEmpty)
+    val wanted = columns.toSet
+    val longSel = longColumns.filter(wanted)
+    val strSel = stringColumns.filter(wanted)
+    val unknown = wanted -- longColumns.toSet -- stringColumns.toSet
+    require(unknown.isEmpty, s"unknown columns: $unknown")
+    val rows = spark.read.format("binaryFile").load(s"$outDir/blocks/*.gblk")
+      .select($"content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = new BlockReader(bytes)
+        require(java.util.Arrays.equals(r.getBytes(Magic.length), Magic), "bad container magic")
+        r.getVarint() // part id
+        val out = Iterator.unfold(()) { _ =>
+          if (!r.hasRemaining) None
+          else {
+            val n = r.getVarint().toInt
+            val nCols = r.getVarint().toInt
+            val longs = new java.util.HashMap[String, Array[Long]]()
+            val strs = new java.util.HashMap[String, Array[String]]()
+            var c = 0
+            while (c < nCols) {
+              val name = new String(r.getBytes(r.getVarint().toInt), UTF_8)
+              val kind = r.getByte()
+              val blockLen = r.getVarint().toInt
+              val blockOff = r.position
+              r.skip(blockLen)
+              if (wanted.contains(name)) { // others: pure seek, no decode
+                if (kind == 0)
+                  longs.put(name, LongCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
+                else
+                  strs.put(name, StringCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
+              }
+              c += 1
+            }
+            r.getBytes(32) // chunk digest (verified by the full decode path)
+            val chunkRows = (0 until n).iterator.map { j =>
+              (longSel.map(longs.get(_)(j)), strSel.map(strs.get(_)(j)))
+            }
+            Some((chunkRows, ()))
+          }
+        }
+        out.flatten
+      }
+    // explode the (longs, strings) tuples into named columns
+    var df = rows.toDF("_longs", "_strs")
+    longSel.zipWithIndex.foreach { case (name, i) =>
+      df = df.withColumn(name, col("_longs").getItem(i))
+    }
+    strSel.zipWithIndex.foreach { case (name, i) =>
+      df = df.withColumn(name, col("_strs").getItem(i))
+    }
+    df.select(columns.map(col): _*)
+  }
+
   def decodeContainer(bytes: Array[Byte]): Iterator[DerivedRow] = {
     val r = new BlockReader(bytes)
     val magic = r.getBytes(Magic.length)

@@ -109,6 +109,21 @@ class EngineSpec extends AnyFunSuite {
     assert(codes === (0L until d1.size.toLong), "codes are dense 0..card-1")
   }
 
+  test("columnar projection read: selected columns only, values match full decode") {
+    import spark.implicits._
+    val dir = tempDir("proj")
+    val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 500, 4)).cache()
+    ColumnarEngine.encode(derived, dir, numParts = 4)
+    val proj = ColumnarEngine.readColumns(spark, dir, Seq("path", "len_content", "hash64"))
+    assert(proj.columns.toSeq === Seq("path", "len_content", "hash64"))
+    val got = proj.as[(String, Long, Long)].collect().sortBy(_._1)
+    val want = derived.select($"path", $"len_content", $"hash64")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    intercept[IllegalArgumentException](
+      ColumnarEngine.readColumns(spark, dir, Seq("nope")).count())
+  }
+
   test("salted partitioning bounds the zipf-head repo's share of any partition") {
     import spark.implicits._
     val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 3000, 8))
