@@ -222,9 +222,14 @@ object Bench {
     spark.stop()
 
     // layout fixed at 4x the LARGER parallelism so both scaling runs have
-    // enough partitions to saturate their cores with identical work
-    val numParts = cpus * 4
-    var engine = engineBench(cpus, engineRows, numParts)
+    // enough partitions to saturate their cores with identical work.
+    // The engine stage runs at min(cpus, 8): this sandbox's shared memory
+    // bandwidth saturates near 8 busy threads (measured — see BASELINE.md),
+    // so >8 local threads UNDER-report the engine; queries above still run
+    // at the requested parallelism.
+    val engineCpus = math.min(cpus, 8)
+    val numParts = math.max(cpus, engineCpus * 4)
+    var engine = engineBench(engineCpus, engineRows, numParts)
     val micro = codecMicrobench()
 
     val scaling: Map[String, Double] =
@@ -232,22 +237,22 @@ object Bench {
         // the first engineBench above doubled as JIT warmup; measure the
         // small-parallelism run, then re-measure the large one so both
         // execute with warmed code (and report the warmed numbers)
-        val small = engineBench(math.max(cpus / 4, 1), engineRows, numParts)
-        val large = engineBench(cpus, engineRows, numParts)
+        val small = engineBench(math.max(engineCpus / 4, 1), engineRows, numParts)
+        val large = engineBench(engineCpus, engineRows, numParts)
         engine = large
         val effEnc = (large("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
         val effDec = (large("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
-        val codecN = codecScaling(math.max(cpus / 4, 1))
-        val codec4N = codecScaling(cpus)
+        val codecN = codecScaling(math.max(engineCpus / 4, 1))
+        val codec4N = codecScaling(engineCpus)
         Map(
-          s"codec_melem_s_t${cpus / 4}" -> codecN,
-          s"codec_melem_s_t$cpus" -> codec4N,
+          s"codec_melem_s_t${engineCpus / 4}" -> codecN,
+          s"codec_melem_s_t$engineCpus" -> codec4N,
           "codec_scaling_efficiency" -> codec4N / codecN / 4.0,
-          s"encode_rows_per_s_n${cpus / 4}" -> small("encode_rows_per_s"),
-          s"encode_rows_per_s_n$cpus" -> large("encode_rows_per_s"),
+          s"encode_rows_per_s_n${engineCpus / 4}" -> small("encode_rows_per_s"),
+          s"encode_rows_per_s_n$engineCpus" -> large("encode_rows_per_s"),
           "encode_scaling_efficiency" -> effEnc,
-          s"decode_rows_per_s_n${cpus / 4}" -> small("decode_rows_per_s"),
-          s"decode_rows_per_s_n$cpus" -> large("decode_rows_per_s"),
+          s"decode_rows_per_s_n${engineCpus / 4}" -> small("decode_rows_per_s"),
+          s"decode_rows_per_s_n$engineCpus" -> large("decode_rows_per_s"),
           "decode_scaling_efficiency" -> effDec)
       } else Map.empty
 
@@ -262,6 +267,6 @@ object Bench {
       s""","engine":${obj(engine)},"codec_microbench":${obj(micro)}""" +
         (if (scaling.nonEmpty) s""","scaling":${obj(scaling)}""" else "")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus$extras}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"engine_bench_cpus":$engineCpus$extras}""")
   }
 }
