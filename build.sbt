@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: the driver parses
+// graft.Bench's single JSON stdout line, and sbt's default logger prefix
+// ("[info] ") broke that parse in round 1 (BENCH_r01 "parsed": null).
+run / connectInput := true
+ThisBuild / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,7 +59,13 @@ object StringCodecs {
       val c = s.charAt(i)
       if (c < 0x80) bytes += 1
       else if (c < 0x800) bytes += 2
-      else if (Character.isHighSurrogate(c)) { bytes += 4; i += 1 }
+      else if (Character.isHighSurrogate(c)) {
+        // only a proper surrogate PAIR is 4 bytes; String.getBytes(UTF_8)
+        // encodes an unpaired surrogate as a single '?' byte
+        if (i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) { bytes += 4; i += 1 }
+        else bytes += 1
+      }
+      else if (Character.isLowSurrogate(c)) bytes += 1 // unpaired -> '?'
       else bytes += 3
       i += 1
     }
@@ -127,13 +133,26 @@ object StringCodecs {
 
   val exact: Seq[StringCodec] = Seq(RawStringCodec, DictStringCodec, RleStringCodec)
 
+  /** Mutable per-(partition, column) FSST training cache: training costs
+    * ~5 sample passes per call, so the engine trains on the FIRST chunk of
+    * a column and reuses the table for later chunks of the same partition
+    * (sorted partitions are homogeneous), retraining only when the
+    * achieved ratio drifts >15% above the ratio measured at training time.
+    */
+  final class FsstState {
+    var table: Fsst.SymbolTable = null
+    var trainRatio: Double = Double.MaxValue
+  }
+
   /** Stats-driven selection + encoding in one pass. Raw/dict/rle are
     * priced exactly from stats (no encode needed to price); FSST is
-    * priced by a single train+encode whose block is returned directly if
+    * priced by a single (train+)encode whose block is returned directly if
     * it wins — the chosen codec is the true minimum among all priced
-    * codecs with no duplicated work.
+    * codecs with no duplicated work. Pass a [[FsstState]] to amortize
+    * FSST training across the chunks of one partition column.
     */
-  def encodeBest(values: Array[String], n: Int, st: StringStats): (StringCodec, Array[Byte]) = {
+  def encodeBest(values: Array[String], n: Int, st: StringStats,
+                 fsst: FsstState = null): (StringCodec, Array[Byte]) = {
     var best: StringCodec = RawStringCodec
     var bestSize = sizeOf(RawStringCodec, st)
     for (c <- Seq(DictStringCodec, RleStringCodec)) {
@@ -145,7 +164,24 @@ object StringCodecs {
     // ≥4x (FSST on text rarely beats that; skipping keeps the per-chunk
     // fixed training cost off columns dict/rle already win).
     if (st.totalBytes >= 1024 && bestSize * 4 > st.totalBytes) {
-      val fsstBlock = FsstStringCodec.encode(values, n)
+      val fsstBlock =
+        if (fsst == null) FsstStringCodec.encode(values, n)
+        else if (fsst.table == null) {
+          fsst.table = Fsst.train(values, n)
+          val b = FsstStringCodec.encodeWith(fsst.table, values, n)
+          fsst.trainRatio = b.length.toDouble / math.max(st.totalBytes, 1L)
+          b
+        } else {
+          val b = FsstStringCodec.encodeWith(fsst.table, values, n)
+          val ratio = b.length.toDouble / math.max(st.totalBytes, 1L)
+          if (ratio <= fsst.trainRatio * 1.15) b
+          else { // drifted: this chunk's content no longer matches the table
+            fsst.table = Fsst.train(values, n)
+            val b2 = FsstStringCodec.encodeWith(fsst.table, values, n)
+            fsst.trainRatio = b2.length.toDouble / math.max(st.totalBytes, 1L)
+            if (b2.length <= b.length) b2 else b
+          }
+        }
       if (fsstBlock.length < bestSize) return (FsstStringCodec, fsstBlock)
     }
     (best, best.encode(values, n))
@@ -288,8 +324,13 @@ case object FsstStringCodec extends StringCodec {
   val id: Byte = 19
   val name = "fsst"
 
-  def encode(values: Array[String], n: Int): Array[Byte] = {
-    val table = Fsst.train(values, n)
+  def encode(values: Array[String], n: Int): Array[Byte] =
+    encodeWith(Fsst.train(values, n), values, n)
+
+  /** Encode with an externally trained (possibly reused) table; the table
+    * is always serialized into the block, so decode stays self-contained.
+    */
+  def encodeWith(table: Fsst.SymbolTable, values: Array[String], n: Int): Array[Byte] = {
     val w = header(n, 64)
     table.writeTo(w)
     val raw = new Array[Array[Byte]](n)

@@ -53,9 +53,18 @@ object ColumnarEngine {
 
   // ---------------------------------------------------------------- derive
 
-  /** Catalyst-planned derivation of the integer columns. Dictionaries for
-    * repo/lang are tiny (broadcast); path's is high-cardinality and joins
-    * via shuffle (AQE picks the strategy).
+  /** Catalyst-planned derivation of the integer columns. The lang
+    * dictionary is a bounded enum (broadcast hint); repo, path, and
+    * (repo, commit) dictionaries are UNBOUNDED at 10^12-file scale, so
+    * they carry no hint — AQE's runtime size gate broadcasts them when the
+    * measured build side is small and falls back to a shuffle join when it
+    * isn't (round 1 force-broadcast repo/commit, a driver OOM at scale).
+    *
+    * Null discipline: any null source column is an error raised inline
+    * (`coalesce(c, raise_error(...))` — evaluated only on null rows, zero
+    * extra scan). Inner dictionary joins would otherwise silently DROP
+    * null-keyed rows and break the engine's row-count invariant, and null
+    * content would NPE the per-row sha256 digest.
     *
     * Skew discipline: the per-repo commit-ordinal window runs over the
     * SKINNY distinct (repo, commit) pairs, never over rows carrying
@@ -66,7 +75,11 @@ object ColumnarEngine {
   def derive(src: Dataset[SourceFile]): Dataset[DerivedRow] = {
     val spark = src.sparkSession
     import spark.implicits._
-    val df = src.toDF()
+    def required(name: String) = coalesce(col(name),
+      raise_error(lit(s"derive: null $name — source columns must be non-null"))).as(name)
+    val df = src.toDF().select(
+      required("repo"), required("path"), required("commit"),
+      required("lang"), required("content"))
     val repoDict = GlobalDictionary.build(df, "repo").withColumnsRenamed(
       Map("value" -> "repo", "code" -> "repo_code"))
     val langDict = GlobalDictionary.build(df, "lang").withColumnsRenamed(
@@ -80,8 +93,8 @@ object ColumnarEngine {
         .over(Window.partitionBy($"repo").orderBy($"commit")).cast("long"))
     df.withColumn("len_content", length($"content").cast("long"))
       .withColumn("hash64", xxhash64($"content"))
-      .join(broadcast(commitOrds), Seq("repo", "commit"))
-      .join(broadcast(repoDict), "repo")
+      .join(commitOrds, Seq("repo", "commit"))
+      .join(repoDict, "repo")
       .join(broadcast(langDict), "lang")
       .join(pathDict, "path")
       .select($"repo", $"path", $"commit", $"lang", $"content",
@@ -177,6 +190,10 @@ object ColumnarEngine {
     }
   }
 
+  /** Attempt id for tmp-file uniqueness; 0 outside a task (unit tests). */
+  private def attemptId: Long =
+    Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+
   private def encodePartition(part: Int, it: Iterator[DerivedRow],
                               outDir: String): PartManifest = {
     val w = new BlockWriter(1 << 20)
@@ -192,6 +209,8 @@ object ColumnarEngine {
 
     val bufRows = new scala.collection.mutable.ArrayBuffer[DerivedRow](ChunkRows)
     var bufBytes = 0L
+    // FSST training amortized across this partition's chunks, per column
+    val fsstStates = new java.util.HashMap[String, StringCodecs.FsstState]()
 
     def flushChunk(): Unit = {
       if (bufRows.isEmpty) return
@@ -251,7 +270,8 @@ object ColumnarEngine {
       for ((name, get) <- strGetters) {
         fillStrs(get)
         val st = StringCodecs.stats(strs, n)
-        val (codec, block) = StringCodecs.encodeBest(strs, n, st)
+        val (codec, block) = StringCodecs.encodeBest(strs, n, st,
+          fsstStates.computeIfAbsent(name, _ => new StringCodecs.FsstState))
         writeCol(name, 1, block, codec.name, st.totalBytes)
       }
       w.putBytes(digest)
@@ -270,7 +290,10 @@ object ColumnarEngine {
 
     val digestHex = partDigest.digest().map(b => f"$b%02x").mkString
     if (rows > 0) {
-      val tmp = Paths.get(outDir, "blocks", s".tmp-part-$part")
+      // tmp name carries the task ATTEMPT id: two attempts of the same
+      // partition (speculation, or a retry racing a zombie task) must
+      // never interleave writes into one tmp file before the atomic rename
+      val tmp = Paths.get(outDir, "blocks", s".tmp-part-$part-a$attemptId")
       Files.write(tmp, w.result())
       Files.move(tmp, Paths.get(outDir, "blocks", s"part-$part.gblk"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -297,7 +320,7 @@ object ColumnarEngine {
     val json =
       s"""{"part":${m.part},"rows":${m.rows},"chunks":${m.chunks},"rawBytes":${m.rawBytes},""" +
       s""""encodedBytes":${m.encodedBytes},"digest":${q(m.digest)},"columns":$cols}"""
-    val tmp = Paths.get(outDir, "manifests", s".tmp-part-${m.part}")
+    val tmp = Paths.get(outDir, "manifests", s".tmp-part-${m.part}-a$attemptId")
     Files.write(tmp, json.getBytes(UTF_8))
     Files.move(tmp, Paths.get(outDir, "manifests", s"part-${m.part}.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -314,7 +337,11 @@ object ColumnarEngine {
     */
   def decode(spark: SparkSession, outDir: String): Dataset[DerivedRow] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$outDir/blocks/*.gblk")
+    // directory + pathGlobFilter, NOT a glob in the path: a glob path makes
+    // FileStreamSink's metadata probe log a FileNotFoundException stack
+    // trace at WARN on every read (benign but alarming in bench logs)
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.gblk")
+      .load(s"$outDir/blocks")
       .select($"content").as[Array[Byte]]
       .flatMap(bytes => decodeContainer(bytes))
   }
@@ -333,7 +360,8 @@ object ColumnarEngine {
     val strSel = stringColumns.filter(wanted)
     val unknown = wanted -- longColumns.toSet -- stringColumns.toSet
     require(unknown.isEmpty, s"unknown columns: $unknown")
-    val rows = spark.read.format("binaryFile").load(s"$outDir/blocks/*.gblk")
+    val rows = spark.read.format("binaryFile").option("pathGlobFilter", "*.gblk")
+      .load(s"$outDir/blocks")
       .select($"content").as[Array[Byte]]
       .flatMap { bytes =>
         val r = new BlockReader(bytes)

@@ -45,9 +45,10 @@ object Dedup {
     * `bands` banded buckets → same-bucket candidate join → exact Jaccard
     * verification on the shingle sets, keeping pairs ≥ threshold.
     *
-    * Scale: the only shuffles are the band-bucket self-join (keys are
-    * (band, 64-bit bucket hash) — skew-safe because identical signatures
-    * imply near-identical docs) and the verify join by id.
+    * Scale: only (band, bucket, id) triples ride the banded self-join —
+    * never the shingle sets (shipping them ×bands through both sides of
+    * the shuffle made this the slowest query at SF in round 1). Shingles
+    * are re-joined exactly once per deduped candidate pair.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
@@ -57,22 +58,24 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    val banded = base.select(col("id"), col("sh"),
+    val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(concat_ws(",",
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val left = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = left.join(right, Seq("band", "bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard",
+    val shs = base.select(col("id"), col("sh"))
+    cand
+      .join(shs.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(shs.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
@@ -81,18 +84,37 @@ object Dedup {
 
   /** SimHash near-dup candidates: 64-bit simhash (custom Catalyst
     * expression), pairs within `maxHamming` bits found by joining on
-    * rotated 16-bit blocks (any pair within hamming distance ≤ 3 shares
-    * at least one of the 4 blocks exactly — pigeonhole).
+    * `maxHamming + 1` bit-blocks: a pair differing in ≤ maxHamming bits
+    * must share at least one block exactly (pigeonhole), so candidate
+    * recall is EXHAUSTIVE for the requested distance.
+    *
+    * maxHamming is capped at 15 (16 blocks of ≥4 bits): beyond that each
+    * block carries too few bits to be selective and the bucket join
+    * degenerates toward an all-pairs cross join. Larger radii need the
+    * multi-block-combination scheme of Manku et al. (WWW'07) instead.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.SimHash64.register(df.sparkSession)
-    val hashed = df.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("simhash"))
+    simhashPairsFromHashes(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash")),
+      maxHamming)
+  }
+
+  /** Blocking join over precomputed 64-bit hashes (id, simhash). */
+  def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for exhaustive 64-bit blocking, got $maxHamming")
+    val blocks = maxHamming + 1
+    // distribute 64 bits as evenly as possible: the first (64 % blocks)
+    // blocks get one extra bit
+    val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val blocked = hashed.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until blocks).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
         struct(lit(b).as("blk"),
-          col("simhash").bitwiseAND(lit(0xffffL << (16 * b))).as("blkval"))
+          shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(lit(mask)).as("blkval"))
       }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.blk"), col("bb.blkval"))
     val l = blocked.select(col("blk"), col("blkval"),
@@ -107,25 +129,36 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact n-gram Jaccard similarity via an inverted-index join (no cross
-    * join): explode distinct grams, join postings, count intersections,
-    * derive |union| = |A| + |B| - |A∩B|.
+  /** n-gram Jaccard similarity via an inverted-index join (no cross
+    * join), with a hot-gram document-frequency cap: a gram appearing in f
+    * documents yields f² candidate rows, so stop-word-like grams detonate
+    * the postings self-join at scale. Candidate contract: all pairs
+    * sharing at least one gram with document frequency ≤ `dfCap`; the
+    * Jaccard itself is then computed EXACTLY on the full (uncapped)
+    * distinct-gram sets, joined once per candidate pair.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   dfCap: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("grams"))
-    val sizes = base.select(col("id"), size(col("grams")).as("sz"))
     val postings = base.select(col("id"), explode(col("grams")).as("gram"))
-    val inter = postings.join(postings.select(col("id").as("id2"), col("gram")), Seq("gram"))
-      .filter(col("id") < col("id2"))
-      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
+    val rare = postings.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= dfCap)
+      .select(col("gram"))
+    val capped = postings.join(rare, Seq("gram"))
+    val cand = capped.select(col("gram"), col("id").as("id_a"))
+      .join(capped.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
