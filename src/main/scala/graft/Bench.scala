@@ -26,7 +26,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    // ERROR: WARN-level stack traces (e.g. FileStreamSink metadata probes)
+    // polluted round-1 bench logs and read as failures
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 
@@ -230,6 +232,10 @@ object Bench {
     val engineCpus = math.min(cpus, 8)
     val numParts = math.max(cpus, engineCpus * 4)
     var engine = engineBench(engineCpus, engineRows, numParts)
+    // run the microbench twice and keep the second: the first pass after
+    // 32 query threads churned the VM measures a cold/contended JIT (the
+    // round-1 driver run read 3x low because of this)
+    codecMicrobench()
     val micro = codecMicrobench()
 
     val scaling: Map[String, Double] =
@@ -242,6 +248,10 @@ object Bench {
         engine = large
         val effEnc = (large("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
         val effDec = (large("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
+        // warm BOTH legs before measuring: round 1 recorded a nonsense
+        // 1.65 "efficiency" because the small leg ran with a cold JIT
+        codecScaling(math.max(engineCpus / 4, 1))
+        codecScaling(engineCpus)
         val codecN = codecScaling(math.max(engineCpus / 4, 1))
         val codec4N = codecScaling(engineCpus)
         Map(

@@ -45,9 +45,11 @@ object BitPacker {
 
   /** Unpack `n` values of `width` bits each from `bytes` starting at `off`. */
   def unpack(bytes: Array[Byte], off: Int, n: Int, width: Int): Array[Long] = {
+    require(width >= 0 && width <= 64, s"bit width $width out of range [0, 64]")
+    if (width != 0 && bytes.length - off < packedSize(n, width))
+      graft.core.DecodeError.eob() // validate BEFORE allocating the output
     val out = new Array[Long](n)
     if (width == 0) return out
-    if (bytes.length - off < packedSize(n, width)) graft.core.DecodeError.eob()
     val mask = if (width == 64) -1L else (1L << width) - 1
     var bitPos = 0L
     var i = 0

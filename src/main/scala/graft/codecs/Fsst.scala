@@ -87,6 +87,8 @@ object Fsst {
     }
 
     def decode(src: Array[Byte], off: Int, encLen: Int, decLen: Int): Array[Byte] = {
+      require(decLen >= 0 && encLen >= 0 && off >= 0 && off + encLen <= src.length,
+        "FSST decode slice out of range")
       val out = new Array[Byte](decLen)
       var i = off
       val end = off + encLen
@@ -94,11 +96,15 @@ object Fsst {
       while (i < end) {
         val c = src(i) & 0xff
         if (c == EscapeCode) {
+          require(i + 1 < end, "FSST escape at end of encoded bytes")
+          require(o < decLen, "FSST decode overruns declared decoded length")
           out(o) = src(i + 1)
           o += 1
           i += 2
         } else {
+          require(c < symbols.length, s"FSST code $c beyond table size ${symbols.length}")
           val sym = symbols(c)
+          require(o + sym.length <= decLen, "FSST decode overruns declared decoded length")
           System.arraycopy(sym, 0, out, o, sym.length)
           o += sym.length
           i += 1
@@ -121,9 +127,15 @@ object Fsst {
 
   def readTable(r: BlockReader): SymbolTable = {
     val n = r.getByte()
+    require(n <= MaxSymbols, s"FSST table claims $n symbols (max $MaxSymbols)")
     val syms = new Array[Array[Byte]](n)
     var c = 0
-    while (c < n) { syms(c) = r.getBytes(r.getByte()); c += 1 }
+    while (c < n) {
+      val l = r.getByte()
+      require(l >= 1 && l <= MaxSymbolLen, s"FSST symbol length $l out of [1, $MaxSymbolLen]")
+      syms(c) = r.getBytes(l)
+      c += 1
+    }
     new SymbolTable(syms)
   }
 

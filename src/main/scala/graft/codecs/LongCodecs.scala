@@ -27,7 +27,10 @@ sealed trait LongCodec extends Serializable {
     val r = new BlockReader(buf, off, end)
     val gotId = r.getByte()
     require(gotId == id, s"block codec id $gotId, expected $id ($name)")
-    (r, r.getVarint().toInt)
+    val n = r.getVarint()
+    require(n >= 0 && n <= LongCodecs.MaxDecodeRows,
+      s"implausible row count $n in $name block (cap ${LongCodecs.MaxDecodeRows})")
+    (r, n.toInt)
   }
 }
 
@@ -60,6 +63,12 @@ object LongCodecs {
     * dictionary can't win against varint/FoR anyway at our chunk sizes.
     */
   final val DictCardCap = 1 << 16
+
+  /** Decode-side sanity cap on a block's claimed row count: a corrupt or
+    * hostile header must never drive an unbounded allocation. The engine
+    * chunks at 64Ki rows; 16Mi leaves ample headroom for library users.
+    */
+  final val MaxDecodeRows = 1 << 24
 
   @inline private def zlen(v: Long): Int = PrefixVarInt.len(PrefixVarInt.zigzagEncode(v))
 
@@ -161,10 +170,12 @@ object LongCodecs {
     case x => throw new IllegalArgumentException(s"unknown long codec id $x")
   }
 
-  def decode(block: Array[Byte]): Array[Long] = byId(block(0) & 0xff).decode(block)
+  def decode(block: Array[Byte]): Array[Long] = decodeSlice(block, 0, block.length)
 
-  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[Long] =
+  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
+    require(off >= 0 && off < end && end <= buf.length, "empty or out-of-range block slice")
     byId(buf(off) & 0xff).decode(buf, off, end)
+  }
 }
 
 /** Zigzag + prefix-varint per value — the reference codec itself, applied
@@ -181,6 +192,7 @@ case object VarintLongCodec extends LongCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
     val (r, n) = openReader(buf, off, end)
+    if (n > r.remaining) graft.core.DecodeError.eob() // each value >= 1 byte
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = r.getSignedVarint(); i += 1 }
@@ -207,6 +219,7 @@ case object DeltaLongCodec extends LongCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
     val (r, n) = openReader(buf, off, end)
+    if (n > r.remaining) graft.core.DecodeError.eob() // each delta >= 1 byte
     val out = new Array[Long](n)
     var acc = 0L
     var i = 0
@@ -240,13 +253,18 @@ case object RleLongCodec extends LongCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
     val (r, n) = openReader(buf, off, end)
-    val runs = r.getVarint().toInt
+    val runsL = r.getVarint()
+    require(runsL >= 0 && runsL <= r.remaining, // each run >= 2 bytes
+      s"implausible RLE run count $runsL")
+    val runs = runsL.toInt
     val out = new Array[Long](n)
     var pos = 0
     var k = 0
     while (k < runs) {
       val v = r.getSignedVarint()
-      var len = r.getVarint().toInt
+      val lenL = r.getVarint()
+      require(lenL >= 0 && lenL <= n - pos, s"RLE run overflows row count ($lenL at $pos/$n)")
+      var len = lenL.toInt
       while (len > 0) { out(pos) = v; pos += 1; len -= 1 }
       k += 1
     }
@@ -354,7 +372,11 @@ case object DictLongCodec extends LongCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {
     val (r, n) = openReader(buf, off, end)
-    val card = r.getVarint().toInt
+    if (n == 0) return new Array[Long](0)
+    val cardL = r.getVarint()
+    require(cardL >= 1 && cardL <= n && cardL <= r.remaining + 1,
+      s"implausible dict cardinality $cardL for $n rows")
+    val card = cardL.toInt
     val dict = new Array[Long](card)
     dict(0) = r.getSignedVarint()
     var i = 1
@@ -363,7 +385,12 @@ case object DictLongCodec extends LongCodec {
     val codes = BitPacker.unpack(buf, r.position, n, width)
     val out = new Array[Long](n)
     i = 0
-    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    while (i < n) {
+      val c = codes(i)
+      require(c >= 0 && c < card, s"dict code $c out of range [0, $card)")
+      out(i) = dict(c.toInt)
+      i += 1
+    }
     out
   }
 }

@@ -26,7 +26,10 @@ sealed trait StringCodec extends Serializable {
     val r = new BlockReader(buf, off, end)
     val gotId = r.getByte()
     require(gotId == id, s"block codec id $gotId, expected $id ($name)")
-    (r, r.getVarint().toInt)
+    val n = r.getVarint()
+    require(n >= 0 && n <= LongCodecs.MaxDecodeRows,
+      s"implausible row count $n in $name block (cap ${LongCodecs.MaxDecodeRows})")
+    (r, n.toInt)
   }
 }
 
@@ -198,10 +201,12 @@ object StringCodecs {
     case x  => throw new IllegalArgumentException(s"unknown string codec id $x")
   }
 
-  def decode(block: Array[Byte]): Array[String] = byId(block(0) & 0xff).decode(block)
+  def decode(block: Array[Byte]): Array[String] = decodeSlice(block, 0, block.length)
 
-  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[String] =
+  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+    require(off >= 0 && off < end && end <= buf.length, "empty or out-of-range block slice")
     byId(buf(off) & 0xff).decode(buf, off, end)
+  }
 }
 
 /** Plain layout: per-string byte length varints, then concatenated UTF-8. */
@@ -222,9 +227,15 @@ case object RawStringCodec extends StringCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
     val (r, n) = openReader(buf, off, end)
+    if (n > r.remaining) graft.core.DecodeError.eob() // each len varint >= 1 byte
     val lens = new Array[Int](n)
     var i = 0
-    while (i < n) { lens(i) = r.getVarint().toInt; i += 1 }
+    while (i < n) {
+      val l = r.getVarint()
+      require(l >= 0 && l <= Int.MaxValue, s"implausible string length $l")
+      lens(i) = l.toInt
+      i += 1
+    }
     val out = new Array[String](n)
     i = 0
     while (i < n) { out(i) = new String(r.getBytes(lens(i)), UTF_8); i += 1 }
@@ -262,15 +273,29 @@ case object DictStringCodec extends StringCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
     val (r, n) = openReader(buf, off, end)
-    val card = r.getVarint().toInt
+    if (n == 0) return new Array[String](0)
+    val cardL = r.getVarint()
+    require(cardL >= 1 && cardL <= n && cardL <= r.remaining,
+      s"implausible dict cardinality $cardL for $n rows")
+    val card = cardL.toInt
     val dict = new Array[String](card)
     var i = 0
-    while (i < card) { dict(i) = new String(r.getBytes(r.getVarint().toInt), UTF_8); i += 1 }
+    while (i < card) {
+      val l = r.getVarint()
+      require(l >= 0 && l <= Int.MaxValue, s"implausible dict entry length $l")
+      dict(i) = new String(r.getBytes(l.toInt), UTF_8)
+      i += 1
+    }
     val width = r.getByte()
     val codes = BitPacker.unpack(buf, r.position, n, width)
     val out = new Array[String](n)
     i = 0
-    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    while (i < n) {
+      val c = codes(i)
+      require(c >= 0 && c < card, s"dict code $c out of range [0, $card)")
+      out(i) = dict(c.toInt)
+      i += 1
+    }
     out
   }
 }
@@ -301,13 +326,19 @@ case object RleStringCodec extends StringCodec {
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
     val (r, n) = openReader(buf, off, end)
-    val runs = r.getVarint().toInt
+    val runsL = r.getVarint()
+    require(runsL >= 0 && runsL <= r.remaining, s"implausible RLE run count $runsL")
+    val runs = runsL.toInt
     val out = new Array[String](n)
     var pos = 0
     var k = 0
     while (k < runs) {
-      val s = new String(r.getBytes(r.getVarint().toInt), UTF_8)
-      var len = r.getVarint().toInt
+      val sl = r.getVarint()
+      require(sl >= 0 && sl <= Int.MaxValue, s"implausible run value length $sl")
+      val s = new String(r.getBytes(sl.toInt), UTF_8)
+      val lenL = r.getVarint()
+      require(lenL >= 0 && lenL <= n - pos, s"RLE run overflows row count ($lenL at $pos/$n)")
+      var len = lenL.toInt
       while (len > 0) { out(pos) = s; pos += 1; len -= 1 }
       k += 1
     }
@@ -359,13 +390,26 @@ case object FsstStringCodec extends StringCodec {
     val decLens = new Array[Int](n)
     val encLens = new Array[Int](n)
     var i = 0
-    while (i < n) { decLens(i) = r.getVarint().toInt; i += 1 }
+    while (i < n) {
+      val l = r.getVarint()
+      require(l >= 0 && l <= Int.MaxValue, s"implausible decoded length $l")
+      decLens(i) = l.toInt
+      i += 1
+    }
     i = 0
-    while (i < n) { encLens(i) = r.getVarint().toInt; i += 1 }
+    while (i < n) {
+      val l = r.getVarint()
+      require(l >= 0 && l <= Int.MaxValue, s"implausible encoded length $l")
+      encLens(i) = l.toInt
+      // max expansion is 8 bytes out per encoded byte (longest symbol)
+      require(decLens(i) <= 8L * l, s"decoded length ${decLens(i)} exceeds 8x encoded $l")
+      i += 1
+    }
     val out = new Array[String](n)
     var pos = r.position
     i = 0
     while (i < n) {
+      require(encLens(i) <= end - pos, s"encoded bytes overrun block slice")
       out(i) = new String(table.decode(buf, pos, encLens(i), decLens(i)), UTF_8)
       pos += encLens(i)
       i += 1

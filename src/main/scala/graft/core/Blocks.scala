@@ -103,14 +103,17 @@ final class BlockReader(buf: Array[Byte], start: Int, end: Int) {
     b
   }
 
-  /** Advance the cursor without copying (zero-copy slice consumers). */
+  /** Advance the cursor without copying (zero-copy slice consumers).
+    * Negative n (a corrupt length field) drains and raises Eob like an
+    * overlong n — never an out-of-bounds access.
+    */
   def skip(n: Int): Unit = {
-    if (pos + n > end) { pos = end; DecodeError.eob() }
+    if (n < 0 || n > end - pos) { pos = end; DecodeError.eob() }
     pos += n
   }
 
   def getBytes(n: Int): Array[Byte] = {
-    if (pos + n > end) { pos = end; DecodeError.eob() }
+    if (n < 0 || n > end - pos) { pos = end; DecodeError.eob() }
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
     pos += n
     out
@@ -133,4 +136,22 @@ final class BlockReader(buf: Array[Byte], start: Int, end: Int) {
     def hasNext: Boolean = hasRemaining
     def next(): Long = getVarint()
   }
+
+  /** Narrow u32 iterator with the reference's Overflow-then-CONTINUE
+    * contract (reference: src/bytes.rs:166-186, test src/tests.rs:296-307):
+    * a well-formed value that does not fit u32 yields `Left(Overflow)` but
+    * the cursor has consumed the whole encoded value, so iteration
+    * continues with the next one; a truncated value yields `Left(Eob)`
+    * with the cursor drained, terminating iteration.
+    */
+  def varintIterator32: Iterator[Either[DecodeError, Long]] =
+    new Iterator[Either[DecodeError, Long]] {
+      def hasNext: Boolean = hasRemaining
+      def next(): Either[DecodeError, Long] =
+        try {
+          val raw = getVarint() // consumes the full value even on overflow
+          if ((raw & 0xffffffff00000000L) != 0L) Left(new DecodeError.Overflow)
+          else Right(raw)
+        } catch { case e: DecodeError.UnexpectedEob => Left(e) }
+    }
 }

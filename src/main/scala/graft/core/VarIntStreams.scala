@@ -46,6 +46,63 @@ object VarIntStreams {
 
   def readSigned(in: InputStream): Long = PrefixVarInt.zigzagDecode(read(in))
 
+  /** Buffered, allocation-free stream decoder — the analogue of the
+    * reference's zero-copy `read_prefix_varint_buf` over a `BufRead`
+    * (reference: src/io.rs:51-60): values are decoded IN PLACE from an
+    * internal buffer (no per-value array), which is compacted and refilled
+    * only when a value straddles the buffer boundary.
+    */
+  final class BufferedVarIntReader(in: InputStream, bufSize: Int = 8192) {
+    require(bufSize >= PrefixVarInt.MaxLen, s"bufSize must be >= ${PrefixVarInt.MaxLen}")
+    private val buf = new Array[Byte](bufSize)
+    private var pos = 0
+    private var lim = 0
+    private var eof = false
+
+    /** Ensure ≥ n readable bytes at buf(pos) (n ≤ MaxLen); returns the
+      * count actually available (< n only at stream end).
+      */
+    private def fill(n: Int): Int = {
+      if (lim - pos >= n || eof) return math.min(lim - pos, n)
+      if (buf.length - pos < n) { // compact the tail to the front
+        System.arraycopy(buf, pos, buf, 0, lim - pos)
+        lim -= pos
+        pos = 0
+      }
+      while (lim - pos < n && !eof) {
+        val r = in.read(buf, lim, buf.length - lim)
+        if (r < 0) eof = true else lim += r
+      }
+      math.min(lim - pos, n)
+    }
+
+    /** True if at least one more byte is available. */
+    def hasNext: Boolean = fill(1) >= 1
+
+    /** Decode the next raw u64; [[DecodeError.UnexpectedEob]] at stream
+      * end (before the tag) or on a truncated value.
+      */
+    def read(): Long = {
+      if (fill(1) < 1) DecodeError.eob()
+      val tag = buf(pos) & 0xff
+      if (tag <= 0x7f) { pos += 1; tag.toLong }
+      else {
+        val n = PrefixVarInt.leadingOnes(tag) + 1
+        if (fill(n) < n) { pos = lim; DecodeError.eob() }
+        val v = PrefixVarInt.decodeMultibyte(tag, buf, pos)
+        pos += n
+        v
+      }
+    }
+
+    def readSigned(): Long = PrefixVarInt.zigzagDecode(read())
+
+    def iterator: Iterator[Long] = new Iterator[Long] {
+      def hasNext: Boolean = BufferedVarIntReader.this.hasNext
+      def next(): Long = read()
+    }
+  }
+
   /** Drain a stream into values until EOF — the io analogue of the
     * reference's buffer iterator (reference: src/bytes.rs:148-186).
     */

@@ -370,15 +370,12 @@ object ColumnarEngine {
         val out = Iterator.unfold(()) { _ =>
           if (!r.hasRemaining) None
           else {
-            val n = r.getVarint().toInt
-            val nCols = r.getVarint().toInt
+            val (n, nCols) = readChunkHeader(r)
             val longs = new java.util.HashMap[String, Array[Long]]()
             val strs = new java.util.HashMap[String, Array[String]]()
             var c = 0
             while (c < nCols) {
-              val name = new String(r.getBytes(r.getVarint().toInt), UTF_8)
-              val kind = r.getByte()
-              val blockLen = r.getVarint().toInt
+              val (name, kind, blockLen) = readColHeader(r)
               val blockOff = r.position
               r.skip(blockLen)
               if (wanted.contains(name)) { // others: pure seek, no decode
@@ -388,6 +385,14 @@ object ColumnarEngine {
                   strs.put(name, StringCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
               }
               c += 1
+            }
+            for (col <- longSel) {
+              val a = longs.get(col)
+              require(a != null && a.length == n, s"container missing/short long column $col")
+            }
+            for (col <- strSel) {
+              val a = strs.get(col)
+              require(a != null && a.length == n, s"container missing/short string column $col")
             }
             r.getBytes(32) // chunk digest (verified by the full decode path)
             val chunkRows = (0 until n).iterator.map { j =>
@@ -409,6 +414,30 @@ object ColumnarEngine {
     df.select(columns.map(col): _*)
   }
 
+  /** Parse one chunk's header fields with corruption guards shared by
+    * [[decodeContainer]] and [[readColumns]]: any implausible count or
+    * length raises a require-failure/DecodeError, never an out-of-bounds
+    * access or unbounded allocation (fuzz contract, FuzzSpec).
+    */
+  private def readChunkHeader(r: BlockReader): (Int, Int) = {
+    val n = r.getVarint()
+    require(n >= 0 && n <= LongCodecs.MaxDecodeRows, s"implausible chunk row count $n")
+    val nCols = r.getVarint()
+    require(nCols >= 0 && nCols <= 4096, s"implausible column count $nCols")
+    (n.toInt, nCols.toInt)
+  }
+
+  private def readColHeader(r: BlockReader): (String, Int, Int) = {
+    val nameLen = r.getVarint()
+    require(nameLen >= 0 && nameLen <= 4096, s"implausible column name length $nameLen")
+    val name = new String(r.getBytes(nameLen.toInt), UTF_8)
+    val kind = r.getByte()
+    require(kind == 0 || kind == 1, s"unknown column kind $kind")
+    val blockLen = r.getVarint()
+    require(blockLen >= 0 && blockLen <= r.remaining, s"block length $blockLen overruns container")
+    (name, kind, blockLen.toInt)
+  }
+
   def decodeContainer(bytes: Array[Byte]): Iterator[DerivedRow] = {
     val r = new BlockReader(bytes)
     val magic = r.getBytes(Magic.length)
@@ -418,15 +447,12 @@ object ColumnarEngine {
     val out = Iterator.unfold(()) { _ =>
       if (!r.hasRemaining) None
       else {
-        val n = r.getVarint().toInt
-        val nCols = r.getVarint().toInt
+        val (n, nCols) = readChunkHeader(r)
         val longs = new java.util.HashMap[String, Array[Long]]()
         val strs = new java.util.HashMap[String, Array[String]]()
         var c = 0
         while (c < nCols) {
-          val name = new String(r.getBytes(r.getVarint().toInt), UTF_8)
-          val kind = r.getByte()
-          val blockLen = r.getVarint().toInt
+          val (name, kind, blockLen) = readColHeader(r)
           val blockOff = r.position
           r.skip(blockLen) // decode in place — no per-block copy
           if (kind == 0)
@@ -434,6 +460,14 @@ object ColumnarEngine {
           else
             strs.put(name, StringCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
           c += 1
+        }
+        for (col <- longColumns) {
+          val a = longs.get(col)
+          require(a != null && a.length == n, s"container missing/short long column $col")
+        }
+        for (col <- stringColumns) {
+          val a = strs.get(col)
+          require(a != null && a.length == n, s"container missing/short string column $col")
         }
         val stored = r.getBytes(32)
         val chunkSha = java.security.MessageDigest.getInstance("SHA-256")

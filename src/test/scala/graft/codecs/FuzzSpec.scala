@@ -1,0 +1,137 @@
+package graft.codecs
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{BlockReader, BlockWriter, DecodeError, PrefixVarInt}
+import graft.engine.{ColumnarEngine, SourceTable, SparkTestSession}
+
+/** Fuzz-grade decode robustness, porting the intent of the reference's
+  * libFuzzer targets (reference: the fuzz/fuzz_targets dir, tests/fuzz.rs:4-17):
+  * decoding ARBITRARY bytes through every decode surface must either
+  * succeed or raise a controlled error (DecodeError / require-failure) —
+  * never an out-of-bounds access, negative-size allocation, unbounded
+  * allocation, or hang.
+  */
+class FuzzSpec extends AnyFunSuite {
+
+  /** Runs f; fails the test if it throws anything but a controlled error. */
+  private def controlled(ctx: => String)(f: => Any): Unit =
+    try { f; () }
+    catch {
+      case _: DecodeError => ()
+      case _: IllegalArgumentException => () // require-failure
+      case e: Throwable => fail(s"uncontrolled ${e.getClass.getName}: ${e.getMessage} on ${ctx}", e)
+    }
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  test("random bytes never crash decodePair / BlockReader / codec / container decode (>1M buffers)") {
+    val rnd = new java.util.Random(0xf00dL)
+    val longIds = Array[Byte](1, 2, 3, 4, 5, 6)
+    val strIds = Array[Byte](16, 17, 18, 19)
+    var i = 0
+    while (i < 250000) {
+      val len = 1 + rnd.nextInt(40)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      controlled(hex(b))(PrefixVarInt.decodePair(b, 0))
+      controlled(hex(b)) {
+        val r = new BlockReader(b)
+        while (r.hasRemaining) r.getVarint()
+      }
+      controlled(hex(b))(LongCodecs.decodeSlice(b, 0, b.length))
+      controlled(hex(b))(StringCodecs.decodeSlice(b, 0, b.length))
+      controlled(hex(b))(ColumnarEngine.decodeContainer(b).foreach(_ => ()))
+      // force a valid codec id so decode gets past the id check
+      b(0) = longIds(rnd.nextInt(longIds.length))
+      controlled(hex(b))(LongCodecs.decodeSlice(b, 0, b.length))
+      b(0) = strIds(rnd.nextInt(strIds.length))
+      controlled(hex(b))(StringCodecs.decodeSlice(b, 0, b.length))
+      i += 1
+    }
+  }
+
+  test("bit-flipped and truncated VALID long/string blocks never crash") {
+    val rnd = new java.util.Random(42L)
+    val longShapes: Seq[Array[Long]] = Seq(
+      Array.fill(500)(rnd.nextLong() >>> rnd.nextInt(58)),
+      Array.tabulate(500)(i => 1000L + i), // delta-friendly
+      Array.fill(500)(7L), // rle-friendly
+      Array.tabulate(500)(i => (i % 9).toLong), // dict/bitpack-friendly
+      Array.tabulate(500)(i => -250L + i)) // FoR with negatives
+    val longBlocks = for {
+      vs <- longShapes; c <- LongCodecs.all
+      if c != BitPackLongCodec || vs.forall(_ >= 0)
+    } yield c.encode(vs)
+    val words = Array("alpha", "beta", "gamma", "the quick brown fox", "", "日本語テキスト")
+    val strs = Array.fill(400)(words(rnd.nextInt(words.length)) + rnd.nextInt(4))
+    val strBlocks = Seq(
+      RawStringCodec.encode(strs), DictStringCodec.encode(strs),
+      RleStringCodec.encode(strs.sorted), FsstStringCodec.encode(strs))
+    for (block <- longBlocks ++ Nil) {
+      var k = 0
+      while (k < 800) {
+        val m = block.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        controlled(s"long block mut $k")(LongCodecs.decodeSlice(m, 0, m.length))
+        controlled(s"long block trunc $k")(
+          LongCodecs.decodeSlice(block, 0, 1 + rnd.nextInt(block.length)))
+        k += 1
+      }
+    }
+    for (block <- strBlocks) {
+      var k = 0
+      while (k < 800) {
+        val m = block.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        controlled(s"str block mut $k")(StringCodecs.decodeSlice(m, 0, m.length))
+        controlled(s"str block trunc $k")(
+          StringCodecs.decodeSlice(block, 0, 1 + rnd.nextInt(block.length)))
+        k += 1
+      }
+    }
+  }
+
+  test("bit-flipped and truncated VALID containers never crash container decode") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+    ColumnarEngine.encode(
+      ColumnarEngine.derive(SourceTable.synthesize(spark, 1500, 2)), dir, numParts = 2)
+    val files = new java.io.File(s"$dir/blocks").listFiles().filter(_.getName.endsWith(".gblk"))
+    assert(files.nonEmpty)
+    val rnd = new java.util.Random(7L)
+    for (f <- files) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      var k = 0
+      while (k < 600) {
+        val m = bytes.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        controlled(s"container mut $k")(ColumnarEngine.decodeContainer(m).foreach(_ => ()))
+        val cut = 1 + rnd.nextInt(bytes.length)
+        controlled(s"container trunc $k")(
+          ColumnarEngine.decodeContainer(java.util.Arrays.copyOf(bytes, cut)).foreach(_ => ()))
+        k += 1
+      }
+    }
+  }
+
+  test("varintIterator32 yields Overflow then CONTINUES (reference src/tests.rs:296-307)") {
+    val w = new BlockWriter()
+    w.putVarint(1L)
+    w.putVarint(-1L) // u64::MAX — overflows u32
+    w.putVarint(0x1_0000_0000L) // 2^32 — smallest overflow
+    w.putVarint(7L)
+    val it = new BlockReader(w.result()).varintIterator32
+    assert(it.next() === Right(1L))
+    assert(it.next().left.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(it.next().left.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(it.next() === Right(7L), "iteration continues past overflowing values")
+    assert(!it.hasNext)
+    // truncated tail: Left(Eob) and termination
+    val w2 = new BlockWriter()
+    w2.putVarint(300L)
+    val full = w2.result()
+    val it2 = new BlockReader(java.util.Arrays.copyOf(full, full.length - 1)).varintIterator32
+    assert(it2.next().left.exists(_.isInstanceOf[DecodeError.UnexpectedEob]))
+    assert(!it2.hasNext, "EOB drains the cursor and terminates iteration")
+  }
+}

@@ -37,6 +37,33 @@ class VarIntStreamsSpec extends AnyFunSuite {
     assert(got === Seq(0L, 127L, 128L, 1L << 40, -1L))
   }
 
+  test("buffered zero-copy reader: parity with read(), tiny buffers force compaction") {
+    val rnd = new Random(0xef)
+    val values = Array.fill(8192)(rnd.nextLong() >>> rnd.nextInt(64))
+    val out = new ByteArrayOutputStream()
+    values.foreach(VarIntStreams.write(_, out))
+    val bytes = out.toByteArray
+    // bufSize 9 (the minimum) forces a compact+refill on nearly every
+    // value; 16 and 8192 exercise straddling and the fast path
+    for (bufSize <- Seq(9, 16, 8192)) {
+      val r = new VarIntStreams.BufferedVarIntReader(new ByteArrayInputStream(bytes), bufSize)
+      values.foreach(v => assert(r.read() === v))
+      assert(!r.hasNext)
+      intercept[DecodeError.UnexpectedEob](r.read())
+    }
+    // signed + iterator forms
+    val out2 = new ByteArrayOutputStream()
+    Seq(0L, -3L, 1L << 40, Long.MinValue).foreach(VarIntStreams.writeSigned(_, out2))
+    val r2 = new VarIntStreams.BufferedVarIntReader(new ByteArrayInputStream(out2.toByteArray), 9)
+    assert(Seq(r2.readSigned(), r2.readSigned(), r2.readSigned(), r2.readSigned())
+      === Seq(0L, -3L, 1L << 40, Long.MinValue))
+    // truncated value raises Eob
+    val full = PrefixVarInt.toBytes(PrefixVarInt.MaxValue(6))
+    val r3 = new VarIntStreams.BufferedVarIntReader(
+      new ByteArrayInputStream(full.take(4)), 9)
+    intercept[DecodeError.UnexpectedEob](r3.read())
+  }
+
   test("io EOF semantics: empty stream and truncated value both raise UnexpectedEob") {
     intercept[DecodeError.UnexpectedEob](
       VarIntStreams.read(new ByteArrayInputStream(Array.emptyByteArray)))

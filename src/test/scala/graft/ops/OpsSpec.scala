@@ -55,6 +55,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
   }
 
+  test("simhashPairsFromHashes recall is EXHAUSTIVE up to maxHamming (pigeonhole)") {
+    // crafted pair at EXACTLY hamming 7 spread across many 8-bit blocks —
+    // round 1's fixed 4x16-bit blocking missed such pairs silently
+    val base = 0x0123456789abcdefL
+    val far = base ^ 0x0040201008040201L // flip 7 bits scattered over 7 blocks
+    assert(java.lang.Long.bitCount(base ^ far) === 7)
+    val rnd = new scala.util.Random(99)
+    val extra = (2L to 40L).map(i => i -> rnd.nextLong())
+    val hashed = ((0L -> base) +: (1L -> far) +: extra).toDF("id", "simhash")
+    val got = Dedup.simhashPairsFromHashes(hashed, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle over ALL pairs
+    val all = ((0L -> base) +: (1L -> far) +: extra)
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 7
+    } yield (ia, ib)).toSet
+    assert(want.contains((0L, 1L)))
+    assert(got === want, "blocking must find exactly the brute-force pair set")
+    // radii beyond the selective-blocking regime are rejected, not silent
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairsFromHashes(hashed, maxHamming = 16).collect())
+  }
+
   test("ngram jaccard: dup pair scores 1.0, empty text never NaNs") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
