@@ -234,9 +234,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // sha-hash variant so the windowing+min pipeline is DuckDB-verifiable;
+    // TextAnalysis.fingerprint (xxhash64) is the production-scale form
     "d8_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprintSha(col("text"), 5).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -296,8 +298,10 @@ object SparkEntry {
           }
           def strCol(name: String, vs: Array[String]) = {
             val st = StringCodecs.stats(vs, n)
-            val c = StringCodecs.select(vs, n, st)
-            (name, c.name, st.totalBytes, c.encode(vs, n).length.toLong)
+            // one select+encode pass (select() alone already pays a trial
+            // encode; calling encode() after it would double the FSST work)
+            val (c, block) = StringCodecs.encodeBest(vs, n, st)
+            (name, c.name, st.totalBytes, block.length.toLong)
           }
           Iterator(
             longCol("doc_id", chunk.map(_._1).toArray),
@@ -534,6 +538,13 @@ object SparkEntry {
          (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
          FROM cand c JOIN g ga ON ga.id = c.id_a JOIN g gb ON gb.id = c.id_b)
        SELECT id_a, id_b, round(jac, 6) AS jaccard_r6 FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+
+    "d8_fingerprint" ->
+      """SELECT doc_id,
+       list_min(list_transform(range(1, greatest(len(toks)-4,1)+1),
+         i -> CAST(('0x' || substr(sha256(array_to_string(toks[i:i+4], ' ')),1,15)) AS BIGINT))) AS fp
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks FROM documents)
+       ORDER BY doc_id""",
 
     "e1_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

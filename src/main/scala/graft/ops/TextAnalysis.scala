@@ -65,12 +65,26 @@ object TextAnalysis {
 
   /** Rolling word-k-gram fingerprint: xxhash64 of each k-gram window, then
     * the minimum hash — a winnowing-style document fingerprint that is
-    * stable under small appends/truncations.
+    * stable under small appends/truncations. xxhash64 is the production
+    * hash (codegen'd, one multiply-rotate pass per gram).
     */
   def fingerprint(text: Column, k: Int = 5): Column = {
     val tokens = split(trim(text), "\\s+")
     val nWindows = greatest(size(tokens) - (k - 1), lit(1))
     array_min(transform(sequence(lit(1), nWindows),
       i => xxhash64(concat_ws(" ", slice(tokens, i, lit(k))))))
+  }
+
+  /** Same fingerprint with a sha256-derived 60-bit gram hash instead of
+    * xxhash64. Slower (sha per window) but expressible in ANSI SQL, so the
+    * DuckDB oracle can verify the whole windowing+min pipeline end to end
+    * (xxhash64 exists only inside Spark). Use [[fingerprint]] at scale.
+    */
+  def fingerprintSha(text: Column, k: Int = 5): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val nWindows = greatest(size(tokens) - (k - 1), lit(1))
+    array_min(transform(sequence(lit(1), nWindows),
+      i => conv(substring(sha2(concat_ws(" ", slice(tokens, i, lit(k))), 256), 1, 15),
+        16, 10).cast("long")))
   }
 }

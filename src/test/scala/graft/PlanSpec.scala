@@ -52,4 +52,60 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("derive: unbounded repo/commit dictionaries carry no broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val derived = graft.engine.ColumnarEngine.derive(
+      graft.engine.SourceTable.synthesize(spark, 300, 2))
+    val hints = derived.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "the bounded lang dict should still be hinted")
+    // hinted subtrees must be bounded ones (lang enum dict, 64-row bucket
+    // offsets) — never the unbounded repo/path dicts or the (repo, commit)
+    // ordinal window, which AQE must size-gate at runtime instead
+    for (h <- hints; s = h.child.toString) {
+      assert(!s.contains("dense_rank"), "commit ordinals must not be hint-broadcast:\n" + s.take(400))
+      assert(!s.contains("repo_code") && !s.contains("path_code"),
+        "unbounded dictionaries must not be hint-broadcast:\n" + s.take(400))
+    }
+    assert(hints.exists(_.child.toString.contains("lang_code")),
+      "bounded lang dict keeps its broadcast hint")
+  }
+
+  test("minhash LSH: shingle arrays never ride the banded shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // at test scale AQE turns every join into a broadcast; force the
+    // shuffle joins a 100 TB corpus would get so the exchange is visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val docs = spark.range(300).selectExpr("id AS doc_id",
+      "concat('alpha beta gamma ', id % 23, ' delta epsilon ', id % 7) AS text")
+    val pairs = graft.ops.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.99)
+    try pairs.collect() // finalize any adaptive plan
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE hides exchanges inside QueryStageExec leaves — recurse into them
+    def allExchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
+      val self = p match { case e: ShuffleExchangeExec => Seq(e); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      self ++ kids.flatMap(allExchanges)
+    }
+    val exchanges = allExchanges(pairs.queryExecution.executedPlan)
+    val banded = exchanges.filter(_.outputPartitioning.toString.contains("band"))
+    assert(banded.nonEmpty, "expected a (band, bucket) exchange in:\n" +
+      pairs.queryExecution.executedPlan.toString.take(1200))
+    for (e <- banded)
+      assert(!e.child.output.exists(_.dataType.typeName.startsWith("array")),
+        s"array column crosses the band shuffle: ${e.child.output.map(_.name)}")
+  }
 }
