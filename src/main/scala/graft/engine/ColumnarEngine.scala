@@ -7,7 +7,6 @@ import org.apache.spark.sql.expressions.Window
 import graft.codecs._
 import graft.core.{BlockReader, BlockWriter}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Input row after the derive stage: the five source columns plus the
   * derived integer columns the engine encodes (north_star: lengths,
@@ -139,55 +138,48 @@ object ColumnarEngine {
              saltBuckets: Int = 16): Array[PartManifest] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir, "blocks"))
-    Files.createDirectories(Paths.get(outDir, "manifests"))
+    // all container/manifest IO goes through the Hadoop FileSystem API so
+    // outDir may be file://, hdfs://, s3a://… on a real cluster; tasks
+    // rebuild the driver's Hadoop conf from this broadcast snapshot
+    val confKv = ContainerIO.confSnapshot(spark)
+    val dconf = ContainerIO.confFrom(confKv)
+    ContainerIO.mkdirs(dconf, s"$outDir/blocks")
+    ContainerIO.mkdirs(dconf, s"$outDir/manifests")
     // resume is only meaningful against the same partitioning layout:
     // refuse to "resume" a run whose numParts/saltBuckets differ, instead
     // of silently skipping partitions that never existed in this layout.
-    val jobDesc = Paths.get(outDir, "_job.json")
+    val jobDesc = s"$outDir/_job.json"
     val desc = s"""{"numParts":$numParts,"saltBuckets":$saltBuckets}"""
-    if (Files.exists(jobDesc)) {
-      val prev = new String(Files.readAllBytes(jobDesc), UTF_8)
+    if (ContainerIO.exists(dconf, jobDesc)) {
+      val prev = new String(ContainerIO.readAll(dconf, jobDesc), UTF_8)
       require(prev == desc,
         s"outDir $outDir was written with layout $prev; cannot resume with $desc")
-    } else Files.write(jobDesc, desc.getBytes(UTF_8))
-    val done = completedParts(outDir)
+    } else ContainerIO.writeAtomic(dconf, s"$outDir/.tmp-job.json", jobDesc,
+      desc.getBytes(UTF_8))
+    val done = completedParts(outDir, dconf)
     val doneB = spark.sparkContext.broadcast(done)
+    val confB = spark.sparkContext.broadcast(confKv)
     val out = outDir
     val manifests = partitionForEncoding(ds, numParts, saltBuckets)
       .mapPartitions { it =>
         val part = TaskContext.getPartitionId()
         if (doneB.value.contains(part)) Iterator.single(
           PartManifest(part, 0L, 0, 0L, 0L, skipped = true, "", Nil))
-        else Iterator.single(encodePartition(part, it, out))
+        else Iterator.single(
+          encodePartition(part, it, out, ContainerIO.confFrom(confB.value)))
       }
       .collect()
     manifests.sortBy(_.part)
   }
 
   /** Partition ids with a committed manifest in outDir. */
-  def completedParts(outDir: String): Set[Int] = {
-    val dir = Paths.get(outDir, "manifests")
-    if (!Files.isDirectory(dir)) Set.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asInstanceOf[java.util.Iterator[Path]]
-        .asScala_likeToSet()
-      finally s.close()
-    }
-  }
-
-  // tiny helper to avoid pulling in scala-jdk converters on a hot path
-  implicit private class PathIterOps(it: java.util.Iterator[Path]) {
-    def asScala_likeToSet(): Set[Int] = {
-      var acc = Set.empty[Int]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("part-") && name.endsWith(".json"))
-          acc += name.stripPrefix("part-").stripSuffix(".json").toInt
-      }
-      acc
-    }
+  def completedParts(outDir: String,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       ContainerIO.localConf()): Set[Int] = {
+    ContainerIO.listNames(conf, s"$outDir/manifests").collect {
+      case name if name.startsWith("part-") && name.endsWith(".json") =>
+        name.stripPrefix("part-").stripSuffix(".json").toInt
+    }.toSet
   }
 
   /** Attempt id for tmp-file uniqueness; 0 outside a task (unit tests). */
@@ -195,7 +187,8 @@ object ColumnarEngine {
     Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
 
   private def encodePartition(part: Int, it: Iterator[DerivedRow],
-                              outDir: String): PartManifest = {
+                              outDir: String,
+                              conf: org.apache.hadoop.conf.Configuration): PartManifest = {
     val w = new BlockWriter(1 << 20)
     w.putBytes(Magic)
     w.putVarint(part.toLong)
@@ -293,10 +286,9 @@ object ColumnarEngine {
       // tmp name carries the task ATTEMPT id: two attempts of the same
       // partition (speculation, or a retry racing a zombie task) must
       // never interleave writes into one tmp file before the atomic rename
-      val tmp = Paths.get(outDir, "blocks", s".tmp-part-$part-a$attemptId")
-      Files.write(tmp, w.result())
-      Files.move(tmp, Paths.get(outDir, "blocks", s"part-$part.gblk"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ContainerIO.writeAtomic(conf,
+        s"$outDir/blocks/.tmp-part-$part-a$attemptId",
+        s"$outDir/blocks/part-$part.gblk", w.result())
     }
     val cols = {
       val b = Seq.newBuilder[ColumnMetric]
@@ -308,11 +300,12 @@ object ColumnarEngine {
     val encTotal = cols.map(_.encodedBytes).sum
     val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
       skipped = false, digestHex, cols)
-    writeManifestJson(outDir, manifest)
+    writeManifestJson(outDir, manifest, conf)
     manifest
   }
 
-  private def writeManifestJson(outDir: String, m: PartManifest): Unit = {
+  private def writeManifestJson(outDir: String, m: PartManifest,
+                                conf: org.apache.hadoop.conf.Configuration): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val cols = m.columns.map(c =>
       s"""{"column":${q(c.column)},"codec":${q(c.codec)},"rawBytes":${c.rawBytes},"encodedBytes":${c.encodedBytes}}"""
@@ -320,10 +313,9 @@ object ColumnarEngine {
     val json =
       s"""{"part":${m.part},"rows":${m.rows},"chunks":${m.chunks},"rawBytes":${m.rawBytes},""" +
       s""""encodedBytes":${m.encodedBytes},"digest":${q(m.digest)},"columns":$cols}"""
-    val tmp = Paths.get(outDir, "manifests", s".tmp-part-${m.part}-a$attemptId")
-    Files.write(tmp, json.getBytes(UTF_8))
-    Files.move(tmp, Paths.get(outDir, "manifests", s"part-${m.part}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ContainerIO.writeAtomic(conf,
+      s"$outDir/manifests/.tmp-part-${m.part}-a$attemptId",
+      s"$outDir/manifests/part-${m.part}.json", json.getBytes(UTF_8))
   }
 
   /** Manifests as a DataFrame (metrics/lineage query surface). */
