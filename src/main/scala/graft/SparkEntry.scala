@@ -212,9 +212,12 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    // bands=16 (2 rows/band) puts the LSH crossover at ~0.25, right for a
+    // 0.4 verification threshold (8x4 bands cross at ~0.59 — coin-flip
+    // recall for 0.4-similar pairs)
     "d5_minhash_pairs" -> ((s, d) => {
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.4)
+        shingleSize = 3, bands = 16, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r6"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -227,9 +230,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // trigram Jaccard: this corpus has a 31-word vocabulary, so UNIGRAM
+    // sets collide massively (74% of all pairs are >=0.5-similar — a
+    // quadratic-output question); trigrams are distinctive and the
+    // prefix-filtered join returns the exact sparse answer
     "d7_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccard(t(s, d, "documents"),
-        "doc_id", "text", n = 1, threshold = 0.5, dfCap = 100)
+        "doc_id", "text", n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r6"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -528,11 +535,17 @@ object SparkEntry {
        SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY 1 ORDER BY 1""",
 
     "d7_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id AS id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS grams FROM documents),
+      """WITH t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text),'\s+') AS toks FROM documents),
+       g AS (SELECT id, list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+         i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM t),
        post AS (SELECT id, unnest(grams) AS gram FROM g),
-       rare AS (SELECT gram FROM post GROUP BY gram HAVING count(*) <= 100),
-       capped AS (SELECT p.id, p.gram FROM post p JOIN rare USING (gram)),
-       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM capped a JOIN capped b USING (gram) WHERE a.id < b.id),
+       dfreq AS (SELECT gram, count(*) AS f FROM post GROUP BY 1),
+       ranked AS (SELECT p.id, p.gram,
+           row_number() OVER (PARTITION BY p.id ORDER BY d.f, p.gram) AS rk,
+           len(gg.grams) AS sz
+         FROM post p JOIN dfreq d USING (gram) JOIN g gg ON gg.id = p.id),
+       pre AS (SELECT id, gram FROM ranked WHERE rk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM pre a JOIN pre b USING (gram) WHERE a.id < b.id),
        j AS (SELECT c.id_a, c.id_b,
          len(list_intersect(ga.grams, gb.grams))::DOUBLE /
          (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac

@@ -29,17 +29,16 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i, lit(k)))))
   }
 
-  /** MinHash signature (numHashes entries) over the shingle set:
-    * sig_i = min over shingles of xxhash64(shingle, seed, i). Each
-    * permutation is an independent keyed hash — no modular arithmetic, so
-    * it stays inside ANSI-mode codegen (no overflow).
+  /** MinHash signature (numHashes entries) over the shingle set, via the
+    * [[graft.functions.MinHashSig]] Catalyst expression: each shingle is
+    * hashed once and the lanes derived by integer mixing (round 1 paid 32
+    * independent xxhash64 string hashes per shingle — the dominant cost of
+    * the whole LSH pipeline at SF). Caller must have registered the
+    * expression (minhashLsh does).
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 32,
                        seed: Long = 42L): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol,
-        s => xxhash64(s, lit(seed), lit(i.toLong))))
-    }: _*)
+    graft.functions.MinHashSig.minhashSig(shingleCol, numHashes, seed)
 
   /** MinHash + LSH near-duplicate pairs: shingle → 32-hash signature →
     * `bands` banded buckets → same-bucket candidate join → exact Jaccard
@@ -54,6 +53,7 @@ object Dedup {
                  shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.MinHashSig.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
@@ -129,28 +129,38 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** n-gram Jaccard similarity via an inverted-index join (no cross
-    * join), with a hot-gram document-frequency cap: a gram appearing in f
-    * documents yields f² candidate rows, so stop-word-like grams detonate
-    * the postings self-join at scale. Candidate contract: all pairs
-    * sharing at least one gram with document frequency ≤ `dfCap`; the
-    * Jaccard itself is then computed EXACTLY on the full (uncapped)
-    * distinct-gram sets, joined once per candidate pair.
+  /** EXACT n-gram Jaccard similarity via prefix filtering (AllPairs /
+    * PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): order each
+    * document's distinct grams by global (document frequency, gram) and
+    * join only each document's first `|g| - ceil(t*|g|) + 1` grams. Any
+    * pair with J ≥ t must share a prefix gram under a common total order,
+    * so the filter is LOSSLESS — the output is the exact answer — while
+    * hot stop-word-like grams (which would make the naive postings
+    * self-join quadratic) sort to the ends of documents and rarely enter
+    * a prefix. Round 1 had no frequency discipline at all; an interim fix
+    * used a fixed df cap, which silently lost recall as the corpus grew.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5,
-                   dfCap: Int = 1000): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("grams"))
     val postings = base.select(col("id"), explode(col("grams")).as("gram"))
-    val rare = postings.groupBy(col("gram"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= dfCap)
-      .select(col("gram"))
-    val capped = postings.join(rare, Seq("gram"))
-    val cand = capped.select(col("gram"), col("id").as("id_a"))
-      .join(capped.select(col("gram"), col("id").as("id_b")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
+    val dfreq = postings.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_f"), col("gram"))
+    val pre = postings.join(dfreq, Seq("gram"))
+      .join(base.select(col("id"), size(col("grams")).as("_sz")), Seq("id"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_sz") - ceil(lit(threshold) * col("_sz")) + 1)
+      .select(col("id"), col("gram"), col("_sz"))
+    // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t — prunes
+    // size-mismatched candidates before the (expensive) exact verify
+    val cand = pre.select(col("gram"), col("id").as("id_a"), col("_sz").as("_sza"))
+      .join(pre.select(col("gram"), col("id").as("id_b"), col("_sz").as("_szb")), Seq("gram"))
+      .filter(col("id_a") < col("id_b")
+        && col("_szb") >= lit(threshold) * col("_sza")
+        && col("_sza") >= lit(threshold) * col("_szb"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand

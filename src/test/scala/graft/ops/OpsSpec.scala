@@ -26,8 +26,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    // bands=16 (2 rows/band): LSH crossover (1/b)^(1/r) ~= 0.25, so pairs
+    // at the 0.4 threshold are recalled with near-certainty, not by luck
     val pairs = Dedup.minhashLsh(docs.filter($"doc_id" < 4), "doc_id", "text",
-      shingleSize = 3, threshold = 0.4)
+      shingleSize = 3, bands = 16, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
@@ -84,6 +86,27 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs((0L, 1L)) === 1.0)
     assert(pairs.values.forall(j => !j.isNaN && j >= 0.1 && j <= 1.0))
+  }
+
+  test("ngram jaccard prefix filter is LOSSLESS: matches brute force on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val got = Dedup.ngramJaccard(rows.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      (0 until math.max(toks.length - 1, 1)).map(i => toks.slice(i, i + 2).mkString(" ")).toSet
+    }
+    val gs = rows.map { case (i, t) => i -> grams(t) }.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      j = gs(a).intersect(gs(b)).size.toDouble / gs(a).union(gs(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got === want, "prefix-filtered output must equal the all-pairs answer")
   }
 
   test("brute-force ANN returns k ranked neighbors; LSH recall over itself") {
