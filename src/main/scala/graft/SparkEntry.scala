@@ -185,6 +185,22 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the codec itself at the SQL surface: encode each key to its
+    // prefix-varint bytes and decode back INSIDE whole-stage codegen; the
+    // oracle aggregates the raw column, so any wire-format defect breaks
+    // the sum
+    "q22_codec_roundtrip" -> ((s, d) => {
+      graft.functions.CodecExpressions.register(s)
+      import graft.functions.CodecExpressions._
+      t(s, d, "lineitem")
+        .select(
+          decode_prefix_varint(encode_prefix_varint(col("l_orderkey"))).as("v"),
+          prefix_varint_len(col("l_orderkey")).cast("long").as("len"))
+        .agg(sum(col("v")).as("sum_roundtrip"),
+          sum(col("len")).as("sum_bytes"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // ------------------------------------------------ dedup / text analysis
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
@@ -491,6 +507,21 @@ object SparkEntry {
                  CASE WHEN l_linenumber - 4 < 0 THEN -1 ELSE 0 END)) :: BIGINT AS sum_zigzag,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q22_codec_roundtrip" ->
+      """SELECT CAST(sum(l_orderkey) AS BIGINT) AS sum_roundtrip,
+         CAST(sum(CASE
+           WHEN l_orderkey <= 127 THEN 1
+           WHEN l_orderkey <= 16383 THEN 2
+           WHEN l_orderkey <= 2097151 THEN 3
+           WHEN l_orderkey <= 268435455 THEN 4
+           WHEN l_orderkey <= 34359738367 THEN 5
+           WHEN l_orderkey <= 4398046511103 THEN 6
+           WHEN l_orderkey <= 562949953421311 THEN 7
+           WHEN l_orderkey <= 72057594037927935 THEN 8
+           ELSE 9 END) AS BIGINT) AS sum_bytes,
+         count(*) AS n_rows
+         FROM lineitem""",
 
     "d1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count

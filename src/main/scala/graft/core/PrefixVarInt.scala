@@ -276,6 +276,20 @@ object PrefixVarInt {
     }
   }
 
+  /** Value-only decode (no consumed-length tuple) — the allocation-free
+    * form whole-stage codegen calls (a Tuple2 return would box).
+    */
+  def decodeValue(src: Array[Byte], off: Int): Long = {
+    val tag = if (off < src.length) src(off) & 0xff else DecodeError.eob()
+    if (tag <= 0x7f) tag.toLong
+    else {
+      val n = leadingOnes(tag) + 1
+      if (off + n > src.length) DecodeError.eob()
+      if (n == 9) readBE(src, off + 1, 8)
+      else readBE(src, off, n) & MaxValue(n)
+    }
+  }
+
   /** Encode into an owned minimal array (reference:
     * `to_prefix_varint_bytes`, src/core.rs:190-195).
     */

@@ -53,6 +53,38 @@ case class ZigZagDecode(child: Expression) extends CodecExpression {
   override def prettyName: String = "zigzag_decode"
 }
 
+/** Encode one raw u64 to its prefix-varint bytes (reference:
+  * `to_prefix_varint_bytes`, /root/reference/src/core.rs:190-195) — the
+  * codec itself at the SQL surface, inside whole-stage codegen.
+  */
+case class EncodePrefixVarint(child: Expression) extends CodecExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullSafeEval(v: Any): Any =
+    graft.core.PrefixVarInt.toBytes(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.PrefixVarInt.toBytes($c)")
+  override protected def withNewChildInternal(c: Expression): EncodePrefixVarint = copy(c)
+  override def prettyName: String = "encode_prefix_varint"
+}
+
+/** Decode one prefix-varint value from a binary column (reference:
+  * `decode_prefix_varint`, /root/reference/src/core.rs:180-188); raises
+  * DecodeError on truncated input like the reference's Err.
+  */
+case class DecodePrefixVarint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    graft.core.PrefixVarInt.decodeValue(v.asInstanceOf[Array[Byte]], 0)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.PrefixVarInt.decodeValue($c, 0)")
+  override protected def withNewChildInternal(c: Expression): DecodePrefixVarint = copy(c)
+  override def prettyName: String = "decode_prefix_varint"
+}
+
 object CodecExpressions {
 
   /** Register all codec expressions as SQL functions on the session. */
@@ -64,6 +96,10 @@ object CodecExpressions {
       es => ZigZagEncode(es.head), "built-in")
     reg.createOrReplaceTempFunction("zigzag_decode",
       es => ZigZagDecode(es.head), "built-in")
+    reg.createOrReplaceTempFunction("encode_prefix_varint",
+      es => EncodePrefixVarint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("decode_prefix_varint",
+      es => DecodePrefixVarint(es.head), "built-in")
     SimHash64.register(spark)
   }
 
@@ -71,4 +107,6 @@ object CodecExpressions {
   def prefix_varint_len(c: Column): Column = call_function("prefix_varint_len", c)
   def zigzag_encode(c: Column): Column = call_function("zigzag_encode", c)
   def zigzag_decode(c: Column): Column = call_function("zigzag_decode", c)
+  def encode_prefix_varint(c: Column): Column = call_function("encode_prefix_varint", c)
+  def decode_prefix_varint(c: Column): Column = call_function("decode_prefix_varint", c)
 }

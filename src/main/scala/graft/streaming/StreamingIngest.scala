@@ -36,6 +36,22 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming exact dedup: drop documents whose sha2(text) was already
+    * seen within the watermark horizon — the streaming analogue of
+    * [[graft.ops.Dedup.exact]] for continuous ingest. State is bounded by
+    * the horizon (an unbounded global dedup would grow state forever in a
+    * long-running job); the shuffle key is the 32-byte digest, never the
+    * document text.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, lateness)
+      .withColumn("_key", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("_key")
+      .drop("_key")
+
   /** Watermarked tumbling-window aggregation over the events stream:
     * per (window, event_type) counts and exact cent sums, tolerating
     * `lateness` of out-of-order data before state is dropped.

@@ -32,6 +32,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(decoded.except(orig).isEmpty)
   }
 
+  test("streaming exact dedup drops repeated texts within the watermark horizon") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    Seq(
+      (0L, ts(0), "alpha text"), (1L, ts(1), "alpha text"), // dup of 0
+      (2L, ts(2), "beta text"), (3L, ts(3), "gamma text"),
+      (4L, ts(4), "beta text") // dup of 2
+    ).toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val deduped = StreamingIngest.dedupStream(stream, "ts", "text", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_stream").select("text")
+      .as[String].collect().sorted
+    assert(got.toSeq === Seq("alpha text", "beta text", "gamma text"),
+      "exactly one survivor per distinct text")
+  }
+
   test("watermarked windowed aggregation over the events stream (memory sink)") {
     // stage the single-file table into a directory (streaming sources
     // monitor directories, not files)
