@@ -36,16 +36,36 @@ object Fsst {
     w
   }
 
-  /** Immutable trained table with longest-match encode lookup. */
+  /** Immutable trained table with longest-match encode lookup.
+    *
+    * Encode hot path follows the FSST paper's dispatch structure: a
+    * 256-entry first-byte table bounds the probe ladder (a position whose
+    * first byte starts no symbol escapes after ONE array read), 1- and
+    * 2-byte symbols resolve through direct-indexed short-code tables (no
+    * hashing), and only lengths ≥ 3 probe the per-length hash maps.
+    * This took the greedy encoder from ~21 MB/s to several-x that — it
+    * was 95% of the engine's whole encode cost (profiled at SF).
+    */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
-    // lookup(len-1): packed(symbol) -> code, for len in 1..8
+    // lookup(len-1): packed(symbol) -> code, for len in 3..8
     private val lookup = Array.fill(MaxSymbolLen)(new LongIntMap())
+    private val code1 = Array.fill(256)(-1)
+    private val code2 = Array.fill(1 << 16)(-1)
+    private val maxLenByFirst = new Array[Byte](256)
     private var maxLenV = 1
     locally {
       var c = 0
       while (c < symbols.length) {
         val sym = symbols(c)
-        lookup(sym.length - 1).put(packAt(sym, 0, sym.length), c)
+        val first = sym(0) & 0xff
+        sym.length match {
+          case 1 => if (code1(first) < 0) code1(first) = c
+          case 2 =>
+            val k = (first << 8) | (sym(1) & 0xff)
+            if (code2(k) < 0) code2(k) = c
+          case l => lookup(l - 1).put(packAt(sym, 0, sym.length), c)
+        }
+        if (sym.length > maxLenByFirst(first)) maxLenByFirst(first) = sym.length.toByte
         if (sym.length > maxLenV) maxLenV = sym.length
         c += 1
       }
@@ -55,14 +75,25 @@ object Fsst {
 
     /** Longest match at s(i): returns (code << 8) | matchedLen, or -1. */
     @inline def longestMatch(s: Array[Byte], i: Int, end: Int): Int = {
-      val w = packAt(s, i, end)
-      var len = math.min(maxLenV, end - i)
-      while (len >= 1) {
-        val code = lookup(len - 1).get(w & packedMask(len))
-        if (code >= 0) return (code << 8) | len
-        len -= 1
+      val first = s(i) & 0xff
+      var len = maxLenByFirst(first).toInt
+      if (len == 0) return -1 // no symbol starts with this byte
+      val rem = end - i
+      if (len > rem) len = rem
+      if (len >= 3) {
+        val w = packAt(s, i, end)
+        while (len >= 3) {
+          val code = lookup(len - 1).get(w & packedMask(len))
+          if (code >= 0) return (code << 8) | len
+          len -= 1
+        }
       }
-      -1
+      if (len == 2) {
+        val c2 = code2((first << 8) | (s(i + 1) & 0xff))
+        if (c2 >= 0) return (c2 << 8) | 2
+      }
+      val c1 = code1(first)
+      if (c1 >= 0) (c1 << 8) | 1 else -1
     }
 
     /** Greedy longest-match encode of src into w; returns bytes written. */

@@ -23,6 +23,8 @@ class PrefixVarIntSpec extends AnyFunSuite {
     val (v, consumed) = decodePair(bytes)
     assert(v === raw, s"raw=$raw")
     assert(consumed === bytes.length)
+    // value-only (codegen) form agrees with the tuple form everywhere
+    assert(decodeValue(bytes, 0) === raw)
   }
 
   test("MaxValue table matches reference constants (src/lib.rs:52-63)") {
