@@ -287,6 +287,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // gap-based sessionization (custom per-user state; the streaming form
+    // runs on flatMapGroupsWithState with event-time timeouts)
+    "s1_sessionize" -> ((s, d) => {
+      graft.streaming.Sessionize.sessionize(t(s, d, "events"), gapMinutes = 30).toDF()
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // -------------------------------------------------- multimodal plumbing
     "m1_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.payloadsFromText(t(s, d, "documents"), "doc_id", "text")
@@ -604,6 +611,20 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "s1_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         FROM events),
+       s AS (SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM e)
+       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -56,6 +56,42 @@ class StreamingSpec extends AnyFunSuite {
       "exactly one survivor per distinct text")
   }
 
+  test("streaming sessionization: GroupState carries open sessions across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess").toString
+    def ts(min: Long) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00").toInstant.plusSeconds(min * 60))
+    // three files = three micro-batches (maxFilesPerTrigger=1)
+    Seq((1L, ts(0), 10L, 1.0), (1L, ts(5), 11L, 2.0), (2L, ts(0), 12L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value").repartition(1)
+      .write.parquet(s"$dir/b1")
+    // user 1 returns past the 30-min gap -> closes their first session;
+    // user 99's far-future event drives the watermark forward
+    Seq((1L, ts(90), 20L, 4.0), (99L, ts(600), 21L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value").repartition(1)
+      .write.parquet(s"$dir/b2")
+    // watermark (t=600min - 10min lateness) now exceeds every open
+    // session's end+gap -> event-time timeouts emit them this batch
+    Seq((99L, ts(1200), 22L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value").repartition(1)
+      .write.parquet(s"$dir/b3")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    val q = Sessionize.sessionizeStream(stream, gapMinutes = 30, lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions").filter($"user_id" < 50)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2.getTime)).toSeq
+    assert(got === Seq(
+      (1L, ts(0), ts(5), 2L, 300L),   // closed by the gap, spans batch 1
+      (1L, ts(90), ts(90), 1L, 400L), // closed by event-time timeout
+      (2L, ts(0), ts(0), 1L, 500L)),  // closed by event-time timeout
+      s"got $got")
+  }
+
   test("watermarked windowed aggregation over the events stream (memory sink)") {
     // stage the single-file table into a directory (streaming sources
     // monitor directories, not files)
