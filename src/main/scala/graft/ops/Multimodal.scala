@@ -34,6 +34,70 @@ object Multimodal {
     }
   }
 
+  /** REAL lib-free header parsers for formats whose metadata is plain
+    * byte arithmetic — PNG (IHDR width/height) and WAV (RIFF fmt chunk:
+    * channels, sample rate, and sample-frame count from the data chunk).
+    * Payloads that aren't recognized fall back to [[FakeDecoder]], so the
+    * pipeline handles mixed real/opaque media in one pass.
+    */
+  object HeaderParsers {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8)
+
+    private val PngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** PNG: signature, then the IHDR chunk (always first) carries
+      * big-endian width/height at offsets 16/20.
+      */
+    def png(b: Array[Byte]): Option[(Long, Long)] =
+      if (b.length >= 24 && (0 until 8).forall(i => b(i) == PngMagic(i))
+          && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** WAV: RIFF....WAVE, then chunk walk to `fmt ` (channels, sample
+      * rate) and `data` (byte length -> sample frames).
+      * @return (channels, sampleRate, frames)
+      */
+    def wav(b: Array[Byte]): Option[(Long, Long, Long)] = {
+      def tag(o: Int, s: String) = o + 4 <= b.length &&
+        (0 until 4).forall(i => (b(o + i) & 0xff) == s.charAt(i).toInt)
+      if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var o = 12
+      var channels = 0L
+      var rate = 0L
+      var bytesPerFrame = 0L
+      var dataLen = -1L
+      while (o + 8 <= b.length) {
+        val size = le32(b, o + 4)
+        if (tag(o, "fmt ") && o + 24 <= b.length) {
+          channels = le16(b, o + 10)
+          rate = le32(b, o + 12)
+          bytesPerFrame = le16(b, o + 20) // block align
+        } else if (tag(o, "data")) dataLen = size
+        o += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+        if (size < 0 || size > b.length) return None // corrupt size field
+      }
+      if (channels > 0 && rate > 0 && dataLen >= 0)
+        Some((channels, rate, if (bytesPerFrame > 0) dataLen / bytesPerFrame else 0L))
+      else None
+    }
+
+    /** Unified metadata: (width, height, frames) with real parses for
+      * recognized formats and [[FakeDecoder]] for everything else.
+      */
+    def decode(kind: String, payload: Array[Byte]): (Long, Long, Long) =
+      png(payload).map { case (w, h) => (w, h, 1L) }
+        .orElse(wav(payload).map { case (ch, rate, frames) => (ch, rate, frames) })
+        .getOrElse(FakeDecoder.decode(kind, payload))
+  }
+
   /** Wrap a text table as fake media payloads (binary column + kind). */
   def payloadsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
@@ -52,7 +116,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder init would go here (e.g. codec context)
         rows.map { r =>
-          val (w, h, f) = FakeDecoder.decode(r.kind, r.payload)
+          // real header parse for recognized formats, stub otherwise
+          val (w, h, f) = HeaderParsers.decode(r.kind, r.payload)
           var sum = 0L
           var i = 0
           while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }

@@ -140,6 +140,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((0L, 1L)))
   }
 
+  test("multimodal header parsers: real PNG and WAV metadata, stub fallback") {
+    // hand-built PNG: signature + IHDR(len=13) with width=640 height=480
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(Array[Byte](0, 0, 0, 13)) // IHDR length
+    png.write("IHDR".getBytes)
+    png.write(Array[Byte](0, 0, 2, 0x80.toByte)) // width 640 BE
+    png.write(Array[Byte](0, 0, 1, 0xe0.toByte)) // height 480 BE
+    png.write(new Array[Byte](5 + 4)) // rest of IHDR + crc
+    assert(Multimodal.HeaderParsers.png(png.toByteArray) === Some((640L, 480L)))
+    // hand-built WAV: 2ch 44100Hz 16-bit, 8 sample frames (32 data bytes)
+    val bb = java.nio.ByteBuffer.allocate(44 + 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 32).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(32).put(new Array[Byte](32))
+    assert(Multimodal.HeaderParsers.wav(bb.array()) === Some((2L, 44100L, 8L)))
+    // unrecognized bytes fall back to the stub
+    val junk = "just some text".getBytes
+    assert(Multimodal.HeaderParsers.decode("image", junk)
+      === Multimodal.FakeDecoder.decode("image", junk))
+  }
+
   test("multimodal metadata matches the stub formula and batches per partition") {
     val media = Multimodal.payloadsFromText(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName === "binary")
