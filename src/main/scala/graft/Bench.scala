@@ -234,6 +234,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val engineRows = sys.env.getOrElse("SPARK_GRAFT_ENGINE_ROWS", "50000").toInt
 
+    // microbench FIRST, in a pristine JVM: the engine decode path feeds
+    // the JIT a mixed-length profile for the same kernels, and measuring
+    // after it reads the 9-byte get 2.5x low (the reference's criterion
+    // numbers likewise come from a dedicated process). Three passes,
+    // per-key best of the last two (C2 needs 2+ passes to reach steady
+    // state).
+    codecMicrobench()
+    val microA = codecMicrobench()
+    val microB = codecMicrobench()
+    val micro = microA.map { case (k, v) => k -> math.max(v, microB(k)) }
+
     val spark = session(cpus)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
@@ -253,15 +264,6 @@ object Bench {
     val engineCpus = math.min(cpus, 8)
     val numParts = math.max(cpus, engineCpus * 4)
     var engine = engineBench(engineCpus, engineRows, numParts)
-    // run the microbench three times, keep the per-key best of the last
-    // two: C2 tiering needs 2+ full passes before the kernels reach steady
-    // state (measured: pass 2 -> 3 still gains up to 1.5x), and the first
-    // pass after 32 query threads churned the VM is cold/contended (the
-    // round-1 driver run read 3x low because of this)
-    codecMicrobench()
-    val microA = codecMicrobench()
-    val microB = codecMicrobench()
-    val micro = microA.map { case (k, v) => k -> math.max(v, microB(k)) }
 
     val scaling: Map[String, Double] =
       if (sys.env.get("SPARK_GRAFT_SCALING").contains("1")) {

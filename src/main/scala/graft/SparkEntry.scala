@@ -221,8 +221,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // single-pass Catalyst expression (LangIdExpr); the declarative
+    // 5-scan form (TextAnalysis.langIdColumns) computes identical values
+    // and is cross-validated against it in OpsSpec
     "d4_lang_id" -> ((s, d) => {
-      TextAnalysis.langIdColumns(t(s, d, "documents"), "text")
+      graft.functions.LangIdExpr.register(s)
+      t(s, d, "documents")
+        .select(graft.functions.LangIdExpr.lang_id(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang_pred"))

@@ -194,6 +194,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) === "und")
   }
 
+  test("lang_id expression agrees with the declarative 5-scan form on testdata") {
+    graft.functions.LangIdExpr.register(spark)
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = TextAnalysis.langIdColumns(docs500, "text")
+      .withColumn("fast", graft.functions.LangIdExpr.lang_id(col("text")))
+      .filter(col("lang_pred") =!= col("fast"))
+    assert(both.count() === 0, both.select("doc_id", "lang_pred", "fast").head(5).mkString)
+    // crafted edge cases: CJK, ties, empty, whitespace forms
+    val edge = Seq("the el the la", "", " \t\n", "汉字汉字 the", "DER und das IST",
+      "le le le the the the").toDF("text")
+    val e2 = TextAnalysis.langIdColumns(edge, "text")
+      .withColumn("fast", graft.functions.LangIdExpr.lang_id(col("text")))
+    assert(e2.filter(col("lang_pred") =!= col("fast")).count() === 0,
+      e2.select("text", "lang_pred", "fast").collect().mkString(", "))
+  }
+
   test("token count and fingerprint edge cases") {
     val edge = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b c")).toDF("doc_id", "text")
     val tc = edge.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
