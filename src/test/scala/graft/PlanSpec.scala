@@ -53,6 +53,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q22: codec expressions run inside whole-stage codegen (no fence)") {
+    val df = SparkEntry.queries("q22_codec_roundtrip")(spark, d)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the Project evaluating the codec expressions must carry the
+    // whole-stage-codegen star ("*(n)") — i.e. no codegen fence
+    val stage = p.linesIterator.find(_.contains("decode_prefix_varint"))
+    assert(stage.isDefined, "codec expressions missing from the plan:\n" + p.take(800))
+    assert(stage.get.contains("*("),
+      "codec Project fell out of whole-stage codegen: " + stage.get)
+  }
+
   test("derive: unbounded repo/commit dictionaries carry no broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val derived = graft.engine.ColumnarEngine.derive(
