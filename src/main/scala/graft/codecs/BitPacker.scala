@@ -43,6 +43,11 @@ object BitPacker {
     dst
   }
 
+  // unaligned little-endian word loads for the unpack fast path
+  private val LONG_LE: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+      classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
   /** Unpack `n` values of `width` bits each from `bytes` starting at `off`. */
   def unpack(bytes: Array[Byte], off: Int, n: Int, width: Int): Array[Long] = {
     require(width >= 0 && width <= 64, s"bit width $width out of range [0, 64]")
@@ -53,7 +58,19 @@ object BitPacker {
     val mask = if (width == 64) -1L else (1L << width) - 1
     var bitPos = 0L
     var i = 0
-    while (i < n) {
+    // fast path (width <= 57: any value plus its bit offset fits one
+    // 8-byte load): single unaligned word load, shift, mask
+    if (width <= 57) {
+      val safeEnd = bytes.length - 8
+      while (i < n && off + (bitPos >>> 3) <= safeEnd) {
+        val byteOff = off + (bitPos >>> 3).toInt
+        val w: Long = LONG_LE.get(bytes, byteOff)
+        out(i) = (w >>> (bitPos & 7L).toInt) & mask
+        bitPos += width
+        i += 1
+      }
+    }
+    while (i < n) { // tail / wide-width byte ladder
       val byteOff = off + (bitPos >>> 3).toInt
       val bitOff = (bitPos & 7L).toInt
       val need = (bitOff + width + 7) >>> 3

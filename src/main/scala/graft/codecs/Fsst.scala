@@ -176,15 +176,23 @@ object Fsst {
     * frequency x length (the FSST paper's bottom-up construction).
     */
   def train(strings: Array[String], n: Int): SymbolTable = {
+    // STRIDED sample with a per-row byte cap: the engine's chunks are
+    // sorted (repo, lang, path), so a prefix sample sees only the first
+    // ~dozen rows — one repo, one file type — and the trained table fits
+    // the rest of the chunk badly (measured on synthesized source content:
+    // prefix-sample ratio 0.84-0.89 vs strided 0.54-0.66). The cap spreads
+    // the same 64 KiB budget over ~32 rows across the whole chunk.
+    val perRow = math.max(1, SampleCap / 32)
+    val stride = math.max(1, n / 32)
     var total = 0
     val sample = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < n && total < SampleCap) {
       val b = strings(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val take = math.min(b.length, SampleCap - total)
+      val take = math.min(math.min(b.length, perRow), SampleCap - total)
       sample.write(b, 0, take)
       total += take
-      i += 1
+      i += stride
     }
     val s = sample.toByteArray
     if (s.isEmpty) return new SymbolTable(Array.empty)
