@@ -285,6 +285,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF scale path with nprobe == nlist: probing every list makes the
+    // search EXHAUSTIVE, so it must equal the brute-force oracle exactly
+    "e4_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        nlist = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "e3_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.3)
@@ -594,6 +604,17 @@ object SparkEntry {
          (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
          FROM cand c JOIN g ga ON ga.id = c.id_a JOIN g gb ON gb.id = c.id_b)
        SELECT id_a, id_b, round(jac, 6) AS jaccard_r6 FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+
+    // same oracle as e1: with nprobe == nlist IVF is exhaustive
+    "e4_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       scored AS (SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+         FROM q, c WHERE query_id <> neighbor_id),
+       ranked AS (SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "d8_fingerprint" ->
       """SELECT doc_id,

@@ -67,6 +67,95 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic driver-side Lloyd's k-means over a bounded sample —
+    * the IVF coarse quantizer. Sample size is capped (default 2048
+    * vectors), so driver memory is bounded at any corpus scale.
+    */
+  private[ops] def kmeans(sample: Array[Array[Double]], nlist: Int,
+                          iters: Int = 8, seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    val rnd = new java.util.Random(seed)
+    val centroids = Array.tabulate(nlist)(i => sample(
+      if (sample.length >= nlist) (i.toLong * sample.length / nlist).toInt
+      else rnd.nextInt(sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      for (v <- sample) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val x = v(j) - centroids(c)(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < nlist) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty list: keep previous centroid (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path next to [[lshTopK]]:
+    * a k-means coarse quantizer (trained once on a bounded sample)
+    * partitions the corpus into `nlist` lists; each query probes only its
+    * `nprobe` nearest lists with exact cosine. Corpus assignment is one
+    * codegen'd pass (argmax over `nlist` literal-centroid dot products —
+    * no UDF), shuffled once by list id; with `nprobe == nlist` the search
+    * is exhaustive and equals [[bruteForceTopK]] (tested).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist)
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleSize) // deterministic bounded sample
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val centroids = kmeans(sample, nlist, seed = seed)
+    def centDots(v: Column): Column = array(centroids.map { cent =>
+      // rank lists by squared L2 distance, expressed via dot products:
+      // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2; |v|^2 is constant per row, so
+      // maximize <v,c> - |c|^2/2
+      val c2 = cent.map(x => x * x).sum / 2.0
+      dot(v, array(cent.map(lit): _*)) - lit(c2)
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("_scores", centDots(col("cv")))
+      .withColumn("list", expr("array_position(_scores, array_max(_scores)) - 1"))
+      .drop("_scores")
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("_scores", centDots(col("qv")))
+      // probe the nprobe best lists: sort (score, idx) structs desc, slice
+      .withColumn("list", explode(expr(
+        s"transform(slice(reverse(array_sort(zip_with(_scores, sequence(0, ${nlist - 1}), (s, i) -> struct(s, i)))), 1, $nprobe), p -> p.i)")))
+      .withColumn("list", col("list").cast("long"))
+      .drop("_scores")
+    val scored = c.join(broadcast(q0), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** ANN via sign-LSH bucketing: candidates are corpus vectors sharing the
     * query's bucket (plus optional multiprobe neighbors at hamming
     * distance 1), ranked by exact cosine within the bucket.

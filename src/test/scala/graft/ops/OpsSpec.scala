@@ -128,6 +128,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.head.getLong(1) === brute.head.getLong(1))
   }
 
+  test("IVF ANN: nprobe == nlist is exhaustive (equals brute force); partial probe recalls clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfAll = Similarity.ivfTopK(emb, q, k = 3, dim = 64, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfAll === brute, "full-probe IVF must equal brute force")
+    // partial probe: each query's own list is always probed first, so the
+    // top-1 neighbor survives for most queries (sanity, not exactness)
+    val ivf2 = Similarity.ivfTopK(emb, q, k = 3, dim = 64, nlist = 8, nprobe = 2)
+      .collect()
+    assert(ivf2.nonEmpty)
+  }
+
   test("embedding near-dup finds duplicated vectors") {
     val base = Array.tabulate(16)(_.toFloat)
     val vecs = Seq(
