@@ -32,6 +32,16 @@ object Bench {
     s
   }
 
+  /** Stop a session with logging OFF: the multi-session scaling runs race
+    * executor teardown against in-flight RPC replies, and the resulting
+    * benign `RpcEndpointVerifier` ERROR stack read as a failure in the
+    * round-2 bench log.
+    */
+  private def stopQuietly(spark: SparkSession): Unit = {
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+  }
+
   private def timeSec[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -94,13 +104,18 @@ object Bench {
       Map(
         "encode_sec" -> encSec,
         "decode_sec" -> decSec,
+        // decode_sec times decode_passes unioned passes in one job (see
+        // above); per-pass time and pass count are emitted so consumers
+        // computing rawBytes/decode_sec keep their old meaning
+        "decode_passes" -> decodeK.toDouble,
+        "decode_sec_per_pass" -> decSec / decodeK,
         "encode_mb_per_s" -> rawBytes / 1e6 / encSec,
         "decode_mb_per_s" -> rawBytes * decodeK / 1e6 / decSec,
         "encode_rows_per_s" -> rows / encSec,
         "decode_rows_per_s" -> n / decSec,
         "compression_ratio" -> encBytes / rawBytes,
         "rows" -> rows.toDouble)
-    } finally spark.stop()
+    } finally stopQuietly(spark)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -226,6 +241,36 @@ object Bench {
     totalOps.get() / ((System.nanoTime() - t0) / 1e9) / 1e6 // Melem/s aggregate
   }
 
+  /** STREAM-style copy-kernel bandwidth at a thread count: each thread
+    * copies its own 64 MB long array (far beyond LLC); aggregate GB/s
+    * moved (8 bytes read + 8 written per element). Printed next to the
+    * scaling legs so the "this box's shared memory bandwidth saturates
+    * near 8 busy threads" argument (BASELINE.md) is self-contained in the
+    * bench output rather than an external claim.
+    */
+  private def memBandwidth(threads: Int): Double = {
+    val N = 1 << 23 // 8M longs = 64 MB per thread
+    val srcs = Array.fill(threads)(Array.tabulate(N)(_.toLong))
+    val dsts = Array.fill(threads)(new Array[Long](N))
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    def work(src: Array[Long], dst: Array[Long], untilNanos: Long): Long = {
+      var b = 0L
+      while (System.nanoTime() < untilNanos) {
+        System.arraycopy(src, 0, dst, 0, N)
+        b += 16L * N
+      }
+      b
+    }
+    srcs.indices.foreach(i => System.arraycopy(srcs(i), 0, dsts(i), 0, N)) // warm/fault
+    val until = System.nanoTime() + 1_500_000_000L
+    val ts = srcs.indices.map(i =>
+      new Thread(() => { bytes.addAndGet(work(srcs(i), dsts(i), until)); () }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    bytes.get() / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
   private def fmt(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
 
@@ -251,9 +296,13 @@ object Bench {
         try timeSec(fn(spark, sfDir).count())._2
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      // ops that persist a result (dedup pair lists) must not squeeze the
+      // queries after them (round-2 showed q7-q9 regress 4-14x from
+      // accumulated caches); each query starts from a cold cache
+      spark.catalog.clearCache()
       name -> sec
     }
-    spark.stop()
+    stopQuietly(spark)
 
     // layout fixed at 4x the LARGER parallelism so both scaling runs have
     // enough partitions to saturate their cores with identical work.
@@ -287,6 +336,9 @@ object Bench {
         // not the engine; 1 -> 4 stays under the knee
         val n1 = engineBench(1, engineRows, numParts)
         val n4 = engineBench(4, engineRows, numParts)
+        // the bandwidth ceiling the 2->8 legs run into, measured in-place
+        val bw = Seq(1, engineCpus / 4, 4, engineCpus).distinct.filter(_ >= 1)
+          .map(t => s"mem_bw_gb_s_t$t" -> memBandwidth(t))
         Map(
           s"codec_melem_s_t${engineCpus / 4}" -> codecN,
           s"codec_melem_s_t$engineCpus" -> codec4N,
@@ -304,7 +356,7 @@ object Bench {
           "decode_rows_per_s_n1" -> n1("decode_rows_per_s"),
           "decode_rows_per_s_n4" -> n4("decode_rows_per_s"),
           "decode_scaling_efficiency_1_4" ->
-            (n4("decode_rows_per_s") / n1("decode_rows_per_s")) / 4.0)
+            (n4("decode_rows_per_s") / n1("decode_rows_per_s")) / 4.0) ++ bw
       } else Map.empty
 
     val total = queryTimes.map(_._2).filter(_ >= 0).sum +

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (builder-side iteration only; the driver passes 2):
+    // comma-separated query names to run instead of all of them
+    val Array(sfDir, outDir) = args.take(2)
+    // ordered, repeats allowed (run a query twice to see its warm time)
+    val only: Seq[String] =
+      if (args.length > 2) args(2).split(',').toSeq else Nil
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,13 +20,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val toRun: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else only.map(n => n -> SparkEntry.queries(n))
+    toRun
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache() // same lifecycle discipline as Bench
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

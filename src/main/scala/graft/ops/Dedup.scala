@@ -11,6 +11,21 @@ import graft.functions.SimHash64.simhash64
   */
 object Dedup {
 
+  /** Materialize `out` (persisted — the pair list is tiny next to the
+    * corpus) and only THEN release the fat intermediates its plan consumed.
+    * Round 2 left intermediates persisted forever: in any session running
+    * several queries (exactly what Bench/Verify do) the leaked caches
+    * squeezed later queries 4-14x. MLlib's `model.destroy()` shape, owned
+    * by the op itself so callers can't forget.
+    */
+  private def materializeThenRelease(out: DataFrame,
+                                     intermediates: DataFrame*): DataFrame = {
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while the intermediates are still cached
+    intermediates.foreach(_.unpersist(blocking = false))
+    result
+  }
+
   /** Exact dedup: one representative (min id) + duplicate count per
     * distinct text. Groups by sha2(text) so the shuffle carries a 32-byte
     * key rather than the full document (100 TB shape); collision odds are
@@ -55,9 +70,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.MinHashSig.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("id"),
+    // persisted FIRST so the banding pass and both verify joins all read
+    // the one materialized shingle set (released below)
+    val shs = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = shs.withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
     val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -71,12 +89,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // disk-backed reuse: the shingle sets feed BOTH verify joins; without
-    // persist each join branch re-shingles the whole corpus (left to
-    // Spark's LRU eviction, like MLlib's LSH models)
-    val shs = base.select(col("id"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
+    val out = cand
       .join(shs.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(shs.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -84,6 +97,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeThenRelease(out, shs)
   }
 
   /** SimHash near-dup candidates: 64-bit simhash (custom Catalyst
@@ -147,34 +161,51 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    // base feeds the postings AND both verify-join branches: persist it
+    // (released below) or each branch re-runs the scan+shingle pipeline
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // _sz rides the explode — no sizes join (and no extra shuffle) needed
     val postings = base.select(col("id"), size(col("grams")).as("_sz"),
       explode(col("grams")).as("gram"))
     val dfreq = postings.groupBy(col("gram")).agg(count(lit(1)).as("_f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("_f"), col("gram"))
-    // persist the SKINNY prefix postings (id, gram, size — linear in
-    // corpus, spills to disk): both sides of the candidate self-join and
-    // the window chain above it would otherwise recompute the full
-    // shingle pipeline once per branch (measured 3x the query's cost at
-    // SF). Left to Spark's LRU eviction, like MLlib's LSH models.
+    // persist the SKINNY prefix postings (id, gram, size, prefix position
+    // — linear in corpus, spills to disk): both sides of the candidate
+    // self-join and the window chain above it would otherwise recompute
+    // the full shingle pipeline once per branch (measured 3x the query's
+    // cost at SF).
     val pre = postings.join(dfreq, Seq("gram"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= col("_sz") - ceil(lit(threshold) * col("_sz")) + 1)
-      .select(col("id"), col("gram"), col("_sz"))
+      .select(col("id"), col("gram"), col("_sz"), col("_rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t — prunes
     // size-mismatched candidates before the (expensive) exact verify
-    val cand = pre.select(col("gram"), col("id").as("id_a"), col("_sz").as("_sza"))
-      .join(pre.select(col("gram"), col("id").as("id_b"), col("_sz").as("_szb")), Seq("gram"))
+    val matches = pre.select(col("gram"), col("id").as("id_a"),
+        col("_sz").as("_sza"), col("_rk").as("_pa"))
+      .join(pre.select(col("gram"), col("id").as("id_b"),
+        col("_sz").as("_szb"), col("_rk").as("_pb")), Seq("gram"))
       .filter(col("id_a") < col("id_b")
         && col("_szb") >= lit(threshold) * col("_sza")
         && col("_sza") >= lit(threshold) * col("_szb"))
+      // PPJoin POSITIONAL filter (Xiao et al. WWW'08): a shared prefix
+      // gram at positions (pa, pb) bounds the pair's overlap by
+      // 1 + min(|A| - pa, |B| - pb), and J >= t needs overlap >=
+      // ceil(t/(1+t) * (|A| + |B|)). Applied PER MATCHED ROW, before the
+      // pair groupBy, so pruned matches never ride that shuffle: the
+      // pair's FIRST shared prefix gram carries its largest bound, so the
+      // pair survives iff its first-gram row does — lossless. On hot-gram
+      // corpora (this testdata: 31-word vocabulary) this is what keeps
+      // candidate volume off the bench's critical path.
+      .filter(lit(1) + least(col("_sza") - col("_pa"), col("_szb") - col("_pb"))
+        >= ceil(lit(threshold / (1.0 + threshold)) * (col("_sza") + col("_szb"))))
+    val cand = matches
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val out = cand
       .join(base.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -182,6 +213,7 @@ object Dedup {
           size(array_union(col("g_a"), col("g_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeThenRelease(out, pre, base)
   }
 
   /** Embedding-cosine near-duplicates: sign-LSH bucket join (multiprobe

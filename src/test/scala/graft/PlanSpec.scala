@@ -108,6 +108,10 @@ class PlanSpec extends AnyFunSuite {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case s: QueryStageExec => Seq(s.plan)
         case r: ReusedExchangeExec => Seq(r.child)
+        // the op materializes-then-releases via a persisted result; the
+        // interesting exchanges live inside the cached plan
+        case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(t.relation.cachedPlan)
         case other => other.children
       }
       self ++ kids.flatMap(allExchanges)

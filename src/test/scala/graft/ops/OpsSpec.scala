@@ -109,6 +109,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want, "prefix-filtered output must equal the all-pairs answer")
   }
 
+  test("dedup ops release their fat intermediates (only the pair result stays cached)") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val p1 = Dedup.minhashLsh(docs, "doc_id", "text", shingleSize = 2, threshold = 0.5)
+    val p2 = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.5)
+    // round 2 leaked the corpus-sized shingle/prefix-posting caches; each
+    // op may keep exactly its own (tiny) materialized result, nothing else
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 2,
+      s"expected at most 2 new persisted RDDs (the results), got ${after - before}")
+    p1.unpersist()
+    p2.unpersist()
+  }
+
   test("brute-force ANN returns k ranked neighbors; LSH recall over itself") {
     val rnd = new scala.util.Random(7)
     // 3 tight clusters of 20 vectors each
