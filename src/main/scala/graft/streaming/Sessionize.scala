@@ -30,6 +30,15 @@ object Sessionize {
   /** Open-session aggregate carried in GroupState (micros since epoch). */
   final case class OpenSession(startUs: Long, endUs: Long, n: Long, cents: Long)
 
+  /** Integer cents with HALF-AWAY-FROM-ZERO rounding, matching SQL/DuckDB
+    * `round(value * 100)` for negative values too (`math.round` is half-UP:
+    * round(-2.5) == -2, but the oracle says -3).
+    */
+  private[streaming] def cents(v: Double): Long = {
+    val x = v * 100.0
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  }
+
   /** Split (tsMicros, value) events — MUST be sorted — into
     * gap-delimited (startUs, endUs, n, cents) sessions.
     */
@@ -38,7 +47,7 @@ object Sessionize {
     val out = Seq.newBuilder[OpenSession]
     var cur: OpenSession = null
     for ((ts, v) <- evs) {
-      val c = math.round(v * 100)
+      val c = cents(v)
       if (cur == null) cur = OpenSession(ts, ts, 1, c)
       else if (ts - cur.endUs > gapUs) { out += cur; cur = OpenSession(ts, ts, 1, c) }
       else cur = OpenSession(cur.startUs, math.max(cur.endUs, ts), cur.n + 1, cur.cents + c)
@@ -53,21 +62,65 @@ object Sessionize {
     java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
       (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
 
-  /** Batch sessionization over the events table; one group per user, all
-    * sessions emitted. Input columns: user_id, ts (NTZ), event_id, value.
+  /** Batch sessionization over the events table; all sessions of all
+    * users emitted. Input columns: user_id, ts (NTZ), event_id, value.
+    *
+    * Scale shape: secondary sort, NOT per-group buffering. Events are
+    * hash-partitioned by user and sorted within each partition by
+    * (user_id, ts, event_id) — Spark's external sorter spills, so a
+    * bot-grade hot user with an unbounded history costs disk, not
+    * executor heap (the round-2 form collected each user's history into
+    * an array inside `flatMapGroups`, an OOM at 100x on one skewed key).
+    * The session split then streams through the sorted run with O(1)
+    * state: one open session and one pending emit.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionN] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
       .as[EventN]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[EventN]) =>
-        val sorted = it.toArray.sortBy(e => (usOf(e.ts), e.event_id))
-        split(sorted.iterator.map(e => (usOf(e.ts), e.value)), gapUs)
-          .map(s => SessionN(uid, ntzOf(s.startUs), ntzOf(s.endUs), s.n, s.cents))
-          .iterator
+      .mapPartitions { it =>
+        new Iterator[SessionN] {
+          private var cur: OpenSession = null
+          private var curUid = 0L
+          private var out: SessionN = null
+          private def close(): SessionN = {
+            val s = SessionN(curUid, ntzOf(cur.startUs), ntzOf(cur.endUs),
+              cur.n, cur.cents)
+            cur = null
+            s
+          }
+          private def compute(): Unit = {
+            while (out == null && it.hasNext) {
+              val e = it.next()
+              val ts = usOf(e.ts)
+              val c = cents(e.value)
+              if (cur == null) {
+                curUid = e.user_id
+                cur = OpenSession(ts, ts, 1, c)
+              } else if (e.user_id != curUid || ts - cur.endUs > gapUs) {
+                out = close() // at most one close per event: O(1) state
+                curUid = e.user_id
+                cur = OpenSession(ts, ts, 1, c)
+              } else {
+                cur = OpenSession(cur.startUs, math.max(cur.endUs, ts),
+                  cur.n + 1, cur.cents + c)
+              }
+            }
+            if (out == null && cur != null && !it.hasNext) out = close()
+          }
+          def hasNext: Boolean = { compute(); out != null }
+          def next(): SessionN = {
+            compute()
+            if (out == null) throw new NoSuchElementException
+            val r = out
+            out = null
+            r
+          }
+        }
       }
   }
 
@@ -76,6 +129,18 @@ object Sessionize {
     * event-time timeout at `end + gap` (driven by the watermark) emits
     * sessions of users who simply went quiet. Late events beyond
     * `lateness` are dropped by the watermark, which bounds state.
+    *
+    * Out-of-order approximation (deliberate, state-bounded): an
+    * in-watermark event OLDER than the open session's end is absorbed
+    * into the open session — it extends `n`/`cents` but never moves
+    * `session_start` earlier and never retro-creates an earlier session,
+    * whereas the batch form (a full sort) would. Events at most `gap`
+    * out of order sessionize identically; reordering beyond the gap
+    * within the lateness horizon differs from batch. Buffering the open
+    * session's events and re-splitting on every late arrival would match
+    * batch exactly at the cost of unbounded per-user state — the wrong
+    * trade at 100 TB. Choose `lateness <= gap` to keep the two forms
+    * aligned.
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
                        lateness: String = "10 minutes"): Dataset[SessionI] = {

@@ -92,6 +92,53 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("batch sessionize: hot user owning 90% of events, out-of-order input, no per-group buffering") {
+    import spark.implicits._
+    def ldt(min: Long) = java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusMinutes(min)
+    val rnd = new scala.util.Random(11)
+    // user 7 owns 90% of events (bot-grade skew); events arrive SHUFFLED
+    val evs = rnd.shuffle(
+      (0 until 900).map(i => (7L, ldt(i * 5L), 1000L + i, 0.01 * i)) ++
+      (0 until 100).map(i => (i % 10 + 100L, ldt(i * 7L), 2000L + i, 1.5)))
+    val df = evs.toDF("user_id", "ts", "event_id", "value").repartition(8)
+    val got = Sessionize.sessionize(df, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.value_cents))
+      .sortBy(x => (x._1, x._2.toString)).toSeq
+    // oracle: plain in-memory sort + gap split
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._2.toString, e._3))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, java.time.LocalDateTime, java.time.LocalDateTime, Long, Long)]()
+      var st: java.time.LocalDateTime = null
+      var en: java.time.LocalDateTime = null
+      var n = 0L
+      var c = 0L
+      for ((_, ts, _, v) <- sorted) {
+        val cv = math.floor(math.abs(v * 100) + 0.5).toLong * (if (v < 0) -1 else 1)
+        if (st == null) { st = ts; en = ts; n = 1; c = cv }
+        else if (java.time.Duration.between(en, ts).toMinutes > 30) {
+          out += ((uid, st, en, n, c)); st = ts; en = ts; n = 1; c = cv
+        } else { en = ts; n += 1; c += cv }
+      }
+      if (st != null) out += ((uid, st, en, n, c))
+      out
+    }.sortBy(x => (x._1, x._2.toString))
+    assert(got === want)
+    // scale gate: the plan must be exchange + in-partition SORT feeding
+    // mapPartitions — never an object-hash/sort aggregate that buffers a
+    // group (the hot user's whole history) in memory
+    val plan = Sessionize.sessionize(df).queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && !plan.toLowerCase.contains("aggregate"),
+      s"expected secondary-sort shape, got:\n${plan.take(800)}")
+  }
+
+  test("cents rounding is half-away-from-zero, matching the SQL oracle") {
+    assert(Sessionize.cents(2.345) === 235L)   // 234.5 -> 235
+    assert(Sessionize.cents(-2.345) === -235L) // -234.5 -> -235 (math.round says -234)
+    assert(Sessionize.cents(-0.025) === -3L)
+    assert(Sessionize.cents(0.0) === 0L)
+    assert(Sessionize.cents(-1.0) === -100L)
+  }
+
   test("watermarked windowed aggregation over the events stream (memory sink)") {
     // stage the single-file table into a directory (streaming sources
     // monitor directories, not files)
