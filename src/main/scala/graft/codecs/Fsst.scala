@@ -47,34 +47,57 @@ object Fsst {
     * was 95% of the engine's whole encode cost (profiled at SF).
     */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
+    // Encode-side dispatch tables, built LAZILY on the first encode: the
+    // decode path (readTable per decoded block) only walks `symbols`, and
+    // eagerly filling code2 (a 65536-entry Int array, ~256 KB) per block
+    // was a pure decode-side tax.
     // lookup(len-1): packed(symbol) -> code, for len in 3..8
-    private val lookup = Array.fill(MaxSymbolLen)(new LongIntMap())
-    private val code1 = Array.fill(256)(-1)
-    private val code2 = Array.fill(1 << 16)(-1)
-    private val maxLenByFirst = new Array[Byte](256)
-    private var maxLenV = 1
-    locally {
+    @transient private var lookup: Array[LongIntMap] = null
+    @transient private var code1: Array[Int] = null
+    @transient private var code2: Array[Int] = null
+    @transient private var maxLenByFirst: Array[Byte] = null
+    private var maxLenV = 0
+
+    private def ensureEncodeTables(): Unit = if (lookup == null) {
+      val lk = Array.fill(MaxSymbolLen)(new LongIntMap())
+      val c1 = Array.fill(256)(-1)
+      val c2 = Array.fill(1 << 16)(-1)
+      val mlf = new Array[Byte](256)
       var c = 0
       while (c < symbols.length) {
         val sym = symbols(c)
         val first = sym(0) & 0xff
         sym.length match {
-          case 1 => if (code1(first) < 0) code1(first) = c
+          case 1 => if (c1(first) < 0) c1(first) = c
           case 2 =>
             val k = (first << 8) | (sym(1) & 0xff)
-            if (code2(k) < 0) code2(k) = c
-          case l => lookup(l - 1).put(packAt(sym, 0, sym.length), c)
+            if (c2(k) < 0) c2(k) = c
+          case l => lk(l - 1).put(packAt(sym, 0, sym.length), c)
         }
-        if (sym.length > maxLenByFirst(first)) maxLenByFirst(first) = sym.length.toByte
-        if (sym.length > maxLenV) maxLenV = sym.length
+        if (sym.length > mlf(first)) mlf(first) = sym.length.toByte
         c += 1
       }
+      code1 = c1; code2 = c2; maxLenByFirst = mlf; lookup = lk
     }
 
-    def maxLen: Int = maxLenV
+    def maxLen: Int = {
+      if (maxLenV == 0) {
+        var m = 1
+        var c = 0
+        while (c < symbols.length) {
+          if (symbols(c).length > m) m = symbols(c).length
+          c += 1
+        }
+        maxLenV = m
+      }
+      maxLenV
+    }
 
-    /** Longest match at s(i): returns (code << 8) | matchedLen, or -1. */
+    /** Longest match at s(i): returns (code << 8) | matchedLen, or -1.
+      * The lazy-init guard is a single always-predicted null check.
+      */
     @inline def longestMatch(s: Array[Byte], i: Int, end: Int): Int = {
+      if (lookup == null) ensureEncodeTables()
       val first = s(i) & 0xff
       var len = maxLenByFirst(first).toInt
       if (len == 0) return -1 // no symbol starts with this byte

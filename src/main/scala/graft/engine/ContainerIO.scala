@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * wrapper is `private[spark]`, and `Configuration` itself is not
   * serializable.
   *
-  * Commit protocol note: tmp-file + `rename` is atomic on HDFS and local
-  * filesystems. On S3 the rename is copy+delete — pair this layout with
-  * an S3-committer-style conditional PUT if S3 is the target.
+  * Commit protocol: tmp-file + `rename` where rename is atomic
+  * (HDFS/local/ABFS); direct `create(overwrite = false)` — a conditional
+  * PUT — on S3-family object stores, where rename is copy+delete. See
+  * [[ContainerIO.commitProtocol]].
   */
 object ContainerIO {
 
@@ -62,20 +63,52 @@ object ContainerIO {
     } finally in.close()
   }
 
-  /** Write bytes to `tmp`, then atomically rename onto `dst`. If another
-    * task attempt already committed `dst`, this attempt's tmp is simply
-    * discarded (first-commit-wins; both attempts encode identical bytes).
+  /** Commit protocol per filesystem family (see [[writeAtomic]]). */
+  sealed trait CommitProtocol
+  case object TmpRename extends CommitProtocol
+  case object ConditionalCreate extends CommitProtocol
+
+  /** Object stores where `rename` is copy+delete (NOT atomic) but a
+    * create-if-absent PUT is: S3 (S3A maps `create(overwrite=false)` to a
+    * conditional `If-None-Match: *` PUT when
+    * `fs.s3a.create.conditional.enabled` is on, its default in Hadoop
+    * 3.4.1+), GCS, and Aliyun OSS. ABFS/HDFS/local keep atomic rename.
+    */
+  def commitProtocol(scheme: String): CommitProtocol = scheme match {
+    case "s3a" | "s3" | "s3n" | "gs" | "oss" | "cosn" => ConditionalCreate
+    case _ => TmpRename
+  }
+
+  /** Commit `bytes` at `dst` such that concurrent task attempts are safe
+    * (first-commit-wins; all attempts encode identical bytes).
+    *
+    * - HDFS/local/ABFS: write to `tmp`, then atomic `rename` onto `dst`.
+    * - S3-family object stores ([[commitProtocol]]): rename is
+    *   copy+delete there, so write DIRECTLY to `dst` with
+    *   `create(overwrite = false)` — a conditional create (S3A: one
+    *   `If-None-Match: *` PUT). A lose-the-race failure means another
+    *   attempt committed the identical bytes; swallowed.
     */
   def writeAtomic(conf: Configuration, tmp: String, dst: String,
                   bytes: Array[Byte]): Unit = {
     val f = fs(dst, conf)
-    val t = new Path(tmp)
     val d = new Path(dst)
-    val out = f.create(t, true)
-    try out.write(bytes) finally out.close()
-    if (!f.rename(t, d)) {
-      if (f.exists(d)) f.delete(t, false)
-      else throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    commitProtocol(f.getUri.getScheme) match {
+      case ConditionalCreate =>
+        try {
+          val out = f.create(d, false) // fail-if-exists: conditional PUT
+          try out.write(bytes) finally out.close()
+        } catch {
+          case e: java.io.IOException if f.exists(d) => () // lost the race
+        }
+      case TmpRename =>
+        val t = new Path(tmp)
+        val out = f.create(t, true)
+        try out.write(bytes) finally out.close()
+        if (!f.rename(t, d)) {
+          if (f.exists(d)) f.delete(t, false)
+          else throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        }
     }
   }
 

@@ -35,10 +35,11 @@ object Multimodal {
   }
 
   /** REAL lib-free header parsers for formats whose metadata is plain
-    * byte arithmetic — PNG (IHDR width/height) and WAV (RIFF fmt chunk:
-    * channels, sample rate, and sample-frame count from the data chunk).
-    * Payloads that aren't recognized fall back to [[FakeDecoder]], so the
-    * pipeline handles mixed real/opaque media in one pass.
+    * byte arithmetic — PNG (IHDR width/height), JPEG (SOFn frame
+    * dimensions), WAV (RIFF fmt chunk: channels, sample rate, sample
+    * frames), and ISO-BMFF/MP4 (moov/mvhd movie duration). Payloads that
+    * aren't recognized fall back to [[FakeDecoder]], so the pipeline
+    * handles mixed real/opaque media in one pass.
     */
   object HeaderParsers {
     private def be32(b: Array[Byte], o: Int): Long =
@@ -89,12 +90,104 @@ object Multimodal {
       else None
     }
 
+    private def be16(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
+
+    /** JPEG: SOI marker walk to the first SOFn frame header (C0..CF
+      * except C4 DHT / C8 JPG / CC DAC), which carries big-endian
+      * height at segment offset +5 and width at +7.
+      * @return (width, height)
+      */
+    def jpeg(b: Array[Byte]): Option[(Long, Long)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+      var o = 2
+      while (o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) return None // marker desync: not a JPEG
+        var m = o + 1
+        while (m < b.length && (b(m) & 0xff) == 0xff) m += 1 // fill bytes
+        if (m >= b.length) return None
+        val marker = b(m) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS first
+        if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) o = m + 1
+        else {
+          if (m + 3 > b.length) return None
+          val segLen = be16(b, m + 1)
+          if (segLen < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (m + 8 > b.length) return None
+            return Some((be16(b, m + 6), be16(b, m + 4))) // (width, height)
+          }
+          o = m + 1 + segLen.toInt
+        }
+      }
+      None
+    }
+
+    /** First box with `typ` in b(from until until); returns its CONTENT
+      * bounds. Handles size==1 (64-bit largesize) and size==0 (to end).
+      */
+    private def findBox(b: Array[Byte], from: Int, until: Int,
+                        typ: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size32 = be32(b, o)
+        val isType = (0 until 4).forall(i => (b(o + 4 + i) & 0xff) == typ.charAt(i).toInt)
+        val (content, boxEnd) =
+          if (size32 == 1L) {
+            if (o + 16 > until) return None
+            var sz = 0L
+            var i = 0
+            while (i < 8) { sz = (sz << 8) | (b(o + 8 + i) & 0xffL); i += 1 }
+            if (sz < 16 || sz > until - o) return None
+            (o + 16, o + sz.toInt)
+          } else if (size32 == 0L) (o + 8, until)
+          else {
+            if (size32 < 8 || size32 > until - o) return None
+            (o + 8, o + size32.toInt)
+          }
+        if (isType) return Some((content, boxEnd))
+        o = boxEnd
+      }
+      None
+    }
+
+    /** ISO-BMFF (MP4/MOV/M4A): `moov`/`mvhd` movie header — duration in
+      * timescale units, v0 (32-bit fields) and v1 (64-bit) layouts.
+      * @return (timescale, durationUnits)
+      */
+    def bmff(b: Array[Byte]): Option[(Long, Long)] = {
+      // sanity: a real stream starts with a box whose type is printable
+      // ASCII (usually ftyp); bail fast on arbitrary bytes
+      if (b.length < 16) return None
+      if (!(4 until 8).forall(i => b(i) >= 0x20 && b(i) < 0x7f)) return None
+      findBox(b, 0, b.length, "moov").flatMap { case (mo, mend) =>
+        findBox(b, mo, mend, "mvhd").flatMap { case (ho, hend) =>
+          val v = b(ho) & 0xff
+          if (v == 0 && ho + 20 <= hend)
+            Some((be32(b, ho + 12), be32(b, ho + 16)))
+          else if (v == 1 && ho + 32 <= hend) {
+            var d = 0L
+            var i = 0
+            while (i < 8) { d = (d << 8) | (b(ho + 24 + i) & 0xffL); i += 1 }
+            Some((be32(b, ho + 20), d))
+          } else None
+        }
+      }
+    }
+
     /** Unified metadata: (width, height, frames) with real parses for
       * recognized formats and [[FakeDecoder]] for everything else.
+      * BMFF reports (0, 0, whole seconds of movie duration).
       */
     def decode(kind: String, payload: Array[Byte]): (Long, Long, Long) =
       png(payload).map { case (w, h) => (w, h, 1L) }
+        .orElse(jpeg(payload).map { case (w, h) => (w, h, 1L) })
         .orElse(wav(payload).map { case (ch, rate, frames) => (ch, rate, frames) })
+        .orElse(bmff(payload).map { case (timescale, dur) =>
+          (0L, 0L, if (timescale > 0) dur / timescale else 0L)
+        })
         .getOrElse(FakeDecoder.decode(kind, payload))
   }
 

@@ -234,6 +234,44 @@ class OpsSpec extends AnyFunSuite {
       === Multimodal.FakeDecoder.decode("image", junk))
   }
 
+  test("multimodal header parsers: JPEG SOF dimensions and ISO-BMFF mvhd duration") {
+    // JPEG: SOI, APP0 segment (skipped), DHT (C4, must NOT match as SOF),
+    // then SOF0 with height=1080 width=1920
+    val j = new java.io.ByteArrayOutputStream()
+    j.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+    j.write(Array[Byte](0xff.toByte, 0xe0.toByte, 0, 8)); j.write(new Array[Byte](6)) // APP0
+    j.write(Array[Byte](0xff.toByte, 0xc4.toByte, 0, 4)); j.write(new Array[Byte](2)) // DHT
+    j.write(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8)) // SOF0 len=11 precision=8
+    j.write(Array[Byte](0x04, 0x38)) // height 1080
+    j.write(Array[Byte](0x07, 0x80.toByte)) // width 1920
+    j.write(new Array[Byte](4)) // components
+    assert(Multimodal.HeaderParsers.jpeg(j.toByteArray) === Some((1920L, 1080L)))
+    assert(Multimodal.HeaderParsers.decode("image", j.toByteArray) === ((1920L, 1080L, 1L)))
+    // BMFF: ftyp box, then moov > (free box, mvhd v0 timescale=600
+    // duration=4500 units = 7 whole seconds)
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length).put(typ.getBytes).put(content)
+      bb.array()
+    }
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+      .putInt(0)        // version 0 + flags
+      .putInt(0).putInt(0) // ctime mtime
+      .putInt(600)      // timescale
+      .putInt(4500)     // duration
+      .array()
+    val moov = box("moov", box("free", new Array[Byte](4)) ++ box("mvhd", mvhd))
+    val mp4 = box("ftyp", "isom0000".getBytes) ++ moov
+    assert(Multimodal.HeaderParsers.bmff(mp4) === Some((600L, 4500L)))
+    assert(Multimodal.HeaderParsers.decode("video", mp4) === ((0L, 0L, 7L)))
+    // truncated/corrupt BMFF never throws
+    for (cut <- Seq(3, 9, 17, mp4.length - 1))
+      Multimodal.HeaderParsers.bmff(java.util.Arrays.copyOf(mp4, cut))
+    // corrupt JPEG (length field past the end) never throws
+    Multimodal.HeaderParsers.jpeg(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0x7f, 0x7f))
+  }
+
   test("multimodal metadata matches the stub formula and batches per partition") {
     val media = Multimodal.payloadsFromText(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName === "binary")
