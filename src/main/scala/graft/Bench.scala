@@ -342,8 +342,11 @@ object Bench {
         // not the engine; 1 -> 4 stays under the knee
         val n1 = engineBench(1, engineRows, numParts)
         val n4 = engineBench(4, engineRows, numParts)
-        // the bandwidth ceiling the 2->8 legs run into, measured in-place
-        val bw = Seq(1, engineCpus / 4, 4, engineCpus).distinct.filter(_ >= 1)
+        // the bandwidth ceiling the 2->8 legs run into, measured in-place;
+        // probed past the engine's 8 threads so the box's saturation
+        // point is visible in the same output
+        val bw = Seq(1, engineCpus / 4, 4, engineCpus, 16, 32)
+          .distinct.filter(t => t >= 1 && t <= cpus)
           .map(t => s"mem_bw_gb_s_t$t" -> memBandwidth(t))
         Map(
           s"codec_melem_s_t${engineCpus / 4}" -> codecN,

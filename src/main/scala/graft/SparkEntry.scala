@@ -209,7 +209,9 @@ object SparkEntry {
 
     "d2_token_count" -> ((s, d) => {
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens_bpe"))
         .orderBy(col("doc_id"))
     }),
 
@@ -562,7 +564,8 @@ object SparkEntry {
 
     "d2_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens_bpe
          FROM documents ORDER BY doc_id""",
 
     "d3_quality" ->

@@ -15,6 +15,16 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword token count: letter runs are one token, every
+    * digit its own token, every other non-space character its own token
+    * — the shape of byte-pair vocabularies (cl100k splits numbers
+    * per-digit and rarely merges across character classes). One
+    * codegen'd regexp pass; the same pattern is ANSI-portable for the
+    * DuckDB oracle.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
   /** Quality-score components + a blended score in [0,1]:
     * alpha ratio, punctuation ratio, mean token length, stopword ratio.
     */
