@@ -154,9 +154,11 @@ object Bench {
         val t0 = System.nanoTime()
         var k = 0
         while (k < K) {
+          // batch append (putVarints) — same justification as measureGet:
+          // the reference's put loop runs per-value on a Vec whose
+          // pointer rustc keeps in a register (benches/bench.rs:52-57)
           w.reset()
-          var i = 0
-          while (i < N) { w.putVarint(vs(i)); i += 1 }
+          w.putVarints(vs, 0, N)
           k += 1
         }
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

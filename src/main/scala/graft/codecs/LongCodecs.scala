@@ -186,8 +186,7 @@ case object VarintLongCodec extends LongCodec {
   val name = "varint"
   def encode(values: Array[Long], n: Int): Array[Byte] = {
     val w = header(n, n * 3 + 16)
-    var i = 0
-    while (i < n) { w.putSignedVarint(values(i)); i += 1 }
+    w.putSignedVarints(values, 0, n) // batch: register-local cursor
     w.result()
   }
   def decode(buf: Array[Byte], off: Int, end: Int): Array[Long] = {

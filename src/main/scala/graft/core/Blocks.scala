@@ -37,6 +37,68 @@ final class BlockWriter(initialCapacity: Int = 4096) {
     */
   def putSignedVarint(v: Long): Unit = putVarint(PrefixVarInt.zigzagEncode(v))
 
+  /** Batch raw-varint append — the write-side twin of
+    * `BlockReader.readVarints`: the cursor lives in a LOCAL for the whole
+    * batch (one capacity test per value against a local limit instead of
+    * per-call `ensure` + field traffic), with the encode kernel inlined.
+    */
+  def putVarints(vs: Array[Long], off: Int, n: Int): Unit = {
+    var i = 0
+    var p = pos
+    var b = buf
+    while (i < n) {
+      if (p + PrefixVarInt.MaxLen > b.length) {
+        pos = p; ensure(PrefixVarInt.MaxLen); b = buf; p = pos
+      }
+      val raw = vs(off + i)
+      if (java.lang.Long.compareUnsigned(raw, PrefixVarInt.Max1ByteTag) <= 0) {
+        b(p) = raw.toByte
+        p += 1
+      } else {
+        val len = PrefixVarInt.len(raw)
+        if (len == 9) {
+          b(p) = -1 // 0xFF
+          PrefixVarInt.putLongBE(b, p + 1, raw)
+        } else {
+          PrefixVarInt.putLongBE(b, p,
+            (raw << ((8 - len) * 8)) | PrefixVarInt.TagPrefix64(len))
+        }
+        p += len
+      }
+      i += 1
+    }
+    pos = p
+  }
+
+  /** Batch zigzag-signed append, as [[putVarints]]. */
+  def putSignedVarints(vs: Array[Long], off: Int, n: Int): Unit = {
+    var i = 0
+    var p = pos
+    var b = buf
+    while (i < n) {
+      if (p + PrefixVarInt.MaxLen > b.length) {
+        pos = p; ensure(PrefixVarInt.MaxLen); b = buf; p = pos
+      }
+      val raw = PrefixVarInt.zigzagEncode(vs(off + i))
+      if (java.lang.Long.compareUnsigned(raw, PrefixVarInt.Max1ByteTag) <= 0) {
+        b(p) = raw.toByte
+        p += 1
+      } else {
+        val len = PrefixVarInt.len(raw)
+        if (len == 9) {
+          b(p) = -1 // 0xFF
+          PrefixVarInt.putLongBE(b, p + 1, raw)
+        } else {
+          PrefixVarInt.putLongBE(b, p,
+            (raw << ((8 - len) * 8)) | PrefixVarInt.TagPrefix64(len))
+        }
+        p += len
+      }
+      i += 1
+    }
+    pos = p
+  }
+
   def putByte(b: Int): Unit = { ensure(1); buf(pos) = b.toByte; pos += 1 }
 
   def putBytes(src: Array[Byte], off: Int, n: Int): Unit = {

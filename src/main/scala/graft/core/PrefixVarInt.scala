@@ -185,7 +185,7 @@ object PrefixVarInt {
     val w = Platform.getLong(src, Platform.BYTE_ARRAY_OFFSET + off)
     if (NATIVE_LE) java.lang.Long.reverseBytes(w) else w
   }
-  @inline private def putLongBE(dst: Array[Byte], off: Int, v: Long): Unit =
+  @inline private[core] def putLongBE(dst: Array[Byte], off: Int, v: Long): Unit =
     Platform.putLong(dst, Platform.BYTE_ARRAY_OFFSET + off,
       if (NATIVE_LE) java.lang.Long.reverseBytes(v) else v)
 

@@ -230,24 +230,34 @@ object Dedup {
                        threshold: Double = 0.95, planes: Int = 12,
                        tables: Int = 4, seed: Long = 42L): DataFrame = {
     graft.functions.CosineSim.register(df.sparkSession)
+    // persisted skinny (id, vector) — feeds bucketing once and the two
+    // verify joins; released below
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("tb",
-        explode(Similarity.lshTables(col("v"), dim, planes, tables, seed)))
-      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
-    val probed = v.withColumn("bucket",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ids-only bucket join, the minhashLsh discipline: vectors NEVER
+    // ride the (tbl, bucket) shuffle — at tables x (planes+1) probes a
+    // vector would otherwise cross the exchange hundreds of times
+    val bucketed = v.select(col("id"),
+        explode(Similarity.lshTables(col("v"), dim, planes, tables, seed)).as("tb"))
+      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+    val probed = bucketed.withColumn("bucket",
       explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p)))
         .map(f => col("bucket").bitwiseXOR(f)): _*)))
-    val l = probed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = v.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("tbl", "bucket"))
+    val cand = probed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // exact verify BEFORE the pair dedup: the dedup exchange carries
-      // (id_a, id_b, cos) — never the vectors — and the >= threshold
-      // filter prunes most candidates ahead of that shuffle
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // vectors join back exactly once per deduped candidate pair, then
+    // exact-cosine verify (precision 1.0 by construction)
+    val out = cand
+      .join(v.withColumnsRenamed(Map("id" -> "id_a", "v" -> "v_a")), Seq("id_a"))
+      .join(v.withColumnsRenamed(Map("id" -> "id_b", "v" -> "v_b")), Seq("id_b"))
       .withColumn("cos", graft.functions.CosineSim.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .dropDuplicates("id_a", "id_b")
+    materializeThenRelease(out, v)
   }
 }

@@ -124,4 +124,41 @@ class PlanSpec extends AnyFunSuite {
       assert(!e.child.output.exists(_.dataType.typeName.startsWith("array")),
         s"array column crosses the band shuffle: ${e.child.output.map(_.name)}")
   }
+
+  test("embedding near-dup: vectors never ride the bucket shuffle") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 16), j -> cast(hash(id, j) % 1000 AS float) / 1000.0)")
+        .as("embedding"))
+    val pairs = graft.ops.Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planes = 6, tables = 4)
+    try pairs.collect()
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    def allExchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
+      val self = p match { case e: ShuffleExchangeExec => Seq(e); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(t.relation.cachedPlan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(allExchanges)
+    }
+    val exchanges = allExchanges(pairs.queryExecution.executedPlan)
+    val bucketed = exchanges.filter(_.outputPartitioning.toString.contains("bucket"))
+    assert(bucketed.nonEmpty, "expected a (tbl, bucket) exchange in:\n" +
+      pairs.queryExecution.executedPlan.toString.take(1200))
+    for (e <- bucketed)
+      assert(!e.child.output.exists(_.dataType.typeName.startsWith("array")),
+        s"vector column crosses the bucket shuffle: ${e.child.output.map(_.name)}")
+  }
 }

@@ -115,6 +115,31 @@ class PrefixVarIntSpec extends AnyFunSuite {
     }
   }
 
+  test("batch putVarints/readVarints are byte- and value-identical to per-call loops") {
+    val rnd = new scala.util.Random(99)
+    // mixed length classes incl. growth across the initial capacity
+    val vs = Array.fill(5000)(rnd.nextLong() >>> rnd.nextInt(64))
+    val a = new BlockWriter(16) // forces several grow cycles mid-batch
+    a.putVarints(vs, 0, vs.length)
+    val b = new BlockWriter(16)
+    vs.foreach(b.putVarint)
+    assert(java.util.Arrays.equals(a.result(), b.result()),
+      "batch append must be byte-identical to per-call append")
+    val sa = new BlockWriter(16)
+    sa.putSignedVarints(vs, 0, vs.length)
+    val sb = new BlockWriter(16)
+    vs.foreach(sb.putSignedVarint)
+    assert(java.util.Arrays.equals(sa.result(), sb.result()))
+    // batch read matches per-call read
+    val r1 = new BlockReader(a.result())
+    val out = new Array[Long](vs.length)
+    assert(r1.readVarints(out, 0, vs.length) === vs.length)
+    assert(out.toSeq === vs.toSeq)
+    val so = new Array[Long](vs.length)
+    assert(new BlockReader(sa.result()).readSignedVarints(so, 0, vs.length) === vs.length)
+    assert(so.toSeq === vs.toSeq)
+  }
+
   test("randomized signed round-trip") {
     val rnd = new Random(0xcd)
     val w = new BlockWriter()
