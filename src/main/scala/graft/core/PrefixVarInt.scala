@@ -178,16 +178,10 @@ object PrefixVarInt {
   // decode hot loop (steady-state 200 -> 400 Melem/s) — the same reason
   // Tungsten row access goes through Platform. bswap (reverseBytes) is a
   // single instruction; the native-order test is a JIT-time constant.
-  private val NATIVE_LE: Boolean =
-    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
-  import org.apache.spark.unsafe.Platform
-  @inline private[core] def getLongBE(src: Array[Byte], off: Int): Long = {
-    val w = Platform.getLong(src, Platform.BYTE_ARRAY_OFFSET + off)
-    if (NATIVE_LE) java.lang.Long.reverseBytes(w) else w
-  }
+  @inline private[core] def getLongBE(src: Array[Byte], off: Int): Long =
+    Mem.getLongBE(src, off)
   @inline private[core] def putLongBE(dst: Array[Byte], off: Int, v: Long): Unit =
-    Platform.putLong(dst, Platform.BYTE_ARRAY_OFFSET + off,
-      if (NATIVE_LE) java.lang.Long.reverseBytes(v) else v)
+    Mem.putLongBE(dst, off, v)
 
   /** Fast multi-byte encode requiring ≥ MaxLen bytes of headroom at
     * dst(off) (the reference's fast-path contract, src/raw.rs:57-59):
