@@ -195,6 +195,29 @@ object Bench {
       if (sink == 42) println() // keep the loop live
       N.toLong * K / best / 1e6
     }
+    // len leg: the reference also publishes prefix_varint_len throughput
+    // (README "3G+ elem/s"; bench loop benches/bench.rs:80-88 sums len
+    // over the input array)
+    def measureLen(vs: Array[Long]): Double = {
+      var best = Double.MaxValue
+      var rep = 0
+      var sink = 0L
+      while (rep < 5) {
+        val t0 = System.nanoTime()
+        var k = 0
+        while (k < K) {
+          var acc = 0L
+          var i = 0
+          while (i < N) { acc += PrefixVarInt.len(vs(i)); i += 1 }
+          sink ^= acc
+          k += 1
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
+      }
+      if (sink == 42) println()
+      N.toLong * K / best / 1e6
+    }
     val one = genClass(1)
     val nine = genClass(9)
     // zipf mix over classes with the reference's weights
@@ -212,7 +235,10 @@ object Bench {
       "put_9byte_melem_s" -> measurePut(nine),
       "get_9byte_melem_s" -> measureGet(nine),
       "put_zipf_melem_s" -> measurePut(zipf),
-      "get_zipf_melem_s" -> measureGet(zipf))
+      "get_zipf_melem_s" -> measureGet(zipf),
+      "len_1byte_melem_s" -> measureLen(one),
+      "len_9byte_melem_s" -> measureLen(nine),
+      "len_zipf_melem_s" -> measureLen(zipf))
   }
 
   /** Pure-CPU codec scaling: T threads, each encoding+decoding its own
