@@ -74,7 +74,7 @@ object Similarity {
                 table: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val plane = hyperplane(seed, table * planes + p, dim)
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(asDouble(vec), planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -167,12 +167,12 @@ object Similarity {
     require(sample(0).length == dim,
       s"ivfTopK: dim=$dim but ${vecCol} has ${sample(0).length} components")
     val centroids = kmeans(sample, nlist, seed = seed)
-    def centDots(v: Column): Column = array(centroids.map { cent =>
+    def centDots(v: Column): Column = array(centroids.toIndexedSeq.map { cent =>
       // rank lists by squared L2 distance, expressed via dot products:
       // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2; |v|^2 is constant per row, so
       // maximize <v,c> - |c|^2/2
       val c2 = cent.map(x => x * x).sum / 2.0
-      dot(v, array(cent.map(lit): _*)) - lit(c2)
+      dot(v, array(cent.toIndexedSeq.map(lit): _*)) - lit(c2)
     }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("_scores", centDots(col("cv")))
