@@ -397,6 +397,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // the engine's layout as a DataSource V2 table: write via
+    // format("graft"), read back with column pruning AND a pushed filter
+    // (zone-map container skipping + row-level enforcement) — the oracle
+    // sees none of that machinery, so any pruning/pushdown defect breaks
+    // the aggregate
+    "c4_datasource_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "documents").select(
+        concat(lit("repo/"), col("source")).as("repo"),
+        concat(lit("docs/doc_"), col("doc_id")).as("path"),
+        concat(lit("c"), col("doc_id")).as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.engine.SourceFile]
+      val dir = java.nio.file.Files.createTempDirectory("graft-c4").toString
+      graft.engine.ColumnarEngine.derive(src)
+        .write.format("graft").mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("len_content") >= 200L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len_content")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "c2_roundtrip_check" -> ((s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem")
@@ -651,6 +674,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "c4_datasource_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents WHERE length(text) >= 200 GROUP BY 1 ORDER BY 1""",
 
     "s1_sessionize" ->
       """WITH e AS (SELECT user_id, ts, event_id, value,

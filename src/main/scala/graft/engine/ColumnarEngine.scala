@@ -18,7 +18,8 @@ final case class DerivedRow(
     repo_code: Long, lang_code: Long, path_code: Long)
 
 final case class ColumnMetric(column: String, codec: String,
-    rawBytes: Long, encodedBytes: Long)
+    rawBytes: Long, encodedBytes: Long,
+    minVal: Long = 0L, maxVal: Long = 0L, hasRange: Boolean = false)
 
 /** Per-partition manifest: lineage + metrics + integrity digest. Presence
   * of the manifest file is the partition's commit marker for
@@ -189,23 +190,38 @@ object ColumnarEngine {
   private def encodePartition(part: Int, it: Iterator[DerivedRow],
                               outDir: String,
                               conf: org.apache.hadoop.conf.Configuration): PartManifest = {
-    val w = new BlockWriter(1 << 20)
+    val e = new PartitionEncoder(part, outDir, conf)
+    while (it.hasNext) e.add(it.next())
+    e.finish()
+  }
+
+  /** Push-style single-partition encoder: `add` rows (chunks flush at the
+    * same thresholds as the pull path), `finish` commits the container +
+    * manifest atomically. Shared by the `mapPartitions` encode job and
+    * the `graft` DataSource V2 writer, so neither buffers more than one
+    * chunk beyond the flush thresholds.
+    */
+  private[graft] final class PartitionEncoder(
+      part: Int, outDir: String,
+      conf: org.apache.hadoop.conf.Configuration) {
+    private val w = new BlockWriter(1 << 20)
     w.putBytes(Magic)
     w.putVarint(part.toLong)
-    val sha = java.security.MessageDigest.getInstance("SHA-256")
-    val partDigest = java.security.MessageDigest.getInstance("SHA-256")
-    val colMetrics = new java.util.LinkedHashMap[String, Array[Long]]() // name -> (raw, enc) per codec name key
-    val codecByCol = new java.util.LinkedHashMap[String, String]()
-    var rows = 0L
-    var chunks = 0
-    var rawTotal = 0L
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
+    private val partDigest = java.security.MessageDigest.getInstance("SHA-256")
+    // name -> (raw, enc, min, max, hasRange)
+    private val colMetrics = new java.util.LinkedHashMap[String, Array[Long]]()
+    private val codecByCol = new java.util.LinkedHashMap[String, String]()
+    private var rows = 0L
+    private var chunks = 0
+    private var rawTotal = 0L
 
-    val bufRows = new scala.collection.mutable.ArrayBuffer[DerivedRow](ChunkRows)
-    var bufBytes = 0L
+    private val bufRows = new scala.collection.mutable.ArrayBuffer[DerivedRow](ChunkRows)
+    private var bufBytes = 0L
     // FSST training amortized across this partition's chunks, per column
-    val fsstStates = new java.util.HashMap[String, StringCodecs.FsstState]()
+    private val fsstStates = new java.util.HashMap[String, StringCodecs.FsstState]()
 
-    def flushChunk(): Unit = {
+    private def flushChunk(): Unit = {
       if (bufRows.isEmpty) return
       val n = bufRows.length
       chunks += 1
@@ -223,7 +239,8 @@ object ColumnarEngine {
       val digest = chunkSha.digest()
 
       def writeCol(name: String, kind: Int, block: Array[Byte],
-                   codecName: String, raw: Long): Unit = {
+                   codecName: String, raw: Long,
+                   min: Long = 0L, max: Long = 0L, hasRange: Boolean = false): Unit = {
         val nb = name.getBytes(UTF_8)
         w.putVarint(nb.length.toLong)
         w.putBytes(nb)
@@ -231,9 +248,15 @@ object ColumnarEngine {
         w.putVarint(block.length.toLong)
         w.putBytes(block)
         rawTotal += raw
-        val m = colMetrics.computeIfAbsent(name, _ => Array(0L, 0L))
+        val m = colMetrics.computeIfAbsent(name,
+          _ => Array(0L, 0L, Long.MaxValue, Long.MinValue, 0L))
         m(0) += raw
         m(1) += block.length
+        if (hasRange) { // per-partition zone map: min/max across chunks
+          if (min < m(2)) m(2) = min
+          if (max > m(3)) m(3) = max
+          m(4) = 1L
+        }
         codecByCol.merge(name, codecName, (a, b) => if (a == b) a else s"$a+$b")
       }
 
@@ -250,7 +273,8 @@ object ColumnarEngine {
         fillLongs(get)
         val st = LongCodecs.stats(longs, n)
         val codec = LongCodecs.select(st)
-        writeCol(name, 0, codec.encode(longs, n), codec.name, 8L * n)
+        writeCol(name, 0, codec.encode(longs, n), codec.name, 8L * n,
+          st.min, st.max, hasRange = true)
       }
       val strs = new Array[String](n)
       def fillStrs(get: DerivedRow => String): Unit = {
@@ -273,12 +297,13 @@ object ColumnarEngine {
       bufBytes = 0L
     }
 
-    while (it.hasNext) {
-      val r = it.next()
+    def add(r: DerivedRow): Unit = {
       bufRows += r
       bufBytes += r.content.length
       if (bufRows.length >= ChunkRows || bufBytes >= ChunkContentBytes) flushChunk()
     }
+
+    def finish(): PartManifest = {
     flushChunk()
 
     val digestHex = partDigest.digest().map(b => f"$b%02x").mkString
@@ -293,7 +318,10 @@ object ColumnarEngine {
     val cols = {
       val b = Seq.newBuilder[ColumnMetric]
       colMetrics.forEach { (name, m) =>
-        b += ColumnMetric(name, codecByCol.get(name), m(0), m(1))
+        b += ColumnMetric(name, codecByCol.get(name), m(0), m(1),
+          minVal = if (m(4) == 1L) m(2) else 0L,
+          maxVal = if (m(4) == 1L) m(3) else 0L,
+          hasRange = m(4) == 1L)
       }
       b.result()
     }
@@ -302,13 +330,16 @@ object ColumnarEngine {
       skipped = false, digestHex, cols)
     writeManifestJson(outDir, manifest, conf)
     manifest
+    }
   }
 
   private def writeManifestJson(outDir: String, m: PartManifest,
                                 conf: org.apache.hadoop.conf.Configuration): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val cols = m.columns.map(c =>
-      s"""{"column":${q(c.column)},"codec":${q(c.codec)},"rawBytes":${c.rawBytes},"encodedBytes":${c.encodedBytes}}"""
+      s"""{"column":${q(c.column)},"codec":${q(c.codec)},"rawBytes":${c.rawBytes},""" +
+      s""""encodedBytes":${c.encodedBytes},"minVal":${c.minVal},"maxVal":${c.maxVal},""" +
+      s""""hasRange":${c.hasRange}}"""
     ).mkString("[", ",", "]")
     val json =
       s"""{"part":${m.part},"rows":${m.rows},"chunks":${m.chunks},"rawBytes":${m.rawBytes},""" +

@@ -20,8 +20,10 @@ import org.apache.spark.sql.SparkSession
 object ContainerIO {
 
   /** Serializable snapshot of the session's Hadoop configuration. */
-  def confSnapshot(spark: SparkSession): Map[String, String] = {
-    val c = spark.sparkContext.hadoopConfiguration
+  def confSnapshot(spark: SparkSession): Map[String, String] =
+    confSnapshot(spark.sparkContext.hadoopConfiguration)
+
+  def confSnapshot(c: Configuration): Map[String, String] = {
     val it = c.iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
