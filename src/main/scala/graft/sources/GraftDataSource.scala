@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -177,9 +177,40 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
 class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 confKv: Map[String, String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Manifest-derived table statistics, so Catalyst/AQE can size joins
+    * (e.g. auto-broadcast a small graft table) without scanning it.
+    * Conservative: raw (decoded) bytes, summed over ADMITTED containers
+    * only — zone-map skipping shrinks the estimate with the filters.
+    */
+  override def estimateStatistics(): Statistics = {
+    val conf = ContainerIO.confFrom(confKv)
+    var rows = 0L
+    var bytes = 0L
+    var any = false
+    ContainerIO.listNames(conf, s"$path/manifests")
+      .filter(n => n.startsWith("part-") && n.endsWith(".json")).foreach { n =>
+        val json = new String(ContainerIO.readAll(conf, s"$path/manifests/$n"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (GraftDataSource.admit(GraftDataSource.zoneMaps(json), filters.toSeq)) {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(json)
+          rows += root.get("rows").asLong(0L)
+          bytes += root.get("rawBytes").asLong(0L)
+          any = true
+        }
+      }
+    val (r, b) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (any) java.util.OptionalLong.of(b) else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (any) java.util.OptionalLong.of(r) else java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"graft $path, ReadSchema: ${required.fieldNames.mkString(",")}, " +

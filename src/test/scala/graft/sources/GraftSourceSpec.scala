@@ -83,6 +83,23 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftDataSource.admit(r, Seq(EqualTo("y", 99L))))
   }
 
+  test("scan reports manifest statistics; filters shrink the estimate") {
+    import spark.implicits._
+    val df = spark.read.format("graft").load(dir)
+    df.collect()
+    val st = graftScan(df).estimateStatistics()
+    assert(st.numRows().getAsLong === 600L, "numRows must come from manifests")
+    assert(st.sizeInBytes().getAsLong > 0L)
+    val all = spark.read.format("graft").load(dir)
+      .select("hash64").as[Long].collect().sorted
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("hash64") > all(all.length / 2))
+    filtered.collect()
+    val st2 = graftScan(filtered).estimateStatistics()
+    assert(st2.numRows().getAsLong < 600L,
+      "zone-map-skipped containers must leave the row estimate")
+  }
+
   test("append into a non-empty graft table is refused (part-id collision)") {
     val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 60, 2))
     val e = intercept[Exception] {
