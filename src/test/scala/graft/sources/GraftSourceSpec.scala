@@ -100,6 +100,20 @@ class GraftSourceSpec extends AnyFunSuite {
       "zone-map-skipped containers must leave the row estimate")
   }
 
+  test("SQL surface: CREATE TABLE USING graft, pushdown visible in EXPLAIN") {
+    spark.sql("DROP TABLE IF EXISTS graft_sql_t")
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_sql_t")
+        .collect()(0).getLong(0) === 600L)
+      val plan = spark.sql(
+        "EXPLAIN SELECT lang FROM graft_sql_t WHERE hash64 > 0")
+        .collect()(0).getString(0)
+      assert(plan.contains("ReadSchema: lang"), plan.take(500))
+      assert(plan.contains("PushedFilters: [GreaterThan(hash64,0)]"), plan.take(500))
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
   test("append into a non-empty graft table is refused (part-id collision)") {
     val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 60, 2))
     val e = intercept[Exception] {
