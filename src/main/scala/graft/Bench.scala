@@ -350,11 +350,18 @@ object Bench {
 
     val scaling: Map[String, Double] =
       if (sys.env.get("SPARK_GRAFT_SCALING").contains("1")) {
-        // the first engineBench above doubled as JIT warmup; measure the
-        // small-parallelism run, then re-measure the large one so both
-        // execute with warmed code (and report the warmed numbers)
-        val small = engineBench(math.max(engineCpus / 4, 1), engineRows, numParts)
+        // the first engineBench above doubled as JIT warmup. This VM's
+        // available CPU DRIFTS over a multi-minute run (later legs have
+        // measured 2x slower on identical work), so each scaling pair is
+        // measured as a small/large/small SANDWICH with the best small
+        // leg kept: monotone drift then biases efficiency DOWN at worst,
+        // never up, and a clean window recovers the true pairing
+        def best(a: Map[String, Double], b: Map[String, Double]): Map[String, Double] =
+          a.map { case (k, v) => k -> math.max(v, b(k)) }
+        val smallA = engineBench(math.max(engineCpus / 4, 1), engineRows, numParts)
         val large = engineBench(engineCpus, engineRows, numParts)
+        val small = best(smallA,
+          engineBench(math.max(engineCpus / 4, 1), engineRows, numParts))
         engine = large
         val effEnc = (large("encode_rows_per_s") / small("encode_rows_per_s")) / 4.0
         val effDec = (large("decode_rows_per_s") / small("decode_rows_per_s")) / 4.0
@@ -368,8 +375,9 @@ object Bench {
         // bandwidth saturates near 8 busy threads for string-heavy decode
         // (BASELINE.md), so the 2 -> 8 pair measures the box's ceiling,
         // not the engine; 1 -> 4 stays under the knee
-        val n1 = engineBench(1, engineRows, numParts)
+        val n1a = engineBench(1, engineRows, numParts)
         val n4 = engineBench(4, engineRows, numParts)
+        val n1 = best(n1a, engineBench(1, engineRows, numParts))
         // the bandwidth ceiling the 2->8 legs run into, measured in-place;
         // probed past the engine's 8 threads so the box's saturation
         // point is visible in the same output
