@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -147,12 +148,48 @@ class GraftTable(path: String) extends Table with SupportsRead with SupportsWrit
 
 // ------------------------------------------------------------------- read
 
+/** One fully-pushed aggregate, answered from the manifests alone. */
+private[sources] sealed trait GraftAgg
+private[sources] case object CountStarAgg extends GraftAgg
+private[sources] final case class MinAgg(col: String) extends GraftAgg
+private[sources] final case class MaxAgg(col: String) extends GraftAgg
+
 class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = GraftDataSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Option[Seq[GraftAgg]] = None
+
+  private def fieldName(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** COUNT(*)/MIN/MAX over integer columns, ungrouped and unfiltered,
+    * translate to manifest lookups (row counts + zone maps are EXACT);
+    * anything else stays in Spark.
+    */
+  private def translate(agg: Aggregation): Option[Seq[GraftAgg]] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountStarAgg)
+      case m: Min => fieldName(m.column).filter(GraftDataSource.longCols).map(MinAgg)
+      case m: Max => fieldName(m.column).filter(GraftDataSource.longCols).map(MaxAgg)
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggs = some; true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs one column to drive
@@ -170,10 +207,85 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(path, required, pushed,
-    ContainerIO.confSnapshot(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+  override def build(): Scan = {
+    val confKv = ContainerIO.confSnapshot(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    aggs match {
+      case Some(specs) => new GraftAggScan(path, specs, confKv)
+      case None => new GraftScan(path, required, pushed, confKv)
+    }
+  }
 }
+
+/** Completely-pushed aggregate scan: the answer comes from the
+  * manifests (exact row counts and per-column zone maps), so the query
+  * never opens a container. Emits exactly one row.
+  */
+class GraftAggScan(path: String, specs: Seq[GraftAgg],
+                   confKv: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(specs.map {
+    case CountStarAgg => StructField("count_star", LongType, nullable = false)
+    case MinAgg(c) => StructField(s"min_$c", LongType, nullable = true)
+    case MaxAgg(c) => StructField(s"max_$c", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $path, PushedAggregates: [${specs.mkString(", ")}] (manifest-answered)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = ContainerIO.confFrom(confKv)
+    var rows = 0L
+    var mins = Map.empty[String, Long]
+    var maxs = Map.empty[String, Long]
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    ContainerIO.listNames(conf, s"$path/manifests")
+      .filter(n => n.startsWith("part-") && n.endsWith(".json")).foreach { n =>
+        val json = new String(ContainerIO.readAll(conf, s"$path/manifests/$n"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        rows += om.readTree(json).get("rows").asLong(0L)
+        GraftDataSource.zoneMaps(json).foreach { case (c, (lo, hi)) =>
+          mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
+          maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
+        }
+      }
+    val values: Array[Any] = specs.map {
+      case CountStarAgg => java.lang.Long.valueOf(rows)
+      case MinAgg(c) => mins.get(c).map(java.lang.Long.valueOf).orNull
+      case MaxAgg(c) => maxs.get(c).map(java.lang.Long.valueOf).orNull
+    }.toArray
+    Array(GraftAggPartition(values.map {
+      case null => null
+      case l: java.lang.Long => l.longValue()
+    }))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[GraftAggPartition].values
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(vals.length)
+            var i = 0
+            while (i < vals.length) {
+              vals(i) match {
+                case null => row.setNullAt(i)
+                case l: Long => row.setLong(i, l)
+                case other => row.update(i, other)
+              }
+              i += 1
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 confKv: Map[String, String])

@@ -100,6 +100,36 @@ class GraftSourceSpec extends AnyFunSuite {
       "zone-map-skipped containers must leave the row estimate")
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from manifests, no container opened") {
+    val df = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), min("hash64").as("mn"), max("len_content").as("mx"))
+    val got = df.collect()(0)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty && scans.head.isInstanceOf[GraftAggScan],
+      "ungrouped COUNT/MIN/MAX must plan the manifest-answered scan:\n" +
+        df.queryExecution.executedPlan.toString.take(800))
+    val want = ColumnarEngine.decode(spark, dir).toDF()
+      .agg(count(lit(1)), min("hash64"), max("len_content")).collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(2) === want.getLong(2))
+    // grouped / filtered / string aggregates must NOT push (stay exact)
+    val grouped = spark.read.format("graft").load(dir)
+      .groupBy("lang").agg(count(lit(1)))
+    val gScans = grouped.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(gScans.forall(!_.isInstanceOf[GraftAggScan]),
+      "grouped aggregates must not be manifest-answered")
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("hash64") > 0L).agg(count(lit(1))).collect()(0).getLong(0)
+    val filteredWant = ColumnarEngine.decode(spark, dir).toDF()
+      .filter(col("hash64") > 0L).count()
+    assert(filtered === filteredWant, "filtered count must bypass the manifest path")
+  }
+
   test("SQL surface: CREATE TABLE USING graft, pushdown visible in EXPLAIN") {
     spark.sql("DROP TABLE IF EXISTS graft_sql_t")
     spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$dir')")
