@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -156,11 +156,19 @@ private[sources] final case class MaxAgg(col: String) extends GraftAgg
 
 class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = GraftDataSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[GraftAgg]] = None
+  private var limit: Int = Int.MaxValue
+
+  // PARTIALLY pushed: each reader stops decoding after `limit` surviving
+  // rows (chunks after the cut are never decoded), Spark applies the
+  // global limit across partitions
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
 
   private def fieldName(e: Expression): Option[String] = e match {
     case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
@@ -212,7 +220,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
-      case None => new GraftScan(path, required, pushed, confKv)
+      case None => new GraftScan(path, required, pushed, confKv, limit)
     }
   }
 }
@@ -288,7 +296,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftScan(path: String, required: StructType, filters: Array[Filter],
-                confKv: Map[String, String])
+                confKv: Map[String, String], limit: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -326,7 +334,8 @@ class GraftScan(path: String, required: StructType, filters: Array[Filter],
 
   override def description(): String =
     s"graft $path, ReadSchema: ${required.fieldNames.mkString(",")}, " +
-      s"PushedFilters: [${filters.mkString(", ")}]"
+      s"PushedFilters: [${filters.mkString(", ")}]" +
+      (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = ContainerIO.confFrom(confKv)
@@ -347,17 +356,18 @@ class GraftScan(path: String, required: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, filters, confKv)
+    new GraftReaderFactory(required, filters, confKv, limit)
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
-                         confKv: Map[String, String])
+                         confKv: Map[String, String], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, required, filters, confKv)
+      partition.asInstanceOf[GraftInputPartition].file, required, filters,
+      confKv, limit)
 }
 
 /** Decodes one container, emitting only the pruned columns; non-selected
@@ -366,7 +376,8 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
   * projected).
   */
 class GraftPartitionReader(file: String, required: StructType,
-                           filters: Array[Filter], confKv: Map[String, String])
+                           filters: Array[Filter], confKv: Map[String, String],
+                           limit: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
@@ -377,9 +388,11 @@ class GraftPartitionReader(file: String, required: StructType,
     decodeProjected(bytes)
   }
   private var cur: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean =
-    if (it.hasNext) { cur = it.next(); true } else false
+    if (emitted < limit && it.hasNext) { cur = it.next(); emitted += 1; true }
+    else false
   override def get(): InternalRow = cur
   override def close(): Unit = ()
 

@@ -144,6 +144,17 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_sql_t")
   }
 
+  test("limit pushdown: readers stop early, global limit stays exact") {
+    val df = spark.read.format("graft").load(dir).limit(7)
+    assert(df.count() === 7)
+    val scan = graftScan(spark.read.format("graft").load(dir).limit(7))
+    assert(scan.description().contains("PushedLimit: 7"), scan.description())
+    // limit composed with a pushed filter counts SURVIVING rows
+    val f = spark.read.format("graft").load(dir)
+      .filter(col("len_content") >= 0L).limit(5)
+    assert(f.count() === 5)
+  }
+
   test("append into a non-empty graft table is refused (part-id collision)") {
     val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 60, 2))
     val e = intercept[Exception] {
