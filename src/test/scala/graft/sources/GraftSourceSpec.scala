@@ -163,6 +163,16 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("overwrite"), e.getMessage)
   }
 
+  test("aggregate pushdown over an empty table: count 0, null min/max") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-empty").toString
+    graft.engine.ContainerIO.mkdirs(graft.engine.ContainerIO.localConf(), s"$d/blocks")
+    graft.engine.ContainerIO.mkdirs(graft.engine.ContainerIO.localConf(), s"$d/manifests")
+    val r = spark.read.format("graft").load(d)
+      .agg(count(lit(1)), min("hash64")).collect()(0)
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1), "min over an empty table must be null")
+  }
+
   test("overwrite replaces the table") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-ow").toString
     val a = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
