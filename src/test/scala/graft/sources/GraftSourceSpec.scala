@@ -173,6 +173,46 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(r.isNullAt(1), "min over an empty table must be null")
   }
 
+  test("fuzz: bit-flipped/truncated containers never crash the DSv2 reader") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val conf = graft.engine.ContainerIO.localConf()
+    val block = graft.engine.ContainerIO
+      .listNames(conf, s"$dir/blocks").filter(_.endsWith(".gblk")).head
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/blocks/$block"))
+    val tmp = java.nio.file.Files.createTempFile("graft-dsv2-fuzz", ".gblk")
+    val schema = StructType(Seq(StructField("repo", StringType),
+      StructField("hash64", LongType)))
+    def controlled(ctx: String)(f: => Any): Unit =
+      try { f; () }
+      catch {
+        case _: graft.core.DecodeError => ()
+        case _: IllegalArgumentException => () // require-failure
+        case e: Throwable =>
+          fail(s"uncontrolled ${e.getClass.getName}: ${e.getMessage} on $ctx", e)
+      }
+    val rnd = new scala.util.Random(13)
+    var k = 0
+    while (k < 300) {
+      val m = bytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      java.nio.file.Files.write(tmp, m)
+      controlled(s"reader mut $k") {
+        val r = new GraftPartitionReader(tmp.toString, schema,
+          Array.empty, Map.empty)
+        while (r.next()) r.get()
+      }
+      val cut = 1 + rnd.nextInt(bytes.length)
+      java.nio.file.Files.write(tmp, java.util.Arrays.copyOf(bytes, cut))
+      controlled(s"reader trunc $k") {
+        val r = new GraftPartitionReader(tmp.toString, schema,
+          Array.empty, Map.empty)
+        while (r.next()) r.get()
+      }
+      k += 1
+    }
+  }
+
   test("overwrite replaces the table") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-ow").toString
     val a = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
