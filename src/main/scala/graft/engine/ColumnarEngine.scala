@@ -1,5 +1,7 @@
 package graft.engine
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,13 +23,19 @@ final case class ColumnMetric(column: String, codec: String,
     rawBytes: Long, encodedBytes: Long,
     minVal: Long = 0L, maxVal: Long = 0L, hasRange: Boolean = false)
 
-/** Per-partition manifest: lineage + metrics + integrity digest. Presence
-  * of the manifest file is the partition's commit marker for
-  * checkpoint-resume.
+/** Per-partition manifest: lineage + metrics + integrity digest + the
+  * per-chunk index ([[ChunkStats]]: byte ranges, zone maps, block CRCs).
+  * Presence of the manifest file is the partition's commit marker for
+  * checkpoint-resume AND for every read path (orphan containers from
+  * failed attempts are invisible). `name` is the block-file suffix
+  * (`blocks/part-<name>.gblk`): the numeric part id for the engine encode
+  * job, `<epoch>-<part>` for DataSource V2 writes so appends never
+  * collide.
   */
 final case class PartManifest(part: Int, rows: Long, chunks: Int,
     rawBytes: Long, encodedBytes: Long, skipped: Boolean,
-    digest: String, columns: Seq[ColumnMetric])
+    digest: String, columns: Seq[ColumnMetric],
+    name: String = "", chunkIndex: Seq[ChunkStats] = Nil)
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *
@@ -45,7 +53,15 @@ object ColumnarEngine {
 
   final val Magic = "GBLK1".getBytes(UTF_8)
   final val ChunkRows = 65536
-  final val ChunkContentBytes = 32L << 20 // flush chunk at 32 MiB of content
+  final val ChunkContentBytes = 32L << 20 // flush chunk at 32 MiB of string chars
+
+  /** Cap on one string value (chars). Together with the chunk flush
+    * threshold this bounds every encoded block under the streaming
+    * reader's buffer cap ([[graft.sources.ContainerFormat.MaxBlockBytes]]).
+    * Source files beyond this belong in chunked/out-of-row storage, not a
+    * single table cell.
+    */
+  final val MaxValueChars: Int = 10 << 20
 
   val longColumns: Seq[String] =
     Seq("len_content", "hash64", "commit_ord", "repo_code", "lang_code", "path_code")
@@ -170,6 +186,10 @@ object ColumnarEngine {
           encodePartition(part, it, out, ContainerIO.confFrom(confB.value)))
       }
       .collect()
+    // consolidated manifest index: query planning over this table becomes
+    // ONE driver read instead of O(partitions); rewritten on every encode
+    // (including resumed runs) from the committed manifests on disk
+    Manifests.consolidate(dconf, outDir)
     manifests.sortBy(_.part)
   }
 
@@ -203,7 +223,12 @@ object ColumnarEngine {
     */
   private[graft] final class PartitionEncoder(
       part: Int, outDir: String,
-      conf: org.apache.hadoop.conf.Configuration) {
+      conf: org.apache.hadoop.conf.Configuration,
+      partName: String = null,
+      chunkRowsCap: Int = ChunkRows) {
+    require(chunkRowsCap >= 1, s"chunkRowsCap must be >= 1: $chunkRowsCap")
+    /** Block-file suffix; epoch-qualified for DSv2 writes (append-safe). */
+    val name: String = if (partName == null) part.toString else partName
     private val w = new BlockWriter(1 << 20)
     w.putBytes(Magic)
     w.putVarint(part.toLong)
@@ -212,6 +237,7 @@ object ColumnarEngine {
     // name -> (raw, enc, min, max, hasRange)
     private val colMetrics = new java.util.LinkedHashMap[String, Array[Long]]()
     private val codecByCol = new java.util.LinkedHashMap[String, String]()
+    private val chunkIndex = Seq.newBuilder[ChunkStats]
     private var rows = 0L
     private var chunks = 0
     private var rawTotal = 0L
@@ -226,6 +252,11 @@ object ColumnarEngine {
       val n = bufRows.length
       chunks += 1
       rows += n
+      val chunkStart = w.size.toLong
+      var chunkLongRanges = Map.empty[String, (Long, Long)]
+      var chunkStrDicts = Map.empty[String, Seq[String]]
+      var chunkStrRanges = Map.empty[String, (String, String)]
+      var chunkCrcs = Map.empty[String, Long]
       w.putVarint(n.toLong)
       w.putVarint((longColumns.size + stringColumns.size).toLong)
       // per-row content sha256 -> chunk digest
@@ -247,6 +278,8 @@ object ColumnarEngine {
         w.putByte(kind)
         w.putVarint(block.length.toLong)
         w.putBytes(block)
+        chunkCrcs = chunkCrcs.updated(name, Manifests.crc32c(block))
+        if (hasRange) chunkLongRanges = chunkLongRanges.updated(name, (min, max))
         rawTotal += raw
         val m = colMetrics.computeIfAbsent(name,
           _ => Array(0L, 0L, Long.MaxValue, Long.MinValue, 0L))
@@ -290,63 +323,109 @@ object ColumnarEngine {
         val (codec, block) = StringCodecs.encodeBest(strs, n, st,
           fsstStates.computeIfAbsent(name, _ => new StringCodecs.FsstState))
         writeCol(name, 1, block, codec.name, st.totalBytes)
+        val (dict, range) = strZoneStats(strs, n)
+        dict.foreach(d => chunkStrDicts = chunkStrDicts.updated(name, d))
+        range.foreach(r => chunkStrRanges = chunkStrRanges.updated(name, r))
       }
       w.putBytes(digest)
       partDigest.update(digest)
+      chunkIndex += ChunkStats(chunkStart, w.size.toLong - chunkStart, n,
+        chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs)
       bufRows.clear()
       bufBytes = 0L
     }
 
-    def add(r: DerivedRow): Unit = {
-      bufRows += r
-      bufBytes += r.content.length
-      if (bufRows.length >= ChunkRows || bufBytes >= ChunkContentBytes) flushChunk()
-    }
-
-    def finish(): PartManifest = {
-    flushChunk()
-
-    val digestHex = partDigest.digest().map(b => f"$b%02x").mkString
-    if (rows > 0) {
-      // tmp name carries the task ATTEMPT id: two attempts of the same
-      // partition (speculation, or a retry racing a zombie task) must
-      // never interleave writes into one tmp file before the atomic rename
-      ContainerIO.writeAtomic(conf,
-        s"$outDir/blocks/.tmp-part-$part-a$attemptId",
-        s"$outDir/blocks/part-$part.gblk", w.result())
-    }
-    val cols = {
-      val b = Seq.newBuilder[ColumnMetric]
-      colMetrics.forEach { (name, m) =>
-        b += ColumnMetric(name, codecByCol.get(name), m(0), m(1),
-          minVal = if (m(4) == 1L) m(2) else 0L,
-          maxVal = if (m(4) == 1L) m(3) else 0L,
-          hasRange = m(4) == 1L)
+    /** String zone stats for one chunk: a complete distinct-value set when
+      * the column is enum-shaped (<= StrDictCap values, each <=
+      * StrValueCap chars), and a (min, max) range only when every value is
+      * pure ASCII and short — proofs, never guesses (see [[Manifests]]).
+      * Length caps short-circuit first, so wide columns (content) cost
+      * O(1) per value here.
+      */
+    private def strZoneStats(vals: Array[String], n: Int)
+        : (Option[Seq[String]], Option[(String, String)]) = {
+      val seen = new java.util.LinkedHashSet[String]()
+      var dictOk = true
+      var rangeOk = true
+      var min: String = null
+      var max: String = null
+      var i = 0
+      while (i < n && (dictOk || rangeOk)) {
+        val v = vals(i)
+        if (v.length > Manifests.StrValueCap) { dictOk = false; rangeOk = false }
+        else {
+          if (dictOk) {
+            seen.add(v)
+            if (seen.size > Manifests.StrDictCap) dictOk = false
+          }
+          if (rangeOk) {
+            var j = 0
+            while (rangeOk && j < v.length) {
+              if (v.charAt(j) >= 0x80) rangeOk = false
+              j += 1
+            }
+            if (rangeOk) {
+              if (min == null || v.compareTo(min) < 0) min = v
+              if (max == null || v.compareTo(max) > 0) max = v
+            }
+          }
+        }
+        i += 1
       }
-      b.result()
+      (if (dictOk && i == n) Some(seen.iterator().asScala.toSeq.sorted) else None,
+       if (rangeOk && i == n && min != null) Some((min, max)) else None)
     }
-    val encTotal = cols.map(_.encodedBytes).sum
-    val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
-      skipped = false, digestHex, cols)
-    writeManifestJson(outDir, manifest, conf)
-    manifest
-    }
-  }
 
-  private def writeManifestJson(outDir: String, m: PartManifest,
-                                conf: org.apache.hadoop.conf.Configuration): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val cols = m.columns.map(c =>
-      s"""{"column":${q(c.column)},"codec":${q(c.codec)},"rawBytes":${c.rawBytes},""" +
-      s""""encodedBytes":${c.encodedBytes},"minVal":${c.minVal},"maxVal":${c.maxVal},""" +
-      s""""hasRange":${c.hasRange}}"""
-    ).mkString("[", ",", "]")
-    val json =
-      s"""{"part":${m.part},"rows":${m.rows},"chunks":${m.chunks},"rawBytes":${m.rawBytes},""" +
-      s""""encodedBytes":${m.encodedBytes},"digest":${q(m.digest)},"columns":$cols}"""
-    ContainerIO.writeAtomic(conf,
-      s"$outDir/manifests/.tmp-part-${m.part}-a$attemptId",
-      s"$outDir/manifests/part-${m.part}.json", json.getBytes(UTF_8))
+    def add(r: DerivedRow): Unit = {
+      require(r.content.length <= MaxValueChars && r.repo.length <= MaxValueChars &&
+        r.path.length <= MaxValueChars && r.commit.length <= MaxValueChars &&
+        r.lang.length <= MaxValueChars,
+        s"string value exceeds MaxValueChars ($MaxValueChars) in partition $part")
+      bufRows += r
+      // ALL string bytes count toward the flush threshold (not just
+      // content): that is what bounds every encoded block under the
+      // streaming reader's 64 MiB buffer cap even on wide-path tables
+      bufBytes += r.content.length + r.repo.length + r.path.length +
+        r.commit.length + r.lang.length
+      if (bufRows.length >= chunkRowsCap || bufBytes >= ChunkContentBytes) flushChunk()
+    }
+
+    def finish(): PartManifest = finish(publishManifest = true)
+
+    /** Flush, write the container, and build the manifest. The engine
+      * encode job publishes the manifest here (partition-granular commit);
+      * the DSv2 writer passes `publishManifest = false` and defers
+      * publication to JOB commit ([[graft.sources.GraftBatchWrite]]) so a
+      * failed/killed write job never exposes a partial table.
+      */
+    def finish(publishManifest: Boolean): PartManifest = {
+      flushChunk()
+
+      val digestHex = partDigest.digest().map(b => f"$b%02x").mkString
+      if (rows > 0) {
+        // tmp name carries the task ATTEMPT id: two attempts of the same
+        // partition (speculation, or a retry racing a zombie task) must
+        // never interleave writes into one tmp file before the atomic rename
+        ContainerIO.writeAtomic(conf,
+          s"$outDir/blocks/.tmp-part-$name-a$attemptId",
+          s"$outDir/blocks/part-$name.gblk", w.result())
+      }
+      val cols = {
+        val b = Seq.newBuilder[ColumnMetric]
+        colMetrics.forEach { (name, m) =>
+          b += ColumnMetric(name, codecByCol.get(name), m(0), m(1),
+            minVal = if (m(4) == 1L) m(2) else 0L,
+            maxVal = if (m(4) == 1L) m(3) else 0L,
+            hasRange = m(4) == 1L)
+        }
+        b.result()
+      }
+      val encTotal = cols.map(_.encodedBytes).sum
+      val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
+        skipped = false, digestHex, cols, name, chunkIndex.result())
+      if (publishManifest) Manifests.writeManifest(conf, outDir, manifest, attemptId)
+      manifest
+    }
   }
 
   /** Manifests as a DataFrame (metrics/lineage query surface). */
@@ -355,86 +434,31 @@ object ColumnarEngine {
 
   // ---------------------------------------------------------------- decode
 
-  /** Decode all containers back to typed rows; every chunk's stored
-    * per-row-content digest is recomputed and enforced.
+  /** Decode all containers back to typed rows via the `graft` DataSource
+    * V2 scan — the one shared read path: chunk-granular input partitions,
+    * STREAMING per-block reads (a task never materializes a whole
+    * container), block CRC verification, and the per-chunk content sha256
+    * digest recomputed and enforced (the `content` column is selected, so
+    * the reader verifies it — see [[graft.sources.GraftPartitionReader]]).
     */
   def decode(spark: SparkSession, outDir: String): Dataset[DerivedRow] = {
     import spark.implicits._
-    // directory + pathGlobFilter, NOT a glob in the path: a glob path makes
-    // FileStreamSink's metadata probe log a FileNotFoundException stack
-    // trace at WARN on every read (benign but alarming in bench logs)
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.gblk")
-      .load(s"$outDir/blocks")
-      .select($"content").as[Array[Byte]]
-      .flatMap(bytes => decodeContainer(bytes))
+    spark.read.format("graft").load(outDir)
+      .select((stringColumns ++ longColumns).map(col): _*)
+      .as[DerivedRow]
   }
 
-  /** Columnar projection read: decode ONLY the requested columns from the
-    * containers, skipping every other column's block bytes (the format's
-    * per-column blocks + length prefixes make projection a seek, not a
-    * decode). Returns one row per source row with the selected columns.
+  /** Columnar projection read: decode ONLY the requested columns. Routed
+    * through the DSv2 scan, whose column pruning skips every non-selected
+    * block (the format's per-column blocks + length prefixes make
+    * projection a pure position advance — no IO, no decode).
     */
   def readColumns(spark: SparkSession, outDir: String,
                   columns: Seq[String]): DataFrame = {
-    import spark.implicits._
     require(columns.nonEmpty)
-    val wanted = columns.toSet
-    val longSel = longColumns.filter(wanted)
-    val strSel = stringColumns.filter(wanted)
-    val unknown = wanted -- longColumns.toSet -- stringColumns.toSet
+    val unknown = columns.toSet -- longColumns.toSet -- stringColumns.toSet
     require(unknown.isEmpty, s"unknown columns: $unknown")
-    val rows = spark.read.format("binaryFile").option("pathGlobFilter", "*.gblk")
-      .load(s"$outDir/blocks")
-      .select($"content").as[Array[Byte]]
-      .flatMap { bytes =>
-        val r = new BlockReader(bytes)
-        require(java.util.Arrays.equals(r.getBytes(Magic.length), Magic), "bad container magic")
-        r.getVarint() // part id
-        val out = Iterator.unfold(()) { _ =>
-          if (!r.hasRemaining) None
-          else {
-            val (n, nCols) = readChunkHeader(r)
-            val longs = new java.util.HashMap[String, Array[Long]]()
-            val strs = new java.util.HashMap[String, Array[String]]()
-            var c = 0
-            while (c < nCols) {
-              val (name, kind, blockLen) = readColHeader(r)
-              val blockOff = r.position
-              r.skip(blockLen)
-              if (wanted.contains(name)) { // others: pure seek, no decode
-                if (kind == 0)
-                  longs.put(name, LongCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
-                else
-                  strs.put(name, StringCodecs.decodeSlice(bytes, blockOff, blockOff + blockLen))
-              }
-              c += 1
-            }
-            for (col <- longSel) {
-              val a = longs.get(col)
-              require(a != null && a.length == n, s"container missing/short long column $col")
-            }
-            for (col <- strSel) {
-              val a = strs.get(col)
-              require(a != null && a.length == n, s"container missing/short string column $col")
-            }
-            r.getBytes(32) // chunk digest (verified by the full decode path)
-            val chunkRows = (0 until n).iterator.map { j =>
-              (longSel.map(longs.get(_)(j)), strSel.map(strs.get(_)(j)))
-            }
-            Some((chunkRows, ()))
-          }
-        }
-        out.flatten
-      }
-    // explode the (longs, strings) tuples into named columns
-    var df = rows.toDF("_longs", "_strs")
-    longSel.zipWithIndex.foreach { case (name, i) =>
-      df = df.withColumn(name, col("_longs").getItem(i))
-    }
-    strSel.zipWithIndex.foreach { case (name, i) =>
-      df = df.withColumn(name, col("_strs").getItem(i))
-    }
-    df.select(columns.map(col): _*)
+    spark.read.format("graft").load(outDir).select(columns.map(col): _*)
   }
 
   /** Parse one chunk's header fields with corruption guards shared by

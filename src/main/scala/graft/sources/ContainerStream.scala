@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.hadoop.fs.FSDataInputStream
+
+import graft.core.{DecodeError, PrefixVarInt}
+import graft.codecs.{LongCodecs, StringCodecs}
+import graft.engine.{ColumnarEngine, Manifests}
+
+/** Bounded incremental reader over `[start, end)` of an open container
+  * file. Uses POSITIONED reads (`PositionedReadable`), so concurrent
+  * cursors over one `FSDataInputStream` never fight over seek state, and
+  * a column-block skip is a pure position advance — NO IO, which is what
+  * makes projection free at the storage layer, not just the decode layer.
+  *
+  * Memory contract: at most one column block (plus a small header buffer)
+  * is ever resident — the whole-container `Array[Byte]` of rounds 1-3 is
+  * gone, along with its 2 GiB ceiling (reference intent: incremental
+  * cursor decode is the crate's entire io surface, src/io.rs:35-60).
+  *
+  * Corruption contract (fuzz-tested): every failure is a
+  * [[graft.core.DecodeError]] or an `IllegalArgumentException` — never an
+  * out-of-bounds access, EOF exception, or unbounded allocation.
+  */
+private[sources] final class ContainerInput(
+    in: FSDataInputStream, start: Long, val end: Long) {
+  require(start >= 0 && start <= end, s"bad container range [$start, $end)")
+  private val buf = new Array[Byte](64 << 10)
+  private var bufStart: Long = start
+  private var bufLen = 0
+  private var p: Long = start
+
+  def position: Long = p
+  def remaining: Long = end - p
+  def atEnd: Boolean = p >= end
+
+  private def refill(): Unit = {
+    val want = math.min(buf.length.toLong, end - p).toInt
+    if (want <= 0) DecodeError.eob()
+    var got = 0
+    while (got == 0) {
+      got = in.read(p, buf, 0, want)
+      if (got < 0) DecodeError.eob() // file shorter than the claimed range
+    }
+    bufStart = p
+    bufLen = got
+  }
+
+  def readByte(): Int = {
+    if (p >= end) DecodeError.eob()
+    val idx = p - bufStart
+    if (idx >= 0 && idx < bufLen) { p += 1; buf(idx.toInt) & 0xff }
+    else { refill(); readByte() }
+  }
+
+  private val scratch = new Array[Byte](PrefixVarInt.MaxLen)
+
+  /** One prefix varint, via the shared multibyte kernel (header fields
+    * only — block bodies go through the batch codec paths).
+    */
+  def readVarint(): Long = {
+    val tag = readByte()
+    if (tag <= 0x7f) tag.toLong
+    else {
+      val n = PrefixVarInt.leadingOnes(tag) + 1
+      scratch(0) = tag.toByte
+      var i = 1
+      while (i < n) { scratch(i) = readByte().toByte; i += 1 }
+      new graft.core.BlockReader(scratch, 0, n).getVarint()
+    }
+  }
+
+  /** Read exactly n bytes (one column block / digest); bounded by the
+    * range, so a corrupt length raises Eob before any allocation beyond
+    * the validated cap.
+    */
+  def readFullyBytes(n: Int): Array[Byte] = {
+    if (n < 0 || n > remaining) { p = end; DecodeError.eob() }
+    val out = new Array[Byte](n)
+    // drain whatever overlaps the header buffer, then positioned-read
+    var copied = 0
+    val idx = p - bufStart
+    if (idx >= 0 && idx < bufLen) {
+      copied = math.min(n, (bufLen - idx).toInt)
+      System.arraycopy(buf, idx.toInt, out, 0, copied)
+    }
+    var off = copied
+    var pos = p + copied
+    while (off < n) {
+      val got = in.read(pos, out, off, n - off)
+      if (got < 0) { p = end; DecodeError.eob() }
+      off += got
+      pos += got
+    }
+    p += n
+    out
+  }
+
+  /** Advance past n bytes without reading them (pruned column block). */
+  def skipBytes(n: Long): Unit = {
+    if (n < 0 || n > remaining) { p = end; DecodeError.eob() }
+    p += n
+  }
+}
+
+/** One decoded chunk: only the `needed` columns are materialized. */
+private[sources] final case class DecodedChunk(
+    rows: Int,
+    longs: java.util.HashMap[String, Array[Long]],
+    strs: java.util.HashMap[String, Array[String]],
+    storedDigest: Array[Byte])
+
+/** Shared streaming parse of the container format (prelude + chunks),
+  * used by the row and columnar DSv2 readers. Mirrors the validation caps
+  * of [[graft.engine.ColumnarEngine.decodeContainer]].
+  */
+private[sources] object ContainerFormat {
+
+  /** Hard cap on any single buffered allocation: the reader REFUSES to
+    * buffer more than one encoder-shaped block. The encoder flushes
+    * chunks at 32 MiB of string CHARS and caps any single value at 10 Mi
+    * chars ([[graft.engine.ColumnarEngine.MaxValueChars]]), so a legal
+    * block is < 3×(32 Mi + 10 Mi) bytes even at full 3-byte UTF-8
+    * expansion; a container claiming more is corrupt or foreign — fail
+    * with a DecodeError-shaped require, don't OOM.
+    */
+  final val MaxBlockBytes: Long = 256L << 20
+
+  /** Magic + part id; returns the part id. */
+  def readPrelude(ci: ContainerInput): Long = {
+    val magic = ci.readFullyBytes(ColumnarEngine.Magic.length)
+    require(java.util.Arrays.equals(magic, ColumnarEngine.Magic),
+      "bad container magic")
+    ci.readVarint()
+  }
+
+  /** Parse one chunk starting at the cursor. Non-needed column blocks are
+    * position advances (no IO); needed blocks are read, CRC-verified when
+    * the manifest recorded a CRC, and decoded.
+    */
+  def readChunk(ci: ContainerInput, neededLongs: Set[String],
+                neededStrs: Set[String], crcs: Map[String, Long]): DecodedChunk = {
+    val needed = (name: String) => neededLongs(name) || neededStrs(name)
+    val n = {
+      val l = ci.readVarint()
+      require(l >= 1 && l <= LongCodecs.MaxDecodeRows, s"implausible chunk rows $l")
+      l.toInt
+    }
+    val nCols = {
+      val l = ci.readVarint()
+      require(l >= 0 && l <= 4096, s"implausible column count $l")
+      l.toInt
+    }
+    val longs = new java.util.HashMap[String, Array[Long]]()
+    val strs = new java.util.HashMap[String, Array[String]]()
+    var c = 0
+    while (c < nCols) {
+      val nameLen = ci.readVarint()
+      require(nameLen >= 0 && nameLen <= 1024, s"implausible name length $nameLen")
+      val name = new String(ci.readFullyBytes(nameLen.toInt),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val kind = ci.readByte()
+      require(kind == 0 || kind == 1, s"unknown column kind $kind")
+      val blockLen = {
+        val l = ci.readVarint()
+        require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
+        require(l <= MaxBlockBytes,
+          s"block length $l exceeds the $MaxBlockBytes streaming buffer cap")
+        l.toInt
+      }
+      if (needed(name)) {
+        val block = ci.readFullyBytes(blockLen)
+        crcs.get(name).foreach { want =>
+          require(Manifests.crc32c(block) == want,
+            s"block CRC mismatch for column $name: container is corrupt")
+        }
+        if (kind == 0) longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
+        else strs.put(name, StringCodecs.decodeSlice(block, 0, block.length))
+      } else ci.skipBytes(blockLen.toLong)
+      c += 1
+    }
+    val digest = ci.readFullyBytes(32)
+    for (col <- neededLongs) {
+      val a = longs.get(col)
+      require(a != null && a.length == n, s"container missing/short long column $col")
+    }
+    for (col <- neededStrs) {
+      val a = strs.get(col)
+      require(a != null && a.length == n, s"container missing/short string column $col")
+    }
+    DecodedChunk(n, longs, strs, digest)
+  }
+
+  /** Recompute the chunk's per-row-content sha256 digest and enforce it
+    * against the stored one (the engine decode contract, now available to
+    * every DSv2 read that selects `content`).
+    */
+  def verifyContentDigest(chunk: DecodedChunk): Unit = {
+    val content = chunk.strs.get("content")
+    require(content != null, "verifyContentDigest needs the content column")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
+    var i = 0
+    while (i < chunk.rows) {
+      sha.reset()
+      chunkSha.update(sha.digest(
+        content(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    require(java.util.Arrays.equals(chunkSha.digest(), chunk.storedDigest),
+      "chunk content digest mismatch: decoded rows differ from encoded rows")
+  }
+}

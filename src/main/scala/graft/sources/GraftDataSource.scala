@@ -10,33 +10,37 @@ import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, T
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.BlockReader
-import graft.codecs.{LongCodecs, StringCodecs}
-import graft.engine.{ColumnarEngine, ContainerIO, DerivedRow}
+import graft.engine.{ChunkStats, ColumnarEngine, ContainerIO, DerivedRow, Manifests, ParsedManifest}
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` — the
   * engine's container+manifest layout as a DataSource V2 table.
   *
-  * Read side: one input partition per container file; column pruning is
-  * pushed into the container read (non-selected column blocks are a
-  * SEEK, never a decode — the format's per-column length-prefixed blocks
-  * make projection free), and comparison filters on the integer columns
-  * are pushed two ways: container-level ZONE-MAP skipping against the
-  * per-partition min/max recorded in the manifests (a skipped container
-  * is never opened), then row-level evaluation during decode. The scan
-  * reports both in `description()`, so `.explain` shows what was pruned
-  * and pushed, Parquet-style.
+  * Read side: input partitions are CHUNK ranges (the parquet row-group
+  * shape) planned from the consolidated manifest index — one giant
+  * container parallelizes across tasks, and zone-map skipping works at
+  * chunk granularity. Pruning and filtering are pushed three ways:
+  * non-selected column blocks are a position advance (never read off
+  * storage, never decoded); comparison filters on the integer columns and
+  * equality/IN filters on the string columns prune chunks against
+  * per-chunk zone maps / dictionaries, then are re-checked row-level
+  * during decode. The reader STREAMS blocks (`ContainerInput`) — it never
+  * materializes a container, so task memory is bounded by one chunk
+  * regardless of container size. Decoded blocks are CRC32C-verified
+  * against the manifest; reads that select `content` additionally verify
+  * the per-chunk content sha256 digest.
   *
-  * Write side: each task streams its rows through the same
-  * [[graft.engine.ColumnarEngine.PartitionEncoder]] as the RDD encode
-  * job — chunks flush at the same thresholds, so a writer task never
-  * buffers more than one chunk; commit is the engine's atomic
-  * manifest-marker protocol (idempotent across task retries).
+  * Write side: each task streams rows through the engine's
+  * [[graft.engine.ColumnarEngine.PartitionEncoder]] (chunk-bounded
+  * memory) into an EPOCH-qualified container (`part-<queryId>-<task>`),
+  * so appends never collide; manifests — the commit markers — are
+  * published only at JOB commit together with the rewritten manifest
+  * index, so a failed or killed job never exposes a partial table and an
+  * overwrite destroys the old data only after the new table is live.
   *
   * Schema is the engine's fixed source-code table shape
   * ([[graft.engine.DerivedRow]]).
@@ -64,12 +68,38 @@ object GraftDataSource {
       ColumnarEngine.longColumns.map(StructField(_, LongType, nullable = false)))
 
   private[sources] val longCols = ColumnarEngine.longColumns.toSet
+  private[sources] val strCols = ColumnarEngine.stringColumns.toSet
 
-  /** Container files admitted by the zone maps in `manifestsJson`
-    * (name -> manifest JSON bytes): a file is skipped only when some
-    * pushed comparison on a long column PROVES its [min, max] range
-    * cannot satisfy the predicate. Unknown/absent stats admit the file.
-    * Driver-side, pure — unit-tested directly.
+  /** Default target split size (encoded bytes) when grouping admitted
+    * chunks into input partitions.
+    */
+  final val DefaultMaxSplitBytes: Long = 128L << 20
+
+  /** Is every long range / string dict / string range proof UNABLE to
+    * rule this chunk out? Unknown/absent stats admit (skip only on
+    * PROOF). String ranges are recorded only for all-ASCII chunks, where
+    * Java, UTF8String, and DuckDB collation agree.
+    */
+  private[sources] def admitChunk(c: ChunkStats, filters: Seq[Filter]): Boolean =
+    admit(c.longRanges, filters) && filters.forall {
+      case EqualTo(col, v: String) =>
+        c.strDicts.get(col).forall(_.contains(v)) &&
+          c.strRanges.get(col).forall { case (lo, hi) =>
+            v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+          }
+      case In(col, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists { x =>
+          val v = x.asInstanceOf[String]
+          c.strDicts.get(col).forall(_.contains(v)) &&
+            c.strRanges.get(col).forall { case (lo, hi) =>
+              v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+            }
+        }
+      case _ => true
+    }
+
+  /** Container/partition-level long zone-map admission (legacy manifests
+    * without a chunk index plan at this granularity).
     */
   private[sources] def admit(ranges: Map[String, (Long, Long)],
                              filters: Seq[Filter]): Boolean =
@@ -80,55 +110,64 @@ object GraftDataSource {
       case GreaterThanOrEqual(c, v: Long) if ranges.contains(c) => ranges(c)._2 >= v
       case LessThan(c, v: Long) if ranges.contains(c) => ranges(c)._1 < v
       case LessThanOrEqual(c, v: Long) if ranges.contains(c) => ranges(c)._1 <= v
+      case In(c, vs) if ranges.contains(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        val (lo, hi) = ranges(c)
+        vs.exists(x => { val v = x.asInstanceOf[java.lang.Long].longValue(); v >= lo && v <= hi })
       case _ => true
     }
 
-  /** Parse one manifest's column zone maps: column -> (min, max). */
-  private[sources] def zoneMaps(manifestJson: String): Map[String, (Long, Long)] = {
-    // Jackson is on Spark's classpath; the manifests are engine-written
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.readTree(manifestJson)
-    val cols = root.get("columns")
-    if (cols == null || !cols.isArray) Map.empty
-    else cols.elements().asScala.flatMap { c =>
-      if (c.get("hasRange") != null && c.get("hasRange").asBoolean(false))
-        Some(c.get("column").asText() ->
-          (c.get("minVal").asLong(), c.get("maxVal").asLong()))
-      else None
-    }.toMap
-  }
-
-  /** Row-level check for the pushed comparisons (the reader enforces
-    * exactly what pushFilters claimed).
+  /** A filter this source fully enforces (zone-map/dict chunk skip +
+    * row-level re-check). Long comparisons and IN; string equality and
+    * IN (`lang = 'en'`, `repo IN (...)` — inequality on strings stays in
+    * Spark: collation-safe range proofs only hold for the ASCII-recorded
+    * stats, not arbitrary row values). IsNotNull is vacuous on this
+    * non-null schema.
     */
-  private[sources] def rowMatches(row: DerivedRow, filters: Seq[Filter]): Boolean = {
-    def v(c: String): Long = c match {
-      case "len_content" => row.len_content
-      case "hash64" => row.hash64
-      case "commit_ord" => row.commit_ord
-      case "repo_code" => row.repo_code
-      case "lang_code" => row.lang_code
-      case "path_code" => row.path_code
-      case other => throw new IllegalStateException(s"unpushable column $other")
-    }
-    filters.forall {
-      case EqualTo(c, x: Long) => v(c) == x
-      case GreaterThan(c, x: Long) => v(c) > x
-      case GreaterThanOrEqual(c, x: Long) => v(c) >= x
-      case LessThan(c, x: Long) => v(c) < x
-      case LessThanOrEqual(c, x: Long) => v(c) <= x
-      case f => throw new IllegalStateException(s"unpushable filter $f")
-    }
-  }
-
-  /** A filter this source fully enforces (zone-map skip + row check). */
   private[sources] def pushable(f: Filter): Boolean = f match {
     case EqualTo(c, _: Long) => longCols(c)
     case GreaterThan(c, _: Long) => longCols(c)
     case GreaterThanOrEqual(c, _: Long) => longCols(c)
     case LessThan(c, _: Long) => longCols(c)
     case LessThanOrEqual(c, _: Long) => longCols(c)
+    case In(c, vs) if longCols(c) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long])
+    case EqualTo(c, _: String) => strCols(c)
+    case In(c, vs) if strCols(c) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+    case IsNotNull(c) => longCols(c) || strCols(c)
     case _ => false
+  }
+
+  /** Row-level check: the reader enforces exactly what pushFilters
+    * claimed, against the decoded column arrays.
+    */
+  private[sources] def rowPasses(
+      longs: java.util.HashMap[String, Array[Long]],
+      strs: java.util.HashMap[String, Array[String]],
+      filters: Array[Filter], j: Int): Boolean = {
+    var i = 0
+    while (i < filters.length) {
+      val ok = filters(i) match {
+        case EqualTo(c, x: Long) => longs.get(c)(j) == x
+        case GreaterThan(c, x: Long) => longs.get(c)(j) > x
+        case GreaterThanOrEqual(c, x: Long) => longs.get(c)(j) >= x
+        case LessThan(c, x: Long) => longs.get(c)(j) < x
+        case LessThanOrEqual(c, x: Long) => longs.get(c)(j) <= x
+        case EqualTo(c, x: String) => strs.get(c)(j) == x
+        case In(c, vs) if longCols(c) =>
+          val v = longs.get(c)(j)
+          vs.exists(_.asInstanceOf[java.lang.Long].longValue() == v)
+        case In(c, vs) =>
+          val v = strs.get(c)(j)
+          vs.exists(_.asInstanceOf[String] == v)
+        case IsNotNull(_) => true
+        case f => throw new IllegalStateException(s"unpushable filter $f")
+      }
+      if (!ok) return false
+      i += 1
+    }
+    true
   }
 }
 
@@ -210,7 +249,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, residual) = filters.partition(GraftDataSource.pushable)
     pushed = take
-    residual // fully enforced below: zone-map skip + row-level check
+    residual // fully enforced below: chunk zone-map skip + row-level check
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -218,15 +257,19 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = {
     val confKv = ContainerIO.confSnapshot(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(GraftDataSource.DefaultMaxSplitBytes)
+    val verify = Option(options.get("verifyContent")).forall(_.toBoolean)
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
-      case None => new GraftScan(path, required, pushed, confKv, limit)
+      case None => new GraftScan(path, required, pushed, confKv, limit,
+        maxSplit, verify)
     }
   }
 }
 
-/** Completely-pushed aggregate scan: the answer comes from the
-  * manifests (exact row counts and per-column zone maps), so the query
+/** Completely-pushed aggregate scan: the answer comes from the manifest
+  * index (exact row counts and per-partition zone maps), so the query
   * never opens a container. Emits exactly one row.
   */
 class GraftAggScan(path: String, specs: Seq[GraftAgg],
@@ -245,17 +288,13 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     var rows = 0L
     var mins = Map.empty[String, Long]
     var maxs = Map.empty[String, Long]
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    ContainerIO.listNames(conf, s"$path/manifests")
-      .filter(n => n.startsWith("part-") && n.endsWith(".json")).foreach { n =>
-        val json = new String(ContainerIO.readAll(conf, s"$path/manifests/$n"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        rows += om.readTree(json).get("rows").asLong(0L)
-        GraftDataSource.zoneMaps(json).foreach { case (c, (lo, hi)) =>
-          mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
-          maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
-        }
+    Manifests.readCommitted(conf, path).foreach { m =>
+      rows += m.rows
+      m.longRanges.foreach { case (c, (lo, hi)) =>
+        mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
+        maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
       }
+    }
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
       case MinAgg(c) => mins.get(c).map(java.lang.Long.valueOf).orNull
@@ -295,34 +334,51 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
 
 case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
+/** One chunk's read plan: byte range + expected block CRCs. */
+case class ChunkSpec(offset: Long, length: Long, rows: Int,
+                     crcs: Map[String, Long])
+
+/** A run of chunks from one container. Empty `chunks` = stream the whole
+  * file sequentially (legacy manifests without a chunk index, and the
+  * direct-reader fuzz surface).
+  */
+case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec])
+    extends InputPartition
+
 class GraftScan(path: String, required: StructType, filters: Array[Filter],
-                confKv: Map[String, String], limit: Int = Int.MaxValue)
+                confKv: Map[String, String], limit: Int = Int.MaxValue,
+                maxSplitBytes: Long = GraftDataSource.DefaultMaxSplitBytes,
+                verifyContent: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private def committed(): Seq[ParsedManifest] =
+    Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
+      .filter(_.rows > 0)
+
   /** Manifest-derived table statistics, so Catalyst/AQE can size joins
     * (e.g. auto-broadcast a small graft table) without scanning it.
-    * Conservative: raw (decoded) bytes, summed over ADMITTED containers
-    * only — zone-map skipping shrinks the estimate with the filters.
+    * Conservative: raw (decoded) bytes, prorated over ADMITTED chunks —
+    * zone-map skipping shrinks the estimate with the filters.
     */
   override def estimateStatistics(): Statistics = {
-    val conf = ContainerIO.confFrom(confKv)
     var rows = 0L
     var bytes = 0L
     var any = false
-    ContainerIO.listNames(conf, s"$path/manifests")
-      .filter(n => n.startsWith("part-") && n.endsWith(".json")).foreach { n =>
-        val json = new String(ContainerIO.readAll(conf, s"$path/manifests/$n"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (GraftDataSource.admit(GraftDataSource.zoneMaps(json), filters.toSeq)) {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(json)
-          rows += root.get("rows").asLong(0L)
-          bytes += root.get("rawBytes").asLong(0L)
-          any = true
-        }
+    committed().foreach { m =>
+      val admittedRows =
+        if (m.chunkIndex.nonEmpty)
+          m.chunkIndex.filter(GraftDataSource.admitChunk(_, filters.toSeq))
+            .map(_.rows.toLong).sum
+        else if (GraftDataSource.admit(m.longRanges, filters.toSeq)) m.rows
+        else 0L
+      if (admittedRows > 0) {
+        rows += admittedRows
+        bytes += (m.rawBytes.toDouble * admittedRows / math.max(m.rows, 1L)).toLong
+        any = true
       }
+    }
     val (r, b) = (rows, bytes)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -337,56 +393,127 @@ class GraftScan(path: String, required: StructType, filters: Array[Filter],
       s"PushedFilters: [${filters.mkString(", ")}]" +
       (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "")
 
+  /** Chunk-granular splits: admitted chunks of each committed container
+    * grouped into runs of ≤ maxSplitBytes — a single giant container
+    * parallelizes across tasks, and a selective filter decodes only the
+    * chunks its zone maps/dicts admit. Containers without a manifest are
+    * ORPHANS of failed writes and are never planned (the manifest is the
+    * commit marker on the read side too).
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = ContainerIO.confFrom(confKv)
-    val blocks = ContainerIO.listNames(conf, s"$path/blocks")
-      .filter(n => n.startsWith("part-") && n.endsWith(".gblk"))
-    val admitted = blocks.filter { name =>
-      val part = name.stripPrefix("part-").stripSuffix(".gblk")
-      val mf = s"$path/manifests/part-$part.json"
-      val ranges =
-        if (ContainerIO.exists(conf, mf))
-          GraftDataSource.zoneMaps(
-            new String(ContainerIO.readAll(conf, mf), java.nio.charset.StandardCharsets.UTF_8))
-        else Map.empty[String, (Long, Long)]
-      GraftDataSource.admit(ranges, filters.toSeq)
+    val parts = Array.newBuilder[InputPartition]
+    committed().sortBy(_.name).foreach { m =>
+      val file = m.blockFile(path)
+      if (m.chunkIndex.isEmpty) {
+        // legacy manifest: whole-container sequential stream
+        if (GraftDataSource.admit(m.longRanges, filters.toSeq))
+          parts += GraftInputPartition(file, Nil)
+      } else {
+        val admitted = m.chunkIndex
+          .filter(GraftDataSource.admitChunk(_, filters.toSeq))
+          .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
+        var run = List.empty[ChunkSpec]
+        var runBytes = 0L
+        admitted.foreach { c =>
+          if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
+            parts += GraftInputPartition(file, run.reverse)
+            run = Nil; runBytes = 0L
+          }
+          run = c :: run
+          runBytes += c.length
+        }
+        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse)
+      }
     }
-    admitted.sorted.map(n =>
-      GraftInputPartition(s"$path/blocks/$n"): InputPartition).toArray
+    parts.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, filters, confKv, limit)
+    new GraftReaderFactory(required, filters, confKv, limit, verifyContent)
 }
-
-case class GraftInputPartition(file: String) extends InputPartition
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
-                         confKv: Map[String, String], limit: Int)
+                         confKv: Map[String, String], limit: Int,
+                         verifyContent: Boolean)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, required, filters,
-      confKv, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
+      limit, verifyContent)
+  }
 }
 
-/** Decodes one container, emitting only the pruned columns; non-selected
-  * column blocks are skipped byte-ranges. Pushed filters are re-checked
-  * per row (they need the filter columns decoded even when not
-  * projected).
+/** Streaming reader over one partition's chunk ranges: per chunk, needed
+  * column blocks are read (bounded by one block at a time) and decoded,
+  * non-needed blocks are position advances. Pushed filters are re-checked
+  * per row; reads that decode `content` verify the chunk digest.
   */
-class GraftPartitionReader(file: String, required: StructType,
-                           filters: Array[Filter], confKv: Map[String, String],
-                           limit: Int = Int.MaxValue)
+class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
+                           required: StructType, filters: Array[Filter],
+                           confKv: Map[String, String],
+                           limit: Int, verifyContent: Boolean)
     extends PartitionReader[InternalRow] {
 
-  private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
-  private val needed: Set[String] = required.fieldNames.toSet ++ filterCols
+  /** Sequential whole-file stream (legacy tables; fuzz surface). */
+  def this(file: String, required: StructType, filters: Array[Filter],
+           confKv: Map[String, String]) =
+    this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
-  private val it: Iterator[InternalRow] = {
-    val bytes = ContainerIO.readAll(ContainerIO.confFrom(confKv), file)
-    decodeProjected(bytes)
+  private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
+  private val neededLongs: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.longCols)
+  private val neededStrs: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.strCols)
+  private val verify = verifyContent && neededStrs.contains("content")
+
+  private val conf = ContainerIO.confFrom(confKv)
+  private val hPath = new org.apache.hadoop.fs.Path(file)
+  private val fs = ContainerIO.fs(file, conf)
+  private val fileLen = fs.getFileStatus(hPath).getLen
+  private val in = fs.open(hPath)
+
+  private val chunkIter: Iterator[DecodedChunk] =
+    if (chunks.nonEmpty) chunks.iterator.map { cs =>
+      require(cs.offset >= 0 && cs.length >= 0 && cs.offset + cs.length <= fileLen,
+        s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
+      val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
+      val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs, cs.crcs)
+      require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
+      require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
+      chunk
+    } else {
+      val ci = new ContainerInput(in, 0L, fileLen)
+      ContainerFormat.readPrelude(ci)
+      new Iterator[DecodedChunk] {
+        override def hasNext: Boolean = !ci.atEnd
+        override def next(): DecodedChunk =
+          ContainerFormat.readChunk(ci, neededLongs, neededStrs, Map.empty)
+      }
+    }
+
+  private val fields = required.fields
+  private val it: Iterator[InternalRow] = chunkIter.flatMap { chunk =>
+    if (verify) ContainerFormat.verifyContentDigest(chunk)
+    val longs = chunk.longs
+    val strs = chunk.strs
+    (0 until chunk.rows).iterator.flatMap { j =>
+      if (!GraftDataSource.rowPasses(longs, strs, filters, j)) None
+      else {
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          fields(i).dataType match {
+            case LongType => row.setLong(i, longs.get(fields(i).name)(j))
+            case _ => row.update(i,
+              UTF8String.fromString(strs.get(fields(i).name)(j)))
+          }
+          i += 1
+        }
+        Some(row: InternalRow)
+      }
+    }
   }
+
   private var cur: InternalRow = _
   private var emitted = 0
 
@@ -394,90 +521,7 @@ class GraftPartitionReader(file: String, required: StructType,
     if (emitted < limit && it.hasNext) { cur = it.next(); emitted += 1; true }
     else false
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
-
-  private def decodeProjected(bytes: Array[Byte]): Iterator[InternalRow] = {
-    val r = new BlockReader(bytes)
-    require(java.util.Arrays.equals(
-      r.getBytes(ColumnarEngine.Magic.length), ColumnarEngine.Magic),
-      s"bad container magic in $file")
-    r.getVarint() // part id
-    val fields = required.fields
-    val chunks = Iterator.unfold(()) { _ =>
-      if (!r.hasRemaining) None
-      else {
-        val n = {
-          val l = r.getVarint()
-          require(l >= 1 && l <= Int.MaxValue, s"implausible chunk rows $l")
-          l.toInt
-        }
-        val nCols = {
-          val l = r.getVarint()
-          require(l >= 0 && l <= 64, s"implausible column count $l")
-          l.toInt
-        }
-        val longs = new java.util.HashMap[String, Array[Long]]()
-        val strs = new java.util.HashMap[String, Array[String]]()
-        var c = 0
-        while (c < nCols) {
-          val nameLen = r.getVarint()
-          require(nameLen >= 0 && nameLen <= 1024, s"implausible name length $nameLen")
-          val name = new String(r.getBytes(nameLen.toInt),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val kind = r.getByte()
-          val blockLen = {
-            val l = r.getVarint()
-            require(l >= 0 && l <= bytes.length, s"implausible block length $l")
-            l.toInt
-          }
-          val off = r.position
-          r.skip(blockLen)
-          if (needed.contains(name)) {
-            if (kind == 0) longs.put(name, LongCodecs.decodeSlice(bytes, off, off + blockLen))
-            else strs.put(name, StringCodecs.decodeSlice(bytes, off, off + blockLen))
-          }
-          c += 1
-        }
-        r.getBytes(32) // chunk digest (full-decode path enforces it)
-        for (col <- needed) {
-          val ok = (longs.containsKey(col) && longs.get(col).length == n) ||
-            (strs.containsKey(col) && strs.get(col).length == n)
-          require(ok, s"container missing/short column $col")
-        }
-        val rows = (0 until n).iterator.flatMap { j =>
-          if (!passes(longs, j)) None
-          else {
-            val row = new GenericInternalRow(fields.length)
-            var i = 0
-            while (i < fields.length) {
-              fields(i).dataType match {
-                case LongType => row.setLong(i, longs.get(fields(i).name)(j))
-                case _ => row.update(i,
-                  UTF8String.fromString(strs.get(fields(i).name)(j)))
-              }
-              i += 1
-            }
-            Some(row: InternalRow)
-          }
-        }
-        Some((rows, ()))
-      }
-    }
-    chunks.flatten
-  }
-
-  private def passes(longs: java.util.HashMap[String, Array[Long]], j: Int): Boolean =
-    filters.forall { f =>
-      def v(c: String): Long = longs.get(c)(j)
-      f match {
-        case EqualTo(c, x: Long) => v(c) == x
-        case GreaterThan(c, x: Long) => v(c) > x
-        case GreaterThanOrEqual(c, x: Long) => v(c) >= x
-        case LessThan(c, x: Long) => v(c) < x
-        case LessThanOrEqual(c, x: Long) => v(c) <= x
-        case _ => true
-      }
-    }
+  override def close(): Unit = in.close()
 }
 
 // ------------------------------------------------------------------ write
@@ -494,68 +538,123 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
       expect.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft write requires schema ${expect.simpleString}, got ${in.simpleString}")
-    new GraftWrite(path, doTruncate)
+    val chunkRows = Option(info.options().get("chunkRows")).map(_.toInt)
+      .getOrElse(ColumnarEngine.ChunkRows)
+    new GraftWrite(path, doTruncate, info.queryId(), chunkRows)
   }
 }
 
-class GraftWrite(path: String, truncate: Boolean) extends Write {
+class GraftWrite(path: String, truncate: Boolean, epoch: String,
+                 chunkRows: Int) extends Write {
   override def toBatch: BatchWrite = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    if (truncate) {
-      val fs = ContainerIO.fs(path, conf)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      ()
-    } else require(ContainerIO.listNames(conf, s"$path/blocks").isEmpty,
-      s"graft table at $path already has containers; part ids are " +
-        "task-scoped so appending would collide with (and be silently " +
-        "dropped by) the first-commit-wins markers — write with " +
-        "mode(\"overwrite\") instead")
     ContainerIO.mkdirs(conf, s"$path/blocks")
     ContainerIO.mkdirs(conf, s"$path/manifests")
-    new GraftBatchWrite(path, ContainerIO.confSnapshot(conf))
+    new GraftBatchWrite(path, truncate, epoch, ContainerIO.confSnapshot(conf),
+      chunkRows)
   }
 }
 
-case class GraftCommitMessage(part: Int, rows: Long) extends WriterCommitMessage
+case class GraftCommitMessage(name: String, rows: Long,
+                              manifestJson: String) extends WriterCommitMessage
 
-class GraftBatchWrite(path: String, confKv: Map[String, String]) extends BatchWrite {
+/** Job-level commit: tasks publish only epoch-named CONTAINERS (invisible
+  * to readers — no manifest); this commit writes every manifest plus the
+  * rewritten `_manifest-index.json`, and — for overwrite — deletes the
+  * old generation only AFTER the new one is live. A failed/killed job
+  * leaves the previous table fully intact; `abort` garbage-collects this
+  * epoch's staged containers.
+  */
+class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
+                      confKv: Map[String, String], chunkRows: Int)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, confKv)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    new GraftWriterFactory(path, epoch, confKv, chunkRows)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = ContainerIO.confFrom(confKv)
+    val fresh = messages.collect {
+      case m: GraftCommitMessage if m.rows > 0 => m
+    }.sortBy(_.name)
+    // previous generation, via the index when present (one read)
+    val old = Manifests.readCommittedJsons(conf, path)
+    val freshNames = fresh.map(_.name).toSet
+    val keptOld = old.filter(j =>
+      !freshNames.contains(Manifests.parse(j, "?").name))
+    fresh.foreach { m =>
+      ContainerIO.writeAtomic(conf,
+        s"$path/manifests/.tmp-part-${m.name}-commit",
+        Manifests.manifestPath(path, m.name),
+        m.manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val visible = (if (truncate) Nil else keptOld) ++ fresh.map(_.manifestJson)
+    Manifests.writeIndex(conf, path, visible)
+    if (truncate) {
+      val f = ContainerIO.fs(path, conf)
+      keptOld.map(j => Manifests.parse(j, "?").name).foreach { n =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
+        f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // staged containers of this epoch are unreachable (no manifest), but
+    // don't leave them as garbage
+    val conf = ContainerIO.confFrom(confKv)
+    val f = ContainerIO.fs(path, conf)
+    ContainerIO.listNames(conf, s"$path/blocks")
+      .filter(n => n.contains(s"part-$epoch-"))
+      .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
+  }
 }
 
-class GraftWriterFactory(path: String, confKv: Map[String, String])
+class GraftWriterFactory(path: String, epoch: String,
+                         confKv: Map[String, String], chunkRows: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, partitionId, confKv)
+    new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows)
 }
 
 /** Streams rows through the engine's [[ColumnarEngine.PartitionEncoder]]:
-  * chunk-bounded memory; the manifest write in `finish()` is the commit
-  * marker (atomic, first-commit-wins across retries).
+  * chunk-bounded memory; the container write in `commit()` is atomic and
+  * first-commit-wins across attempts, but stays INVISIBLE until
+  * [[GraftBatchWrite.commit]] publishes the manifests.
   */
-class GraftDataWriter(path: String, part: Int, confKv: Map[String, String])
+class GraftDataWriter(path: String, part: Int, epoch: String,
+                      confKv: Map[String, String], chunkRows: Int)
     extends DataWriter[InternalRow] {
   private val enc = new ColumnarEngine.PartitionEncoder(
-    part, path, ContainerIO.confFrom(confKv))
+    part, path, ContainerIO.confFrom(confKv), partName = s"$epoch-$part",
+    chunkRowsCap = chunkRows)
   private var n = 0L
+
+  private def str(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(i)) throw new IllegalArgumentException(
+      s"graft write: null value in non-nullable column " +
+        s"'${GraftDataSource.schema.fields(i).name}' (row ${n + 1} of task $part)")
+    row.getUTF8String(i).toString
+  }
+  private def lng(row: InternalRow, i: Int): Long = {
+    if (row.isNullAt(i)) throw new IllegalArgumentException(
+      s"graft write: null value in non-nullable column " +
+        s"'${GraftDataSource.schema.fields(i).name}' (row ${n + 1} of task $part)")
+    row.getLong(i)
+  }
 
   override def write(row: InternalRow): Unit = {
     // field order = GraftDataSource.schema = strings then longs
     enc.add(DerivedRow(
-      row.getUTF8String(0).toString, row.getUTF8String(1).toString,
-      row.getUTF8String(2).toString, row.getUTF8String(3).toString,
-      row.getUTF8String(4).toString,
-      row.getLong(5), row.getLong(6), row.getLong(7),
-      row.getLong(8), row.getLong(9), row.getLong(10)))
+      str(row, 0), str(row, 1), str(row, 2), str(row, 3), str(row, 4),
+      lng(row, 5), lng(row, 6), lng(row, 7),
+      lng(row, 8), lng(row, 9), lng(row, 10)))
     n += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    enc.finish()
-    GraftCommitMessage(part, n)
+    val manifest = enc.finish(publishManifest = false)
+    GraftCommitMessage(manifest.name, n, Manifests.manifestJson(manifest))
   }
 
   override def abort(): Unit = ()

@@ -71,13 +71,17 @@ class EngineSpec extends AnyFunSuite {
     val bytes = Files.readAllBytes(f)
     bytes(bytes.length - 40) = (bytes(bytes.length - 40) ^ 0x5a).toByte
     Files.write(f, bytes)
+    // decode() verifies the columns it actually reads: collect() decodes
+    // everything (a count() prunes to one long column and would not
+    // touch the corrupted content block — lazy-read semantics)
     val ex = intercept[Exception] {
-      ColumnarEngine.decode(spark, dir).count()
+      ColumnarEngine.decode(spark, dir).collect()
     }
     val msg = Option(ex.getMessage).getOrElse("") +
       Option(ex.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("digest") || msg.contains("Eob") || msg.contains("buffer")
-      || ex.toString.contains("Spark"), s"unexpected failure shape: $ex")
+    assert(msg.contains("digest") || msg.contains("CRC") || msg.contains("Eob")
+      || msg.contains("buffer") || ex.toString.contains("Spark"),
+      s"unexpected failure shape: $ex")
   }
 
   test("checkpoint-resume: completed partitions are skipped, missing ones re-encoded") {

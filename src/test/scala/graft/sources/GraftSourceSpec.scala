@@ -155,12 +155,18 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(f.count() === 5)
   }
 
-  test("append into a non-empty graft table is refused (part-id collision)") {
-    val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 60, 2))
-    val e = intercept[Exception] {
-      derived.write.format("graft").mode("append").save(dir)
-    }
-    assert(e.getMessage.contains("overwrite"), e.getMessage)
+  test("append: epoch-named parts never collide; read sees the union") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-append").toString
+    val a = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
+    a.write.format("graft").mode("overwrite").save(d)
+    val b = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2)).toDF()
+      .withColumn("repo", concat_ws("-", col("repo"), lit("v2")))
+    b.write.format("graft").mode("append").save(d)
+    val back = spark.read.format("graft").load(d)
+    assert(back.count() === 200)
+    // both generations present, nothing overwritten
+    assert(back.filter(col("repo").endsWith("-v2")).count() === 100)
+    assert(back.filter(!col("repo").endsWith("-v2")).count() === 100)
   }
 
   test("aggregate pushdown over an empty table: count 0, null min/max") {
@@ -220,5 +226,133 @@ class GraftSourceSpec extends AnyFunSuite {
     val b = ColumnarEngine.derive(SourceTable.synthesize(spark, 40, 2))
     b.write.format("graft").mode("overwrite").save(d)
     assert(spark.read.format("graft").load(d).count() === 40)
+  }
+
+  test("chunk-granular splits: one container plans many partitions; zone maps skip chunks") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-chunks").toString
+    // ONE container of 6 chunks (100 rows each), range-sorted on hash64 so
+    // per-chunk zone maps are disjoint
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 600, 3))
+      .orderBy(col("hash64")).coalesce(1)
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    assert(graft.engine.ContainerIO.listNames(
+      graft.engine.ContainerIO.localConf(), s"$d/blocks")
+      .count(_.endsWith(".gblk")) === 1, "expected a single container")
+    // a 1-container table parallelizes: one input partition PER CHUNK
+    val unfiltered = spark.read.format("graft")
+      .option("maxSplitBytes", "1").load(d)
+    unfiltered.collect()
+    assert(graftScan(unfiltered).planInputPartitions().length === 6,
+      "maxSplitBytes=1 must split at chunk granularity")
+    // median filter: range-disjoint chunks are PRUNED, results exact
+    val vals = spark.read.format("graft").load(d)
+      .select("hash64").as[Long].collect().sorted
+    val cut = vals(vals.length / 2)
+    val f = spark.read.format("graft").option("maxSplitBytes", "1").load(d)
+      .filter(col("hash64") > cut)
+    val got = f.select("hash64").as[Long].collect().sorted
+    assert(got.toSeq === vals.filter(_ > cut).toSeq)
+    val planned = graftScan(f).planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(planned < 6 && planned >= 3,
+      s"median filter should prune ~half the 6 range-disjoint chunks, decoded $planned")
+  }
+
+  test("string filter pushdown: lang equality prunes chunks via dicts, stays exact") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-str").toString
+    // sort by lang so per-chunk dicts are selective
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 600, 3))
+      .orderBy(col("lang"), col("path")).coalesce(1)
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    val langs = spark.read.format("graft").load(d)
+      .select("lang").distinct().as[String].collect().sorted
+    val pick = langs.head
+    val f = spark.read.format("graft").option("maxSplitBytes", "1").load(d)
+      .filter(col("lang") === pick)
+    val got = f.select("path").as[String].collect().sorted
+    val want = spark.read.format("graft").load(d)
+      .filter(col("lang") === pick).select("path").as[String].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    val scan = graftScan(f)
+    assert(scan.description().contains(s"EqualTo(lang,$pick)"),
+      s"lang filter must be pushed: ${scan.description()}")
+    val planned = scan.planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(planned < 6, s"lang dicts should prune chunks, decoded $planned of 6")
+    assert(got.nonEmpty, "picked lang must exist")
+    // IN pushdown on a string column prunes too and stays exact
+    val in2 = spark.read.format("graft").option("maxSplitBytes", "1").load(d)
+      .filter(col("lang").isin(langs.take(2): _*))
+    assert(in2.count() ===
+      spark.read.format("graft").load(d)
+        .filter(col("lang").isin(langs.take(2): _*)).count())
+    assert(graftScan(in2).description().contains("In(lang"),
+      graftScan(in2).description())
+  }
+
+  test("orphan containers (no manifest) are invisible to every read path") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-orphan").toString
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
+      .write.format("graft").mode("overwrite").save(d)
+    val before = spark.read.format("graft").load(d).count()
+    // simulate a crash between container write and manifest publication
+    val conf = graft.engine.ContainerIO.localConf()
+    val block = graft.engine.ContainerIO.listNames(conf, s"$d/blocks")
+      .filter(_.endsWith(".gblk")).head
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/blocks/$block"),
+      java.nio.file.Paths.get(s"$d/blocks/part-deadbeef-9.gblk"))
+    assert(spark.read.format("graft").load(d).count() === before,
+      "orphan container must not be scanned")
+    // pushed COUNT(*) (manifest-answered) agrees with the full scan
+    val pushed = spark.read.format("graft").load(d)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(pushed === before, "manifest-answered count must match the scan")
+  }
+
+  test("failed overwrite preserves the previous table (job-level commit)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-atomic").toString
+    val a = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
+    a.write.format("graft").mode("overwrite").save(d)
+    val poisoned = ColumnarEngine.derive(SourceTable.synthesize(spark, 50, 2)).toDF()
+      .withColumn("content", when(col("len_content") >= 0L,
+        raise_error(lit("poison"))).otherwise(col("content")))
+    intercept[Exception] {
+      poisoned.write.format("graft").mode("overwrite").save(d)
+    }
+    val back = spark.read.format("graft").load(d)
+    assert(back.count() === 100, "failed overwrite must leave the old table intact")
+    assert(back.toDF().except(a.toDF()).isEmpty, "old rows must be unchanged")
+  }
+
+  test("block CRCs catch corruption on PRUNED reads (no content digest in play)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-crc").toString
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 300, 2))
+      .coalesce(1)
+      .write.format("graft").option("chunkRows", "300").mode("overwrite").save(d)
+    val m = graft.engine.Manifests.readCommitted(
+      graft.engine.ContainerIO.localConf(), d).head
+    val chunk = m.chunkIndex.head
+    val f = java.nio.file.Paths.get(m.blockFile(d).stripPrefix("file:"))
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    // flip a byte in the FIRST column block (len_content: header is
+    // ~17 bytes of varints + name; its block spans well past +30)
+    val at = chunk.offset.toInt + 30
+    bytes(at) = (bytes(at) ^ 0x5a).toByte
+    java.nio.file.Files.write(f, bytes)
+    // drop the local filesystem's own checksum sidecar so the flip
+    // reaches OUR layer (on object stores there is no sidecar at all)
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve("." + f.getFileName.toString + ".crc"))
+    val ex = intercept[Exception] {
+      spark.read.format("graft").load(d).select("len_content").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(ex).contains("CRC") || messages(ex).contains("implausible")
+      || messages(ex).contains("length"),
+      s"expected a controlled CRC/validation failure, got $ex")
   }
 }
