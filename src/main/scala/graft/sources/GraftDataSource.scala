@@ -441,6 +441,137 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
       limit, verifyContent)
   }
+
+  /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
+    * per block) — hand Spark `ColumnarBatch`es instead of materializing a
+    * `GenericInternalRow` per row; `ColumnarToRow` (codegen'd) or
+    * downstream columnar operators take it from there.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
+      limit, verifyContent)
+  }
+}
+
+/** Shared streaming chunk iteration for the row and columnar readers:
+  * per chunk, needed column blocks are read (bounded by one block at a
+  * time) and decoded, non-needed blocks are position advances; reads
+  * that decode `content` verify the chunk digest.
+  */
+private[sources] final class ChunkCursor(
+    file: String, chunks: Seq[ChunkSpec], required: StructType,
+    filters: Array[Filter], confKv: Map[String, String],
+    verifyContent: Boolean) {
+
+  private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
+  val neededLongs: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.longCols)
+  val neededStrs: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.strCols)
+  private val verify = verifyContent && neededStrs.contains("content")
+
+  private val conf = ContainerIO.confFrom(confKv)
+  private val hPath = new org.apache.hadoop.fs.Path(file)
+  private val fs = ContainerIO.fs(file, conf)
+  private val fileLen = fs.getFileStatus(hPath).getLen
+  private val in = fs.open(hPath)
+
+  val chunkIter: Iterator[DecodedChunk] = {
+    val raw =
+      if (chunks.nonEmpty) chunks.iterator.map { cs =>
+        require(cs.offset >= 0 && cs.length >= 0 && cs.offset + cs.length <= fileLen,
+          s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
+        val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
+        val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs, cs.crcs)
+        require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
+        require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
+        chunk
+      } else {
+        val ci = new ContainerInput(in, 0L, fileLen)
+        ContainerFormat.readPrelude(ci)
+        new Iterator[DecodedChunk] {
+          override def hasNext: Boolean = !ci.atEnd
+          override def next(): DecodedChunk =
+            ContainerFormat.readChunk(ci, neededLongs, neededStrs, Map.empty)
+        }
+      }
+    if (!verify) raw
+    else raw.map { c => ContainerFormat.verifyContentDigest(c); c }
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Vectorized reader: one `ColumnarBatch` per (filtered) chunk, filled
+  * straight from the decoded column arrays.
+  */
+class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
+                          required: StructType, filters: Array[Filter],
+                          confKv: Map[String, String],
+                          limit: Int, verifyContent: Boolean)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val cursor = new ChunkCursor(file, chunks, required, filters,
+    confKv, verifyContent)
+  private val fields = required.fields
+  private var batch: ColumnarBatch = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    while (emitted < limit && cursor.chunkIter.hasNext) {
+      val chunk = cursor.chunkIter.next()
+      // selection vector: row indices surviving the pushed filters
+      val sel = new Array[Int](chunk.rows)
+      var m = 0
+      var j = 0
+      while (j < chunk.rows && emitted + m < limit) {
+        if (GraftDataSource.rowPasses(chunk.longs, chunk.strs, filters, j)) {
+          sel(m) = j; m += 1
+        }
+        j += 1
+      }
+      if (m > 0) {
+        val vecs = new Array[ColumnVector](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          val v = new OnHeapColumnVector(m, fields(i).dataType)
+          fields(i).dataType match {
+            case LongType =>
+              val src = chunk.longs.get(fields(i).name)
+              var k = 0
+              while (k < m) { v.putLong(k, src(sel(k))); k += 1 }
+            case _ =>
+              val src = chunk.strs.get(fields(i).name)
+              var k = 0
+              while (k < m) {
+                val b = src(sel(k)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                v.putByteArray(k, b)
+                k += 1
+              }
+          }
+          vecs(i) = v
+          i += 1
+        }
+        emitted += m
+        batch = new ColumnarBatch(vecs, m)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    cursor.close()
+  }
 }
 
 /** Streaming reader over one partition's chunk ranges: per chunk, needed
@@ -459,41 +590,11 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
            confKv: Map[String, String]) =
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
-  private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
-  private val neededLongs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.longCols)
-  private val neededStrs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.strCols)
-  private val verify = verifyContent && neededStrs.contains("content")
-
-  private val conf = ContainerIO.confFrom(confKv)
-  private val hPath = new org.apache.hadoop.fs.Path(file)
-  private val fs = ContainerIO.fs(file, conf)
-  private val fileLen = fs.getFileStatus(hPath).getLen
-  private val in = fs.open(hPath)
-
-  private val chunkIter: Iterator[DecodedChunk] =
-    if (chunks.nonEmpty) chunks.iterator.map { cs =>
-      require(cs.offset >= 0 && cs.length >= 0 && cs.offset + cs.length <= fileLen,
-        s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
-      val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
-      val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs, cs.crcs)
-      require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
-      require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
-      chunk
-    } else {
-      val ci = new ContainerInput(in, 0L, fileLen)
-      ContainerFormat.readPrelude(ci)
-      new Iterator[DecodedChunk] {
-        override def hasNext: Boolean = !ci.atEnd
-        override def next(): DecodedChunk =
-          ContainerFormat.readChunk(ci, neededLongs, neededStrs, Map.empty)
-      }
-    }
+  private val cursor = new ChunkCursor(file, chunks, required, filters,
+    confKv, verifyContent)
 
   private val fields = required.fields
-  private val it: Iterator[InternalRow] = chunkIter.flatMap { chunk =>
-    if (verify) ContainerFormat.verifyContentDigest(chunk)
+  private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
     val longs = chunk.longs
     val strs = chunk.strs
     (0 until chunk.rows).iterator.flatMap { j =>
@@ -521,7 +622,7 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     if (emitted < limit && it.hasNext) { cur = it.next(); emitted += 1; true }
     else false
   override def get(): InternalRow = cur
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
 }
 
 // ------------------------------------------------------------------ write

@@ -292,6 +292,20 @@ class GraftSourceSpec extends AnyFunSuite {
       graftScan(in2).description())
   }
 
+  test("reads are vectorized: the scan emits ColumnarBatches (ColumnarToRow in plan)") {
+    val df = spark.read.format("graft").load(dir).select("lang", "len_content")
+    df.collect()
+    val hasC2R = df.queryExecution.executedPlan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty
+    assert(hasC2R, "expected a columnar scan (ColumnarToRow above BatchScan):\n" +
+      df.queryExecution.executedPlan.toString.take(600))
+    // filters + limit compose with the columnar path and stay exact
+    val lim = spark.read.format("graft").load(dir)
+      .filter(col("len_content") >= 0L).limit(9)
+    assert(lim.count() === 9)
+  }
+
   test("orphan containers (no manifest) are invisible to every read path") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-orphan").toString
     ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
