@@ -420,6 +420,41 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // the selector's SIZE ACCOUNTING under a DuckDB oracle: raw bytes per
+    // column (8/row for longs, utf8 bytes for strings) computed through
+    // the same chunked stats pass the codec selector prices against —
+    // c1's codec names/encoded sizes stay rows-only (not SQL-expressible)
+    // but the accounting they divide by is now hash-checked. The
+    // repartition(4) pins n_chunks so the oracle can state it exactly.
+    "c5_size_accounting" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"), col("lang"))
+        .repartition(4, col("doc_id"))
+        .as[(Long, Long, String, String)]
+      docs.mapPartitions { it =>
+        it.grouped(graft.engine.ColumnarEngine.ChunkRows).flatMap { chunk =>
+          val n = chunk.length
+          def longCol(name: String, vs: Array[Long]) = {
+            val st = LongCodecs.stats(vs, n)
+            (name, 8L * st.count)
+          }
+          def strCol(name: String, vs: Array[String]) = {
+            val st = StringCodecs.stats(vs, n)
+            (name, st.totalBytes)
+          }
+          Iterator(
+            longCol("doc_id", chunk.map(_._1).toArray),
+            longCol("n_chars", chunk.map(_._2).toArray),
+            strCol("text", chunk.map(_._3).toArray),
+            strCol("lang", chunk.map(_._4).toArray))
+        }
+      }.toDF("col_name", "raw_bytes")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("raw_bytes")).as("raw_bytes"))
+        .orderBy(col("col_name"))
+    }),
+
     "c2_roundtrip_check" -> ((s, d) => {
       import s.implicits._
       val li = t(s, d, "lineitem")
@@ -680,6 +715,21 @@ object SparkEntry {
          CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents WHERE length(text) >= 200 GROUP BY 1 ORDER BY 1""",
 
+    "c5_size_accounting" ->
+      """SELECT * FROM (
+         SELECT 'doc_id' AS col_name, CAST(4 AS BIGINT) AS n_chunks,
+           CAST(8 * count(*) AS BIGINT) AS raw_bytes FROM documents
+         UNION ALL
+         SELECT 'lang', CAST(4 AS BIGINT),
+           CAST(sum(octet_length(CAST(lang AS BLOB))) AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 'n_chars', CAST(4 AS BIGINT),
+           CAST(8 * count(*) AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 'text', CAST(4 AS BIGINT),
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) FROM documents
+       ) ORDER BY col_name""",
+
     "s1_sessionize" ->
       """WITH e AS (SELECT user_id, ts, event_id, value,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -694,19 +744,24 @@ object SparkEntry {
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
+    // payloads are REAL minimal PNG/WAV/BMFF bytes (Multimodal
+    // payloadsFromText), so width/height/frames here mirror what the
+    // byte-walking HeaderParsers read back out of the synthesized
+    // headers: PNG IHDR dims, WAV channels/rate/sample-frames, BMFF
+    // mvhd duration seconds. Header sizes: PNG 33 B, WAV 44 B, BMFF 52 B.
     "m1_multimodal_meta" ->
       """SELECT doc_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-         16 + octet_length(CAST(text AS BLOB)) % 640 AS width,
-         16 + (octet_length(CAST(text AS BLOB)) // 640) % 480 AS height,
-         CASE WHEN doc_id % 3 = 2
-           THEN 1 + octet_length(CAST(text AS BLOB)) % 7 ELSE 1 END AS frames
-         FROM documents ORDER BY doc_id""",
+         CAST(CASE doc_id % 3 WHEN 0 THEN 33 + b WHEN 1 THEN 44 + b ELSE 52 + b END AS BIGINT) AS byte_len,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + b % 640 WHEN 1 THEN 1 + b % 2 ELSE 0 END AS BIGINT) AS width,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (b // 640) % 480 WHEN 1 THEN 8000 ELSE 0 END AS BIGINT) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN b // (2 * (1 + b % 2)) ELSE 1 + b % 7 END AS BIGINT) AS frames
+         FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS b FROM documents)
+         ORDER BY doc_id""",
 
     "m2_frame_sample" ->
       """SELECT doc_id,
-         CAST(1 + greatest(octet_length(CAST(text AS BLOB)) - 1, 0) // 64 AS INT) AS n_frames
+         CAST(1 + (octet_length(CAST(text AS BLOB)) + 51) // 64 AS INT) AS n_frames
          FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id"""
   )
 }

@@ -76,7 +76,13 @@ object Fsst {
     @transient private var hashLen: Array[Byte] = null
     @transient private var hashPacked: Array[Long] = null
     @transient private var hashCodeArr: Array[Int] = null
-    @transient private var shortCodes: Array[Int] = null
+    // VOLATILE publish gate for the lazily built encode tables: the
+    // plain-field writes above it in ensureEncodeTables happen-before a
+    // reader that observes shortCodes non-null through this volatile
+    // read, so a second thread can never see half-built tables (a
+    // concurrent double build is benign — the tables are deterministic).
+    // Volatile reads are free on x86; the hot loop pays nothing.
+    @transient @volatile private var shortCodes: Array[Int] = null
     @transient private var code1: Array[Int] = null
     private var maxLenV = 0
 

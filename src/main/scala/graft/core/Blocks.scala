@@ -37,21 +37,37 @@ final class BlockWriter(initialCapacity: Int = 4096) {
     */
   def putSignedVarint(v: Long): Unit = putVarint(PrefixVarInt.zigzagEncode(v))
 
+  /** Cap on one batch's worst-case reservation (values); larger batches
+    * recurse in slices so the upfront `ensure` never over-allocates by
+    * more than ~9 MiB beyond what the data needs.
+    */
+  private final val BatchSlice = 1 << 20
+
   /** Batch raw-varint append — the write-side twin of
-    * `BlockReader.readVarints`: the cursor lives in a LOCAL for the whole
-    * batch (one capacity test per value against a local limit instead of
-    * per-call `ensure` + field traffic), with the encode kernel inlined.
+    * `BlockReader.readVarints`: ONE worst-case capacity reservation for
+    * the whole batch (hoisted out of the loop entirely — the per-value
+    * capacity test was the 1-byte path's dominant cost), the cursor in a
+    * LOCAL, the 1-byte class detected by a single shift test, and the
+    * encode kernel inlined.
     */
   def putVarints(vs: Array[Long], off: Int, n: Int): Unit = {
+    if (n > BatchSlice) {
+      var o = off
+      var r = n
+      while (r > 0) {
+        val step = if (r < BatchSlice) r else BatchSlice
+        putVarints(vs, o, step); o += step; r -= step
+      }
+      return
+    }
+    if (n <= 0) return
+    ensure(n * PrefixVarInt.MaxLen)
     var i = 0
     var p = pos
-    var b = buf
+    val b = buf
     while (i < n) {
-      if (p + PrefixVarInt.MaxLen > b.length) {
-        pos = p; ensure(PrefixVarInt.MaxLen); b = buf; p = pos
-      }
       val raw = vs(off + i)
-      if (java.lang.Long.compareUnsigned(raw, PrefixVarInt.Max1ByteTag) <= 0) {
+      if ((raw >>> 7) == 0L) {
         b(p) = raw.toByte
         p += 1
       } else {
@@ -72,15 +88,23 @@ final class BlockWriter(initialCapacity: Int = 4096) {
 
   /** Batch zigzag-signed append, as [[putVarints]]. */
   def putSignedVarints(vs: Array[Long], off: Int, n: Int): Unit = {
+    if (n > BatchSlice) {
+      var o = off
+      var r = n
+      while (r > 0) {
+        val step = if (r < BatchSlice) r else BatchSlice
+        putSignedVarints(vs, o, step); o += step; r -= step
+      }
+      return
+    }
+    if (n <= 0) return
+    ensure(n * PrefixVarInt.MaxLen)
     var i = 0
     var p = pos
-    var b = buf
+    val b = buf
     while (i < n) {
-      if (p + PrefixVarInt.MaxLen > b.length) {
-        pos = p; ensure(PrefixVarInt.MaxLen); b = buf; p = pos
-      }
       val raw = PrefixVarInt.zigzagEncode(vs(off + i))
-      if (java.lang.Long.compareUnsigned(raw, PrefixVarInt.Max1ByteTag) <= 0) {
+      if ((raw >>> 7) == 0L) {
         b(p) = raw.toByte
         p += 1
       } else {

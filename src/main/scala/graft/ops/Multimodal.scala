@@ -191,12 +191,78 @@ object Multimodal {
         .getOrElse(FakeDecoder.decode(kind, payload))
   }
 
-  /** Wrap a text table as fake media payloads (binary column + kind). */
-  def payloadsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol).cast("long"), lit(3L)) + 1).cast("int")).as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"))
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Long): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** Minimal VALID PNG: signature + IHDR (width/height derived from the
+    * payload-body length), correct chunk CRC, body appended as ancillary
+    * trailing bytes. 33 header bytes + body.
+    */
+  private[ops] def pngPayload(body: Array[Byte]): Array[Byte] = {
+    val b = body.length.toLong
+    val w = 16L + b % 640L
+    val h = 16L + (b / 640L) % 480L
+    val data = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0) // RGB8
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData)
+    Array(0x89.toByte) ++ "PNG".getBytes("US-ASCII") ++
+      Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(data.length.toLong) ++ typeAndData ++ be32(crc.getValue) ++ body
+  }
+
+  /** Minimal VALID WAV: RIFF/WAVE + fmt (16-bit PCM, 1-2 channels from
+    * the body length, 8 kHz) + data holding the body. 44 header bytes +
+    * body; frames = body / blockAlign.
+    */
+  private[ops] def wavPayload(body: Array[Byte]): Array[Byte] = {
+    val b = body.length.toLong
+    val channels = 1L + b % 2L
+    val rate = 8000L
+    val blockAlign = channels * 2L // 16-bit samples
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + b) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16L) ++ le16(1L) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16L) ++
+      "data".getBytes("US-ASCII") ++ le32(b) ++ body
+  }
+
+  /** Minimal VALID ISO-BMFF: ftyp + moov/mvhd (v0, timescale 1000,
+    * duration seconds = 1 + body%7), body as trailing mdat-less junk the
+    * box walk never visits. 52 header bytes + body.
+    */
+  private[ops] def bmffPayload(body: Array[Byte]): Array[Byte] = {
+    val b = body.length.toLong
+    val seconds = 1L + b % 7L
+    val mvhd = be32(28L) ++ "mvhd".getBytes("US-ASCII") ++
+      be32(0L) /* v0 + flags */ ++ be32(0L) ++ be32(0L) /* ctime/mtime */ ++
+      be32(1000L) /* timescale */ ++ be32(seconds * 1000L) /* duration */
+    val moov = be32((8 + mvhd.length).toLong) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    val ftyp = be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0L)
+    ftyp ++ moov ++ body
+  }
+
+  /** Wrap a text table as media payloads (binary column + kind): REAL
+    * minimal PNG/WAV/BMFF bytes whose header metadata derives
+    * deterministically from the text (oracle-expressible), so the
+    * downstream metadata pass exercises [[HeaderParsers]], not the stub.
+    */
+  def payloadsFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 => (id, "image", pngPayload(body))
+          case 1 => (id, "audio", wavPayload(body))
+          case _ => (id, "video", bmffPayload(body))
+        }
+      }.toDF("doc_id", "kind", "payload")
+  }
 
   /** Batched feature extraction over the binary column. One decoder
     * "session" per partition (the expensive-init shape real decoders

@@ -272,17 +272,34 @@ class OpsSpec extends AnyFunSuite {
       0xff.toByte, 0xe0.toByte, 0x7f, 0x7f))
   }
 
-  test("multimodal metadata matches the stub formula and batches per partition") {
+  test("multimodal metadata goes through the REAL header parsers end to end") {
     val media = Multimodal.payloadsFromText(docs, "doc_id", "text")
     assert(media.schema("payload").dataType.typeName === "binary")
     val meta = Multimodal.extractMetadata(media).collect()
     assert(meta.length === 6)
-    val m0 = meta.find(_.doc_id == 0L).get
     val len0 = "the quick brown fox jumps over the lazy dog again and again"
       .getBytes("UTF-8").length.toLong
-    assert(m0.byte_len === len0)
-    assert(m0.width === 16L + len0 % 640L)
+    // doc 0: a synthesized PNG — 33 header bytes, IHDR dims parsed back
+    val m0 = meta.find(_.doc_id == 0L).get
     assert(m0.kind === "image")
+    assert(m0.byte_len === 33L + len0)
+    assert(m0.width === 16L + len0 % 640L)
+    assert(m0.height === 16L + (len0 / 640L) % 480L)
+    // doc 1: a synthesized WAV — channels/rate/frames from the fmt chunk
+    val m1 = meta.find(_.doc_id == 1L).get
+    assert(m1.kind === "audio")
+    assert(m1.height === 8000L, "WAV sample rate must come from the fmt parse")
+    assert(m1.frames > 0L)
+    // doc 2: a synthesized BMFF — mvhd duration seconds
+    val m2 = meta.find(_.doc_id == 2L).get
+    assert(m2.kind === "video")
+    assert(m2.width === 0L && m2.height === 0L)
+    assert(m2.frames >= 1L && m2.frames <= 7L)
+    // the payloads really parse as their formats (not FakeDecoder paths)
+    val byId = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(Multimodal.HeaderParsers.png(byId(0L)).isDefined)
+    assert(Multimodal.HeaderParsers.wav(byId(1L)).isDefined)
+    assert(Multimodal.HeaderParsers.bmff(byId(2L)).isDefined)
     val frames = Multimodal.sampleFrames(media, everyNth = 16).collect()
     assert(frames.forall(_.getInt(1) >= 1))
   }
