@@ -69,11 +69,14 @@ object Dedup {
                  threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.MinHashSig.register(df.sparkSession)
+    graft.functions.SortedJaccardGE.register(df.sparkSession)
+    graft.functions.WordNGrams.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
     // persisted FIRST so the banding pass and both verify joins all read
-    // the one materialized shingle set (released below)
+    // the one materialized shingle set (released below); the single-pass
+    // expression emits it SORTED for the merge-based exact-Jaccard verify
     val shs = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleSize).as("sh"))
+        graft.functions.WordNGrams.wordNgrams(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = shs.withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
     val banded = base.select(col("id"),
@@ -92,9 +95,8 @@ object Dedup {
     val out = cand
       .join(shs.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(shs.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", graft.functions.SortedJaccardGE.sortedJaccardGe(
+        col("sh_a"), col("sh_b"), lit(threshold)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     materializeThenRelease(out, shs)
@@ -150,21 +152,33 @@ object Dedup {
   /** EXACT n-gram Jaccard similarity via prefix filtering (AllPairs /
     * PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): order each
     * document's distinct grams by global (document frequency, gram) and
-    * join only each document's first `|g| - ceil(t*|g|) + 1` grams. Any
-    * pair with J ≥ t must share a prefix gram under a common total order,
-    * so the filter is LOSSLESS — the output is the exact answer — while
-    * hot stop-word-like grams (which would make the naive postings
-    * self-join quadratic) sort to the ends of documents and rarely enter
-    * a prefix. Round 1 had no frequency discipline at all; an interim fix
-    * used a fixed df cap, which silently lost recall as the corpus grew.
+    * join only each document's lowest-frequency prefix grams. Any pair
+    * with J ≥ t must share a prefix gram under a common total order, so
+    * the filter is LOSSLESS — the output is the exact answer — while hot
+    * stop-word-like grams (which would make the naive postings self-join
+    * quadratic) sort to the ends of documents and rarely enter a prefix.
+    *
+    * The candidate join is ASYMMETRIC (the PPJoin self-join refinement):
+    * the full PROBING prefix (`|g| - ceil(t·|g|) + 1` grams) joins a
+    * shorter INDEX prefix (`|g| - ceil(2t/(1+t)·|g|) + 1` grams) carried
+    * by the pair's smaller-(size, id) side — for a matching pair the
+    * overlap obeys o ≥ 2t/(1+t)·|smaller|, so the smaller side's index
+    * prefix must still contain a shared gram. At t=0.5 the index prefix
+    * is 1/3 of a document against the probing prefix's 1/2, which cuts
+    * the matched-row volume of the hot-gram join by the same ratio.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    graft.functions.SortedJaccardGE.register(df.sparkSession)
+    graft.functions.WordNGrams.register(df.sparkSession)
     // base feeds the postings AND both verify-join branches: persist it
-    // (released below) or each branch re-runs the scan+shingle pipeline
+    // (released below) or each branch re-runs the scan+shingle pipeline.
+    // The single-pass expression emits each document's distinct grams
+    // SORTED, so the verify stage can use the merge-with-early-exit
+    // Jaccard kernel instead of per-pair hash sets.
     val base = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("grams"))
+      graft.functions.WordNGrams.wordNgrams(col(textCol), n).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // _sz rides the explode — no sizes join (and no extra shuffle) needed
     val postings = base.select(col("id"), size(col("grams")).as("_sz"),
@@ -174,43 +188,53 @@ object Dedup {
       .partitionBy(col("id")).orderBy(col("_f"), col("gram"))
     // persist the SKINNY prefix postings (id, gram, size, prefix position
     // — linear in corpus, spills to disk): both sides of the candidate
-    // self-join and the window chain above it would otherwise recompute
-    // the full shingle pipeline once per branch (measured 3x the query's
+    // join and the window chain above it would otherwise recompute the
+    // full shingle pipeline once per branch (measured 3x the query's
     // cost at SF).
     val pre = postings.join(dfreq, Seq("gram"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= col("_sz") - ceil(lit(threshold) * col("_sz")) + 1)
       .select(col("id"), col("gram"), col("_sz"), col("_rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t — prunes
-    // size-mismatched candidates before the (expensive) exact verify
-    val matches = pre.select(col("gram"), col("id").as("id_a"),
-        col("_sz").as("_sza"), col("_rk").as("_pa"))
-      .join(pre.select(col("gram"), col("id").as("id_b"),
-        col("_sz").as("_szb"), col("_rk").as("_pb")), Seq("gram"))
-      .filter(col("id_a") < col("id_b")
-        && col("_szb") >= lit(threshold) * col("_sza")
-        && col("_sza") >= lit(threshold) * col("_szb"))
+    val probe = pre.select(col("gram"), col("id").as("id_p"),
+      col("_sz").as("_szp"), col("_rk").as("_pp"))
+    val index = pre
+      .filter(col("_rk") <=
+        col("_sz") - ceil(lit(2.0 * threshold / (1.0 + threshold)) * col("_sz")) + 1)
+      .select(col("gram"), col("id").as("id_i"),
+        col("_sz").as("_szi"), col("_rk").as("_pi"))
+    val matches = probe.join(index, Seq("gram"))
+      // orientation: the index side is the pair's smaller (size, id) —
+      // each unordered pair is generated from exactly one direction
+      .filter(col("_szi") < col("_szp") ||
+        (col("_szi") === col("_szp") && col("id_i") < col("id_p")))
+      // PPJoin length filter (one-sided under the orientation):
+      // J >= t forces |smaller| >= t * |larger|
+      .filter(col("_szi") >= lit(threshold) * col("_szp"))
       // PPJoin POSITIONAL filter (Xiao et al. WWW'08): a shared prefix
-      // gram at positions (pa, pb) bounds the pair's overlap by
-      // 1 + min(|A| - pa, |B| - pb), and J >= t needs overlap >=
-      // ceil(t/(1+t) * (|A| + |B|)). Applied PER MATCHED ROW, before the
+      // gram at positions (pi, pp) bounds the pair's overlap by
+      // 1 + min(|I| - pi, |P| - pp), and J >= t needs overlap >=
+      // ceil(t/(1+t) * (|I| + |P|)). Applied PER MATCHED ROW, before the
       // pair groupBy, so pruned matches never ride that shuffle: the
-      // pair's FIRST shared prefix gram carries its largest bound, so the
-      // pair survives iff its first-gram row does — lossless. On hot-gram
-      // corpora (this testdata: 31-word vocabulary) this is what keeps
-      // candidate volume off the bench's critical path.
-      .filter(lit(1) + least(col("_sza") - col("_pa"), col("_szb") - col("_pb"))
-        >= ceil(lit(threshold / (1.0 + threshold)) * (col("_sza") + col("_szb"))))
+      // pair's FIRST shared prefix gram (no shared grams can precede it
+      // in either prefix) carries a valid bound, so the pair survives iff
+      // its first-gram row does — lossless. On hot-gram corpora (this
+      // testdata: 31-word vocabulary) this is what keeps candidate volume
+      // off the bench's critical path.
+      .filter(lit(1) + least(col("_szi") - col("_pi"), col("_szp") - col("_pp"))
+        >= ceil(lit(threshold / (1.0 + threshold)) * (col("_szi") + col("_szp"))))
     val cand = matches
-      .select(col("id_a"), col("id_b"))
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact verify via the sorted-merge kernel: most false candidates
+    // exit within a few compares (the suffix-filter effect), survivors
+    // get their EXACT Jaccard from the same pass
     val out = cand
       .join(base.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))))
+      .withColumn("jaccard", graft.functions.SortedJaccardGE.sortedJaccardGe(
+        col("g_a"), col("g_b"), lit(threshold)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     materializeThenRelease(out, pre, base)

@@ -109,6 +109,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got === want, "prefix-filtered output must equal the all-pairs answer")
   }
 
+  test("word_ngrams expression == declarative shingles (sorted), incl. edge cases") {
+    graft.functions.WordNGrams.register(spark)
+    val tricky = Seq(
+      "the quick brown fox", "a", "", "   ", "a  b   c", " padded  text ",
+      "\tleading tab", "x\ny", "one two three four five six seven",
+      "Ünïcode wörds hére", "dup dup dup dup").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for (k <- Seq(2, 3, 5)) {
+      val df = tricky.toDF("id", "text")
+      val got = df.select($"id",
+        graft.functions.WordNGrams.wordNgrams($"text", k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select($"id",
+        sort_array(Dedup.shingles($"text", k)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got === want, s"k=$k: single-pass grams must equal the declarative form")
+    }
+  }
+
+  test("sorted_jaccard_ge: exact on survivors, early exit only on proven misses") {
+    graft.functions.SortedJaccardGE.register(spark)
+    graft.functions.WordNGrams.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = rows.toDF("id", "text")
+      .select($"id", graft.functions.WordNGrams.wordNgrams($"text", 2).as("g"))
+    val pairs = df.select($"id".as("id_a"), $"g".as("g_a"))
+      .crossJoin(df.select($"id".as("id_b"), $"g".as("g_b")))
+      .filter($"id_a" < $"id_b")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = pairs.withColumn("j",
+        graft.functions.SortedJaccardGE.sortedJaccardGe($"g_a", $"g_b", lit(t)))
+        .filter($"j" >= t).select($"id_a", $"id_b", $"j")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val want = pairs.withColumn("j",
+        size(array_intersect($"g_a", $"g_b")).cast("double") /
+          size(array_union($"g_a", $"g_b")))
+        .filter($"j" >= t).select($"id_a", $"id_b", $"j")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got === want, s"t=$t: merge kernel must equal intersect/union exactly")
+    }
+  }
+
   test("dedup ops release their fat intermediates (only the pair result stays cached)") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.size
