@@ -92,9 +92,20 @@ object Bench {
       var n = 0L
       var decSec = Double.MaxValue
       for (r <- 1 to reps) {
-        val (cnt, s) = timeSec(
+        // typed mapPartitions count, NOT .count(): the DSv2 scan prunes
+        // columns, so a bare count() would decode one column and report
+        // a fake decode throughput; materializing DerivedRow forces every
+        // column through the streaming decode + digest verification
+        val (cnt, s) = timeSec {
+          import spark.implicits._
           (1 to decodeK).map(_ => ColumnarEngine.decode(spark, dir))
-            .reduce(_ union _).count())
+            .reduce(_ union _)
+            .mapPartitions { it =>
+              var c = 0L
+              it.foreach { r => if (r.content != null) c += 1 }
+              Iterator.single(c)
+            }.reduce(_ + _)
+        }
         System.err.println(f"[bench] engine n=$cpus decode rep$r ${s}%.1f s")
         n = cnt
         decSec = math.min(decSec, s)

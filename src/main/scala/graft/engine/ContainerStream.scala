@@ -1,27 +1,33 @@
-package graft.sources
+package graft.engine
 
 import org.apache.hadoop.fs.FSDataInputStream
 
 import graft.core.{DecodeError, PrefixVarInt}
 import graft.codecs.{LongCodecs, StringCodecs}
-import graft.engine.{ColumnarEngine, Manifests}
+
 
 /** Bounded incremental reader over `[start, end)` of an open container
-  * file. Uses POSITIONED reads (`PositionedReadable`), so concurrent
-  * cursors over one `FSDataInputStream` never fight over seek state, and
-  * a column-block skip is a pure position advance — NO IO, which is what
-  * makes projection free at the storage layer, not just the decode layer.
+  * file. Access is SEQUENTIAL with lazy seeks: a column-block skip only
+  * advances the logical position — the seek happens on the next actual
+  * read, so pruned columns cost no IO and sequential runs stay on the
+  * filesystem's fast streaming path. (The first implementation used
+  * positioned reads; Hadoop's default `PositionedReadable` on
+  * checksummed filesystems degrades to seek+read+seek-back per call,
+  * measured ~1.7x on the full-decode path.)
   *
   * Memory contract: at most one column block (plus a small header buffer)
   * is ever resident — the whole-container `Array[Byte]` of rounds 1-3 is
   * gone, along with its 2 GiB ceiling (reference intent: incremental
   * cursor decode is the crate's entire io surface, src/io.rs:35-60).
   *
+  * One cursor per open stream at a time (the readers iterate chunks
+  * strictly sequentially).
+  *
   * Corruption contract (fuzz-tested): every failure is a
   * [[graft.core.DecodeError]] or an `IllegalArgumentException` — never an
   * out-of-bounds access, EOF exception, or unbounded allocation.
   */
-private[sources] final class ContainerInput(
+private[graft] final class ContainerInput(
     in: FSDataInputStream, start: Long, val end: Long) {
   require(start >= 0 && start <= end, s"bad container range [$start, $end)")
   private val buf = new Array[Byte](64 << 10)
@@ -33,14 +39,30 @@ private[sources] final class ContainerInput(
   def remaining: Long = end - p
   def atEnd: Boolean = p >= end
 
+  /** Seek the underlying stream to `pos` only if it is elsewhere. */
+  @inline private def seekTo(pos: Long): Unit =
+    if (in.getPos != pos) in.seek(pos)
+
+  /** Sequential read at logical position `pos`; returns bytes read or
+    * raises Eob on a premature end-of-file.
+    */
+  private def readAt(pos: Long, dst: Array[Byte], off: Int, len: Int): Int =
+    try {
+      seekTo(pos)
+      val got = in.read(dst, off, len)
+      if (got < 0) { p = end; DecodeError.eob() }
+      got
+    } catch {
+      // a corrupt chunk index can claim a range past the physical file:
+      // the seek/read EOF becomes the controlled drain-and-raise
+      case _: java.io.EOFException => p = end; DecodeError.eob()
+    }
+
   private def refill(): Unit = {
     val want = math.min(buf.length.toLong, end - p).toInt
     if (want <= 0) DecodeError.eob()
     var got = 0
-    while (got == 0) {
-      got = in.read(p, buf, 0, want)
-      if (got < 0) DecodeError.eob() // file shorter than the claimed range
-    }
+    while (got == 0) got = readAt(p, buf, 0, want)
     bufStart = p
     bufLen = got
   }
@@ -76,7 +98,7 @@ private[sources] final class ContainerInput(
   def readFullyBytes(n: Int): Array[Byte] = {
     if (n < 0 || n > remaining) { p = end; DecodeError.eob() }
     val out = new Array[Byte](n)
-    // drain whatever overlaps the header buffer, then positioned-read
+    // drain whatever overlaps the header buffer, then stream the rest
     var copied = 0
     val idx = p - bufStart
     if (idx >= 0 && idx < bufLen) {
@@ -86,8 +108,7 @@ private[sources] final class ContainerInput(
     var off = copied
     var pos = p + copied
     while (off < n) {
-      val got = in.read(pos, out, off, n - off)
-      if (got < 0) { p = end; DecodeError.eob() }
+      val got = readAt(pos, out, off, n - off)
       off += got
       pos += got
     }
@@ -95,7 +116,9 @@ private[sources] final class ContainerInput(
     out
   }
 
-  /** Advance past n bytes without reading them (pruned column block). */
+  /** Advance past n bytes without reading them (pruned column block);
+    * the next read seeks, so the skip itself is free.
+    */
   def skipBytes(n: Long): Unit = {
     if (n < 0 || n > remaining) { p = end; DecodeError.eob() }
     p += n
@@ -103,7 +126,7 @@ private[sources] final class ContainerInput(
 }
 
 /** One decoded chunk: only the `needed` columns are materialized. */
-private[sources] final case class DecodedChunk(
+private[graft] final case class DecodedChunk(
     rows: Int,
     longs: java.util.HashMap[String, Array[Long]],
     strs: java.util.HashMap[String, Array[String]],
@@ -111,14 +134,14 @@ private[sources] final case class DecodedChunk(
 
 /** Shared streaming parse of the container format (prelude + chunks),
   * used by the row and columnar DSv2 readers. Mirrors the validation caps
-  * of [[graft.engine.ColumnarEngine.decodeContainer]].
+  * of [[ColumnarEngine.decodeContainer]].
   */
-private[sources] object ContainerFormat {
+private[graft] object ContainerFormat {
 
   /** Hard cap on any single buffered allocation: the reader REFUSES to
     * buffer more than one encoder-shaped block. The encoder flushes
     * chunks at 32 MiB of string CHARS and caps any single value at 10 Mi
-    * chars ([[graft.engine.ColumnarEngine.MaxValueChars]]), so a legal
+    * chars ([[ColumnarEngine.MaxValueChars]]), so a legal
     * block is < 3×(32 Mi + 10 Mi) bytes even at full 3-byte UTF-8
     * expansion; a container claiming more is corrupt or foreign — fail
     * with a DecodeError-shaped require, don't OOM.

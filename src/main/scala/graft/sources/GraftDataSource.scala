@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.engine.{ChunkStats, ColumnarEngine, ContainerIO, DerivedRow, Manifests, ParsedManifest}
+import graft.engine.{ChunkStats, ColumnarEngine, ContainerFormat, ContainerInput, ContainerIO, DecodedChunk, DerivedRow, Manifests, ParsedManifest}
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` — the
   * engine's container+manifest layout as a DataSource V2 table.
