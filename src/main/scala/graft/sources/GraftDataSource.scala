@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -345,13 +345,38 @@ case class ChunkSpec(offset: Long, length: Long, rows: Int,
 case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec])
     extends InputPartition
 
-class GraftScan(path: String, required: StructType, filters: Array[Filter],
+class GraftScan(path: String, required: StructType,
+                initialFilters: Array[Filter],
                 confKv: Map[String, String], limit: Int = Int.MaxValue,
                 maxSplitBytes: Long = GraftDataSource.DefaultMaxSplitBytes,
                 verifyContent: Boolean = true)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Compile-time pushed filters plus any runtime filters accepted in
+    * [[filter]]; both chunk admission and the row-level re-check use the
+    * combined set.
+    */
+  private var filters: Array[Filter] = initialFilters
+
+  /** Runtime (DPP-style) filtering: a broadcast join's build-side keys
+    * arrive as an `In` filter before `planInputPartitions`, so a
+    * dim-filtered join decodes only the chunks whose zone maps/dicts can
+    * hold matching keys — the dynamic-partition-pruning shape, at chunk
+    * granularity.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    // only the scan's OUTPUT columns — Spark resolves these against the
+    // pruned schema, and any of them can drive chunk admission
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val accepted = runtime.filter(GraftDataSource.pushable)
+    filters = filters ++ accepted
+  }
 
   private def committed(): Seq[ParsedManifest] =
     Manifests.readCommitted(ContainerIO.confFrom(confKv), path)

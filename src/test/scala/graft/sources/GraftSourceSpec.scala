@@ -306,6 +306,36 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(lim.count() === 9)
   }
 
+  test("runtime filtering (DPP shape): broadcast-join keys prune chunks") {
+    import org.apache.spark.sql.sources.{In => SIn}
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-dpp").toString
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 600, 3))
+      .orderBy(col("repo_code")).coalesce(1)
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    // unit surface: a runtime In on repo_code shrinks the planned chunks
+    val df = spark.read.format("graft").option("maxSplitBytes", "1").load(d)
+    df.collect()
+    val scan = graftScan(df)
+    val before = scan.planInputPartitions().length
+    assert(before === 6)
+    val lo = spark.read.format("graft").load(d)
+      .agg(min("repo_code")).collect()(0).getLong(0)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      SIn("repo_code", Array(java.lang.Long.valueOf(lo)))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(after < before, s"runtime In must prune chunks: $after of $before")
+    // end-to-end: broadcast join against a tiny dim stays exact
+    import spark.implicits._
+    val dim = Seq(lo).toDF("repo_code")
+    val joined = spark.read.format("graft").load(d)
+      .join(broadcast(dim), Seq("repo_code"))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val want = spark.read.format("graft").load(d)
+      .filter(col("repo_code") === lo).count()
+    assert(joined === want)
+  }
+
   test("orphan containers (no manifest) are invisible to every read path") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-orphan").toString
     ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
