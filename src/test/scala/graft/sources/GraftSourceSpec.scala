@@ -336,6 +336,42 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(joined === want)
   }
 
+  test("legacy manifests (no chunkIndex/name) still read: sequential streaming") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-legacy").toString
+    val derived = ColumnarEngine.derive(SourceTable.synthesize(spark, 150, 2))
+    derived.write.format("graft").mode("overwrite").save(d)
+    // strip the round-4 fields from every manifest + drop the index,
+    // simulating a round-3-written table
+    val conf = graft.engine.ContainerIO.localConf()
+    val om = new ObjectMapper()
+    graft.engine.ContainerIO.listNames(conf, s"$d/manifests")
+      .filter(_.endsWith(".json")).foreach { n =>
+        val p = java.nio.file.Paths.get(s"$d/manifests/$n")
+        val root = om.readTree(new String(java.nio.file.Files.readAllBytes(p)))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        // legacy block files were named by the numeric part id
+        val legacyName = root.get("part").asLong().toString
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$d/blocks/part-${root.get("name").asText()}.gblk"),
+          java.nio.file.Paths.get(s"$d/blocks/part-$legacyName.gblk"))
+        root.remove("chunkIndex"); root.remove("name")
+        java.nio.file.Files.delete(p)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$d/manifests/part-$legacyName.json"),
+          root.toString.getBytes("UTF-8"))
+      }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$d/_manifest-index.json"))
+    // DSv2 read and engine decode both fall back to whole-file streaming
+    assert(spark.read.format("graft").load(d).count() === 150)
+    assert(ColumnarEngine.decode(spark, d).count() === 150)
+    assert(ColumnarEngine.decode(spark, d).toDF().except(derived.toDF()).isEmpty)
+    // partition-level zone maps still admit/skip
+    val all = spark.read.format("graft").load(d)
+      .filter(col("len_content") >= 0L).count()
+    assert(all === 150)
+  }
+
   test("orphan containers (no manifest) are invisible to every read path") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-orphan").toString
     ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
