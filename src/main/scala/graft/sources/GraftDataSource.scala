@@ -176,7 +176,7 @@ class GraftTable(path: String) extends Table with SupportsRead with SupportsWrit
   override def schema(): StructType = GraftDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, options)
@@ -672,33 +672,43 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
 
 class GraftWrite(path: String, truncate: Boolean, epoch: String,
                  chunkRows: Int) extends Write {
-  override def toBatch: BatchWrite = {
+  private def prepare(): Map[String, String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     ContainerIO.mkdirs(conf, s"$path/blocks")
     ContainerIO.mkdirs(conf, s"$path/manifests")
-    new GraftBatchWrite(path, truncate, epoch, ContainerIO.confSnapshot(conf),
-      chunkRows)
+    ContainerIO.confSnapshot(conf)
+  }
+
+  override def toBatch: BatchWrite =
+    new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows)
+
+  /** `writeStream.format("graft")` — append-only micro-batch sink. Each
+    * micro-batch commits as one epoch (`<queryId>-e<epochId>`), so a
+    * replayed batch after a failure re-stages identical containers under
+    * identical names (first-commit-wins) and re-publishes the same
+    * manifests: the sink is idempotent per epoch, which with the
+    * checkpointed epoch id gives effective exactly-once table contents.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "graft streaming sink is append-only (outputMode(\"append\"))")
+    new GraftStreamingWrite(path, epoch, prepare(), chunkRows)
   }
 }
 
 case class GraftCommitMessage(name: String, rows: Long,
                               manifestJson: String) extends WriterCommitMessage
 
-/** Job-level commit: tasks publish only epoch-named CONTAINERS (invisible
-  * to readers — no manifest); this commit writes every manifest plus the
-  * rewritten `_manifest-index.json`, and — for overwrite — deletes the
-  * old generation only AFTER the new one is live. A failed/killed job
-  * leaves the previous table fully intact; `abort` garbage-collects this
-  * epoch's staged containers.
-  */
-class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
-                      confKv: Map[String, String], chunkRows: Int)
-    extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, epoch, confKv, chunkRows)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+private[sources] object GraftCommits {
+  /** Publish one job's (or micro-batch's) staged containers: write the
+    * manifests (commit markers), rewrite the consolidated index, and —
+    * for truncate — delete the previous generation only AFTER the new
+    * one is live. Re-publishing the same epoch is idempotent (fresh
+    * names replace their old index entries).
+    */
+  def publish(confKv: Map[String, String], path: String, truncate: Boolean,
+              messages: Array[WriterCommitMessage]): Unit = {
     val conf = ContainerIO.confFrom(confKv)
     val fresh = messages.collect {
       case m: GraftCommitMessage if m.rows > 0 => m
@@ -725,15 +735,66 @@ class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // staged containers of this epoch are unreachable (no manifest), but
-    // don't leave them as garbage
+  /** Drop an aborted epoch's staged containers (unreachable anyway — no
+    * manifest — but don't leave them as garbage).
+    */
+  def dropStaged(confKv: Map[String, String], path: String, epoch: String): Unit = {
     val conf = ContainerIO.confFrom(confKv)
     val f = ContainerIO.fs(path, conf)
     ContainerIO.listNames(conf, s"$path/blocks")
       .filter(n => n.contains(s"part-$epoch-"))
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
   }
+}
+
+/** Job-level commit: tasks publish only epoch-named CONTAINERS (invisible
+  * to readers — no manifest); this commit writes every manifest plus the
+  * rewritten `_manifest-index.json`, and — for overwrite — deletes the
+  * old generation only AFTER the new one is live. A failed/killed job
+  * leaves the previous table fully intact; `abort` garbage-collects this
+  * epoch's staged containers.
+  */
+class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
+                      confKv: Map[String, String], chunkRows: Int)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(path, epoch, confKv, chunkRows)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommits.publish(confKv, path, truncate, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommits.dropStaged(confKv, path, epoch)
+}
+
+/** Micro-batch streaming sink: every epoch appends via the same staged
+  * containers + manifest publication as a batch append.
+  */
+class GraftStreamingWrite(path: String, queryEpoch: String,
+                          confKv: Map[String, String], chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def epochOf(epochId: Long) = s"$queryEpoch-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(path, queryEpoch, confKv, chunkRows)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftCommits.publish(confKv, path, truncate = false, messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftCommits.dropStaged(confKv, path, epochOf(epochId))
+}
+
+class GraftStreamingWriterFactory(path: String, queryEpoch: String,
+                                  confKv: Map[String, String], chunkRows: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(path, partitionId, s"$queryEpoch-e$epochId", confKv,
+      chunkRows)
 }
 
 class GraftWriterFactory(path: String, epoch: String,

@@ -32,6 +32,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(decoded.except(orig).isEmpty)
   }
 
+  test("native streaming sink: writeStream.format(\"graft\") appends epochs, reads back exact") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-sink-src").toString
+    val outDir = Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val all = SourceTable.synthesize(spark, 200, 2)
+    val derived = ColumnarEngine.derive(all)
+    derived.write.parquet(s"$srcDir/data")
+    val stream = spark.readStream
+      .schema(derived.schema).parquet(s"$srcDir/data")
+    val q = stream.writeStream.format("graft")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.format("graft").load(outDir)
+    assert(back.count() === 200)
+    assert(back.except(derived.toDF()).isEmpty, "sink output must match input")
+    // a second wave appends (new epoch), nothing is overwritten
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 200, 2)).toDF()
+      .withColumn("path", concat_ws("/", lit("w2"), col("path")))
+      .write.mode("append").parquet(s"$srcDir/data")
+    val q2 = spark.readStream.schema(derived.schema).parquet(s"$srcDir/data")
+      .writeStream.format("graft")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(spark.read.format("graft").load(outDir).count() === 400,
+      "second micro-batch must append, not replace")
+  }
+
   test("streaming exact dedup drops repeated texts within the watermark horizon") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
