@@ -336,6 +336,13 @@ object Bench {
     val micro = microA.map { case (k, v) => k -> math.max(v, microB(k)) }
 
     val spark = session(cpus)
+    // session warmup OUTSIDE the timed queries: the alphabetically-first
+    // timed query otherwise absorbs several seconds of one-time session
+    // init, scheduler spin-up, and whole-stage-codegen compiler warmup
+    // (measured: c1 5.9 s in-suite vs 0.7 s standalone-warm at sf0.1)
+    spark.range(1 << 20).selectExpr("sum(id * 2)", "count(distinct id % 1000)").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
+      .count().collect()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try timeSec(fn(spark, sfDir).count())._2

@@ -219,6 +219,69 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: corrupted manifests/chunk indexes never crash reads uncontrolled") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-mfuzz").toString
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 120, 2))
+      .coalesce(1)
+      .write.format("graft").option("chunkRows", "40").mode("overwrite").save(d)
+    val conf = graft.engine.ContainerIO.localConf()
+    val mf = graft.engine.ContainerIO.listNames(conf, s"$d/manifests")
+      .filter(_.endsWith(".json")).head
+    val mfPath = java.nio.file.Paths.get(s"$d/manifests/$mf")
+    val orig = new String(java.nio.file.Files.readAllBytes(mfPath), "UTF-8")
+    val idxPath = java.nio.file.Paths.get(s"$d/_manifest-index.json")
+    val origIdx = java.nio.file.Files.readAllBytes(idxPath)
+    def controlled(ctx: String)(f: => Any): Unit =
+      try { f; () }
+      catch {
+        case _: graft.core.DecodeError => ()
+        case _: IllegalArgumentException => ()
+        case e: org.apache.spark.SparkException => // task failure wrapper
+          def ok(t: Throwable): Boolean = t != null &&
+            (t.isInstanceOf[graft.core.DecodeError] ||
+             t.isInstanceOf[IllegalArgumentException] || ok(t.getCause))
+          assert(ok(e), s"uncontrolled failure on $ctx: $e")
+        case e: Throwable =>
+          fail(s"uncontrolled ${e.getClass.getName}: ${e.getMessage} on $ctx")
+      }
+    def writeNoSidecar(path: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(path, bytes)
+      java.nio.file.Files.deleteIfExists(
+        path.getParent.resolve("." + path.getFileName.toString + ".crc"))
+    }
+    val rnd = new scala.util.Random(23)
+    // corrupt chunk-index numbers: offsets/lengths/rows/CRCs point at the
+    // wrong bytes — reads must fail controlled or return correct data,
+    // never OOB/EOF-crash
+    var k = 0
+    while (k < 40) {
+      val mutated = orig.replaceAll("\"offset\":(\\d+)",
+        s""""offset":${rnd.nextInt(1 << 20)}""")
+        .replaceAll("\"length\":(\\d+)", s""""length":${rnd.nextInt(1 << 16)}""")
+      writeNoSidecar(mfPath, mutated.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(idxPath) // force manifest re-read
+      controlled(s"chunk-range mut $k") {
+        spark.read.format("graft").load(d).select("len_content").collect()
+      }
+      k += 1
+    }
+    // corrupt random manifest bytes (may break the JSON itself)
+    k = 0
+    while (k < 40) {
+      val b = orig.getBytes("UTF-8").clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      writeNoSidecar(mfPath, b)
+      java.nio.file.Files.deleteIfExists(idxPath)
+      try spark.read.format("graft").load(d).select("lang").collect()
+      catch { case _: Throwable => () } // any failure fine, just no JVM crash/OOM
+      k += 1
+    }
+    // restore: the table reads clean again
+    writeNoSidecar(mfPath, orig.getBytes("UTF-8"))
+    writeNoSidecar(idxPath, origIdx)
+    assert(spark.read.format("graft").load(d).count() === 120)
+  }
+
   test("overwrite replaces the table") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-ow").toString
     val a = ColumnarEngine.derive(SourceTable.synthesize(spark, 100, 2))
