@@ -191,31 +191,43 @@ object Fsst {
     }
 
     def decode(src: Array[Byte], off: Int, encLen: Int, decLen: Int): Array[Byte] = {
+      val out = new Array[Byte](decLen)
+      decodeInto(src, off, encLen, out, 0, decLen)
+      out
+    }
+
+    /** Decode one value into `dst(dstOff until dstOff+decLen)` — the
+      * pool-writing form used by the column decode path (one shared
+      * allocation per block instead of one per string).
+      */
+    def decodeInto(src: Array[Byte], off: Int, encLen: Int,
+                   dst: Array[Byte], dstOff: Int, decLen: Int): Unit = {
       require(decLen >= 0 && encLen >= 0 && off >= 0 && off + encLen <= src.length,
         "FSST decode slice out of range")
-      val out = new Array[Byte](decLen)
+      require(dstOff >= 0 && dstOff + decLen <= dst.length,
+        "FSST decode destination out of range")
       var i = off
       val end = off + encLen
-      var o = 0
+      var o = dstOff
+      val oEnd = dstOff + decLen
       while (i < end) {
         val c = src(i) & 0xff
         if (c == EscapeCode) {
           require(i + 1 < end, "FSST escape at end of encoded bytes")
-          require(o < decLen, "FSST decode overruns declared decoded length")
-          out(o) = src(i + 1)
+          require(o < oEnd, "FSST decode overruns declared decoded length")
+          dst(o) = src(i + 1)
           o += 1
           i += 2
         } else {
           require(c < symbols.length, s"FSST code $c beyond table size ${symbols.length}")
           val sym = symbols(c)
-          require(o + sym.length <= decLen, "FSST decode overruns declared decoded length")
-          System.arraycopy(sym, 0, out, o, sym.length)
+          require(o + sym.length <= oEnd, "FSST decode overruns declared decoded length")
+          System.arraycopy(sym, 0, dst, o, sym.length)
           o += sym.length
           i += 1
         }
       }
-      require(o == decLen, s"FSST decode produced $o bytes, expected $decLen")
-      out
+      require(o == oEnd, s"FSST decode produced ${o - dstOff} bytes, expected $decLen")
     }
 
     def writeTo(w: BlockWriter): Unit = {

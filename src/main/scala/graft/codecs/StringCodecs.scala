@@ -6,14 +6,43 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** One lightweight-compression codec for a chunk of String values.
   * Block wire format: `[id: u8][count: varint][payload…]`; ids 16+.
   */
+/** A decoded string column as UTF-8 slices into a shared byte pool —
+  * value i is `pool(offsets(i) until offsets(i)+lens(i))`. Zero-copy for
+  * raw/dict/RLE blocks (the pool IS the block buffer); FSST decodes into
+  * ONE pool allocation per block. Consumers that need Java Strings call
+  * [[strings]]; byte-level consumers (columnar vector fill, UTF8String
+  * rows, the content digest) use the slices directly and never pay the
+  * UTF-8 decode + re-encode round trip a String would cost.
+  */
+final class Utf8Column(val pool: Array[Byte], val offsets: Array[Int],
+                       val lens: Array[Int]) {
+  def n: Int = offsets.length
+  def string(i: Int): String =
+    new String(pool, offsets(i), lens(i), java.nio.charset.StandardCharsets.UTF_8)
+  def strings: Array[String] = {
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = string(i); i += 1 }
+    out
+  }
+  /** Byte-equality of value i against a pre-encoded UTF-8 constant. */
+  def equalsBytes(i: Int, b: Array[Byte]): Boolean =
+    lens(i) == b.length && java.util.Arrays.equals(
+      pool, offsets(i), offsets(i) + lens(i), b, 0, b.length)
+}
+
 sealed trait StringCodec extends Serializable {
   def id: Byte
   def name: String
   def encode(values: Array[String], n: Int): Array[Byte]
   final def encode(values: Array[String]): Array[Byte] = encode(values, values.length)
-  /** Decode a block that lives at buf(off until end) — zero-copy slice
-    * form so container decode never duplicates block bytes. */
-  def decode(buf: Array[Byte], off: Int, end: Int): Array[String]
+  /** Decode a block at buf(off until end) to UTF-8 slices — zero-copy
+    * where the layout allows; the single decode implementation per codec
+    * (the String form derives from it).
+    */
+  def decodeUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column
+  final def decode(buf: Array[Byte], off: Int, end: Int): Array[String] =
+    decodeUtf8(buf, off, end).strings
   final def decode(block: Array[Byte]): Array[String] = decode(block, 0, block.length)
 
   protected final def header(n: Int, cap: Int): BlockWriter = {
@@ -207,6 +236,12 @@ object StringCodecs {
     require(off >= 0 && off < end && end <= buf.length, "empty or out-of-range block slice")
     byId(buf(off) & 0xff).decode(buf, off, end)
   }
+
+  /** Slice decode to UTF-8 slices (no String materialization). */
+  def decodeSliceUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column = {
+    require(off >= 0 && off < end && end <= buf.length, "empty or out-of-range block slice")
+    byId(buf(off) & 0xff).decodeUtf8(buf, off, end)
+  }
 }
 
 /** Plain layout: per-string byte length varints, then concatenated UTF-8. */
@@ -225,7 +260,7 @@ case object RawStringCodec extends StringCodec {
     while (i < n) { w.putBytes(bytes(i)); i += 1 }
     w.result()
   }
-  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+  def decodeUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column = {
     val (r, n) = openReader(buf, off, end)
     if (n > r.remaining) graft.core.DecodeError.eob() // each len varint >= 1 byte
     val lens = new Array[Int](n)
@@ -236,10 +271,14 @@ case object RawStringCodec extends StringCodec {
       lens(i) = l.toInt
       i += 1
     }
-    val out = new Array[String](n)
+    val offs = new Array[Int](n)
     i = 0
-    while (i < n) { out(i) = new String(r.getBytes(lens(i)), UTF_8); i += 1 }
-    out
+    while (i < n) {
+      offs(i) = r.position
+      r.skip(lens(i)) // bounds-checked; drains + raises on a corrupt length
+      i += 1
+    }
+    new Utf8Column(buf, offs, lens)
   }
 }
 
@@ -271,32 +310,37 @@ case object DictStringCodec extends StringCodec {
     w.putBytes(BitPacker.pack(codeArr, n, width))
     w.result()
   }
-  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+  def decodeUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column = {
     val (r, n) = openReader(buf, off, end)
-    if (n == 0) return new Array[String](0)
+    if (n == 0) return new Utf8Column(buf, new Array[Int](0), new Array[Int](0))
     val cardL = r.getVarint()
     require(cardL >= 1 && cardL <= n && cardL <= r.remaining,
       s"implausible dict cardinality $cardL for $n rows")
     val card = cardL.toInt
-    val dict = new Array[String](card)
+    val entryOff = new Array[Int](card)
+    val entryLen = new Array[Int](card)
     var i = 0
     while (i < card) {
       val l = r.getVarint()
       require(l >= 0 && l <= Int.MaxValue, s"implausible dict entry length $l")
-      dict(i) = new String(r.getBytes(l.toInt), UTF_8)
+      entryOff(i) = r.position
+      entryLen(i) = l.toInt
+      r.skip(entryLen(i))
       i += 1
     }
     val width = r.getByte()
     val codes = BitPacker.unpack(buf, r.position, n, width)
-    val out = new Array[String](n)
+    val offs = new Array[Int](n)
+    val lens = new Array[Int](n)
     i = 0
     while (i < n) {
       val c = codes(i)
       require(c >= 0 && c < card, s"dict code $c out of range [0, $card)")
-      out(i) = dict(c.toInt)
+      offs(i) = entryOff(c.toInt)
+      lens(i) = entryLen(c.toInt)
       i += 1
     }
-    out
+    new Utf8Column(buf, offs, lens)
   }
 }
 
@@ -324,26 +368,29 @@ case object RleStringCodec extends StringCodec {
     }
     w.result()
   }
-  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+  def decodeUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column = {
     val (r, n) = openReader(buf, off, end)
     val runsL = r.getVarint()
     require(runsL >= 0 && runsL <= r.remaining, s"implausible RLE run count $runsL")
     val runs = runsL.toInt
-    val out = new Array[String](n)
+    val offs = new Array[Int](n)
+    val lens = new Array[Int](n)
     var pos = 0
     var k = 0
     while (k < runs) {
       val sl = r.getVarint()
       require(sl >= 0 && sl <= Int.MaxValue, s"implausible run value length $sl")
-      val s = new String(r.getBytes(sl.toInt), UTF_8)
+      val vOff = r.position
+      val vLen = sl.toInt
+      r.skip(vLen)
       val lenL = r.getVarint()
       require(lenL >= 0 && lenL <= n - pos, s"RLE run overflows row count ($lenL at $pos/$n)")
       var len = lenL.toInt
-      while (len > 0) { out(pos) = s; pos += 1; len -= 1 }
+      while (len > 0) { offs(pos) = vOff; lens(pos) = vLen; pos += 1; len -= 1 }
       k += 1
     }
     require(pos == n, s"RLE runs covered $pos of $n rows")
-    out
+    new Utf8Column(buf, offs, lens)
   }
 }
 
@@ -384,7 +431,7 @@ case object FsstStringCodec extends StringCodec {
   def exactSize(values: Array[String], n: Int): Long =
     encode(values, n).length.toLong
 
-  def decode(buf: Array[Byte], off: Int, end: Int): Array[String] = {
+  def decodeUtf8(buf: Array[Byte], off: Int, end: Int): Utf8Column = {
     val (r, n) = openReader(buf, off, end)
     val table = Fsst.readTable(r)
     val decLens = new Array[Int](n)
@@ -396,6 +443,7 @@ case object FsstStringCodec extends StringCodec {
       decLens(i) = l.toInt
       i += 1
     }
+    var totalDec = 0L
     i = 0
     while (i < n) {
       val l = r.getVarint()
@@ -403,17 +451,24 @@ case object FsstStringCodec extends StringCodec {
       encLens(i) = l.toInt
       // max expansion is 8 bytes out per encoded byte (longest symbol)
       require(decLens(i) <= 8L * l, s"decoded length ${decLens(i)} exceeds 8x encoded $l")
+      totalDec += decLens(i)
       i += 1
     }
-    val out = new Array[String](n)
+    require(totalDec <= Int.MaxValue - 16,
+      s"FSST block claims $totalDec decoded bytes (exceeds one pool)")
+    val pool = new Array[Byte](totalDec.toInt)
+    val offs = new Array[Int](n)
     var pos = r.position
+    var o = 0
     i = 0
     while (i < n) {
       require(encLens(i) <= end - pos, s"encoded bytes overrun block slice")
-      out(i) = new String(table.decode(buf, pos, encLens(i), decLens(i)), UTF_8)
+      offs(i) = o
+      table.decodeInto(buf, pos, encLens(i), pool, o, decLens(i))
       pos += encLens(i)
+      o += decLens(i)
       i += 1
     }
-    out
+    new Utf8Column(pool, offs, decLens)
   }
 }

@@ -482,12 +482,15 @@ object ColumnarEngine {
         chunks.flatMap { chunk =>
           ContainerFormat.verifyContentDigest(chunk)
           val longs = chunk.longs
-          val strs = chunk.strs
-          val content = strs.get("content")
+          // typed rows need Java Strings: materialize each column once
+          val repo = chunk.strs.get("repo").strings
+          val pth = chunk.strs.get("path").strings
+          val cmt = chunk.strs.get("commit").strings
+          val lng = chunk.strs.get("lang").strings
+          val content = chunk.strs.get("content").strings
           (0 until chunk.rows).iterator.map { j =>
             DerivedRow(
-              strs.get("repo")(j), strs.get("path")(j), strs.get("commit")(j),
-              strs.get("lang")(j), content(j),
+              repo(j), pth(j), cmt(j), lng(j), content(j),
               longs.get("len_content")(j), longs.get("hash64")(j),
               longs.get("commit_ord")(j), longs.get("repo_code")(j),
               longs.get("lang_code")(j), longs.get("path_code")(j))

@@ -125,11 +125,14 @@ private[graft] final class ContainerInput(
   }
 }
 
-/** One decoded chunk: only the `needed` columns are materialized. */
+/** One decoded chunk: only the `needed` columns are materialized.
+  * String columns are UTF-8 slices ([[graft.codecs.Utf8Column]]) — Java
+  * Strings are materialized only by consumers that need them.
+  */
 private[graft] final case class DecodedChunk(
     rows: Int,
     longs: java.util.HashMap[String, Array[Long]],
-    strs: java.util.HashMap[String, Array[String]],
+    strs: java.util.HashMap[String, graft.codecs.Utf8Column],
     storedDigest: Array[Byte])
 
 /** Shared streaming parse of the container format (prelude + chunks),
@@ -174,7 +177,7 @@ private[graft] object ContainerFormat {
       l.toInt
     }
     val longs = new java.util.HashMap[String, Array[Long]]()
-    val strs = new java.util.HashMap[String, Array[String]]()
+    val strs = new java.util.HashMap[String, graft.codecs.Utf8Column]()
     var c = 0
     while (c < nCols) {
       val nameLen = ci.readVarint()
@@ -197,7 +200,7 @@ private[graft] object ContainerFormat {
             s"block CRC mismatch for column $name: container is corrupt")
         }
         if (kind == 0) longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
-        else strs.put(name, StringCodecs.decodeSlice(block, 0, block.length))
+        else strs.put(name, StringCodecs.decodeSliceUtf8(block, 0, block.length))
       } else ci.skipBytes(blockLen.toLong)
       c += 1
     }
@@ -208,7 +211,7 @@ private[graft] object ContainerFormat {
     }
     for (col <- neededStrs) {
       val a = strs.get(col)
-      require(a != null && a.length == n, s"container missing/short string column $col")
+      require(a != null && a.n == n, s"container missing/short string column $col")
     }
     DecodedChunk(n, longs, strs, digest)
   }
@@ -225,8 +228,10 @@ private[graft] object ContainerFormat {
     var i = 0
     while (i < chunk.rows) {
       sha.reset()
-      chunkSha.update(sha.digest(
-        content(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // digest straight off the UTF-8 slices — the encode side hashed
+      // exactly these bytes, so no String round trip is needed
+      sha.update(content.pool, content.offsets(i), content.lens(i))
+      chunkSha.update(sha.digest())
       i += 1
     }
     require(java.util.Arrays.equals(chunkSha.digest(), chunk.storedDigest),

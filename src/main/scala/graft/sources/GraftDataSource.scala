@@ -139,32 +139,43 @@ object GraftDataSource {
     case _ => false
   }
 
-  /** Row-level check: the reader enforces exactly what pushFilters
-    * claimed, against the decoded column arrays.
+  /** Compiled row-level predicate over decoded chunk columns: the reader
+    * enforces exactly what pushFilters claimed. String constants are
+    * pre-encoded to UTF-8 ONCE and compared against the decoded slices —
+    * no per-row String materialization.
     */
-  private[sources] def rowPasses(
+  private[sources] type RowPred =
+    (java.util.HashMap[String, Array[Long]],
+     java.util.HashMap[String, graft.codecs.Utf8Column], Int) => Boolean
+
+  private[sources] def compileFilters(filters: Array[Filter]): Array[RowPred] =
+    filters.map[RowPred] {
+      case EqualTo(c, x: Long) => (l, _, j) => l.get(c)(j) == x
+      case GreaterThan(c, x: Long) => (l, _, j) => l.get(c)(j) > x
+      case GreaterThanOrEqual(c, x: Long) => (l, _, j) => l.get(c)(j) >= x
+      case LessThan(c, x: Long) => (l, _, j) => l.get(c)(j) < x
+      case LessThanOrEqual(c, x: Long) => (l, _, j) => l.get(c)(j) <= x
+      case EqualTo(c, x: String) =>
+        val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (_, s, j) => s.get(c).equalsBytes(j, b)
+      case In(c, vs) if longCols(c) =>
+        val set = vs.map(_.asInstanceOf[java.lang.Long].longValue()).toSet
+        (l, _, j) => set.contains(l.get(c)(j))
+      case In(c, vs) =>
+        val bs = vs.map(_.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (_, s, j) => bs.exists(b => s.get(c).equalsBytes(j, b))
+      case IsNotNull(_) => (_, _, _) => true
+      case f => throw new IllegalStateException(s"unpushable filter $f")
+    }
+
+  private[sources] def rowPasses(preds: Array[RowPred],
       longs: java.util.HashMap[String, Array[Long]],
-      strs: java.util.HashMap[String, Array[String]],
-      filters: Array[Filter], j: Int): Boolean = {
+      strs: java.util.HashMap[String, graft.codecs.Utf8Column],
+      j: Int): Boolean = {
     var i = 0
-    while (i < filters.length) {
-      val ok = filters(i) match {
-        case EqualTo(c, x: Long) => longs.get(c)(j) == x
-        case GreaterThan(c, x: Long) => longs.get(c)(j) > x
-        case GreaterThanOrEqual(c, x: Long) => longs.get(c)(j) >= x
-        case LessThan(c, x: Long) => longs.get(c)(j) < x
-        case LessThanOrEqual(c, x: Long) => longs.get(c)(j) <= x
-        case EqualTo(c, x: String) => strs.get(c)(j) == x
-        case In(c, vs) if longCols(c) =>
-          val v = longs.get(c)(j)
-          vs.exists(_.asInstanceOf[java.lang.Long].longValue() == v)
-        case In(c, vs) =>
-          val v = strs.get(c)(j)
-          vs.exists(_.asInstanceOf[String] == v)
-        case IsNotNull(_) => true
-        case f => throw new IllegalStateException(s"unpushable filter $f")
-      }
-      if (!ok) return false
+    while (i < preds.length) {
+      if (!preds(i)(longs, strs, j)) return false
       i += 1
     }
     true
@@ -544,6 +555,7 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
     confKv, verifyContent)
+  private val preds = GraftDataSource.compileFilters(filters)
   private val fields = required.fields
   private var batch: ColumnarBatch = _
   private var emitted = 0
@@ -557,7 +569,7 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
       var m = 0
       var j = 0
       while (j < chunk.rows && emitted + m < limit) {
-        if (GraftDataSource.rowPasses(chunk.longs, chunk.strs, filters, j)) {
+        if (GraftDataSource.rowPasses(preds, chunk.longs, chunk.strs, j)) {
           sel(m) = j; m += 1
         }
         j += 1
@@ -573,11 +585,13 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
               var k = 0
               while (k < m) { v.putLong(k, src(sel(k))); k += 1 }
             case _ =>
-              val src = chunk.strs.get(fields(i).name)
+              // straight from the decoded UTF-8 slices: no String
+              // materialization, no re-encode
+              val u = chunk.strs.get(fields(i).name)
               var k = 0
               while (k < m) {
-                val b = src(sel(k)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                v.putByteArray(k, b)
+                val r = sel(k)
+                v.putByteArray(k, u.pool, u.offsets(r), u.lens(r))
                 k += 1
               }
           }
@@ -617,21 +631,24 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
     confKv, verifyContent)
+  private val preds = GraftDataSource.compileFilters(filters)
 
   private val fields = required.fields
   private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
     val longs = chunk.longs
     val strs = chunk.strs
     (0 until chunk.rows).iterator.flatMap { j =>
-      if (!GraftDataSource.rowPasses(longs, strs, filters, j)) None
+      if (!GraftDataSource.rowPasses(preds, longs, strs, j)) None
       else {
         val row = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
           fields(i).dataType match {
             case LongType => row.setLong(i, longs.get(fields(i).name)(j))
-            case _ => row.update(i,
-              UTF8String.fromString(strs.get(fields(i).name)(j)))
+            case _ =>
+              // zero-copy view over the decoded UTF-8 slice
+              val u = strs.get(fields(i).name)
+              row.update(i, UTF8String.fromBytes(u.pool, u.offsets(j), u.lens(j)))
           }
           i += 1
         }
