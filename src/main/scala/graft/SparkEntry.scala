@@ -420,6 +420,30 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // STRING filter pushdown under the oracle: the table is written
+    // lang-sorted so per-chunk dictionaries are selective, then read
+    // back through the DSv2 scan with a pushed `lang IN (...)` — chunk
+    // dict pruning + row-level byte-compare enforcement both sit between
+    // the data and the aggregate, and the oracle sees none of it
+    "c6_datasource_strfilter" -> ((s, d) => {
+      import s.implicits._
+      val src = t(s, d, "documents").select(
+        concat(lit("repo/"), col("source")).as("repo"),
+        concat(lit("docs/doc_"), col("doc_id")).as("path"),
+        concat(lit("c"), col("doc_id")).as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.engine.SourceFile]
+      val dir = java.nio.file.Files.createTempDirectory("graft-c6").toString
+      graft.engine.ColumnarEngine.derive(src)
+        .orderBy(col("lang"), col("path"))
+        .write.format("graft").option("chunkRows", "512").mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("lang").isin("de", "zh"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len_content")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // the selector's SIZE ACCOUNTING under a DuckDB oracle: raw bytes per
     // column (8/row for longs, utf8 bytes for strings) computed through
     // the same chunked stats pass the codec selector prices against —
@@ -714,6 +738,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents WHERE length(text) >= 200 GROUP BY 1 ORDER BY 1""",
+
+    "c6_datasource_strfilter" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang IN ('de', 'zh') GROUP BY 1 ORDER BY 1""",
 
     "c5_size_accounting" ->
       """SELECT * FROM (
