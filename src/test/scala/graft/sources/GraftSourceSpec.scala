@@ -144,6 +144,25 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_sql_t")
   }
 
+  test("SQL INSERT INTO appends through the V2 write path") {
+    val d = java.nio.file.Files.createTempDirectory("graft-sql-insert").toString
+    ColumnarEngine.derive(SourceTable.synthesize(spark, 80, 2))
+      .write.format("graft").mode("overwrite").save(d)
+    spark.sql("DROP TABLE IF EXISTS graft_ins_t")
+    spark.sql(s"CREATE TABLE graft_ins_t USING graft OPTIONS (path '$d')")
+    try {
+      ColumnarEngine.derive(SourceTable.synthesize(spark, 80, 2)).toDF()
+        .withColumn("repo", concat_ws("-", col("repo"), lit("ins")))
+        .createOrReplaceTempView("graft_ins_src")
+      spark.sql("INSERT INTO graft_ins_t SELECT * FROM graft_ins_src")
+      assert(spark.sql("SELECT count(*) FROM graft_ins_t")
+        .collect()(0).getLong(0) === 160L)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_ins_t WHERE repo LIKE '%-ins'")
+        .collect()(0).getLong(0) === 80L)
+    } finally spark.sql("DROP TABLE graft_ins_t")
+  }
+
   test("limit pushdown: readers stop early, global limit stays exact") {
     val df = spark.read.format("graft").load(dir).limit(7)
     assert(df.count() === 7)
