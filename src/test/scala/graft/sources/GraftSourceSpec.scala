@@ -388,6 +388,23 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(lim.count() === 9)
   }
 
+  test("long IN pushdown: pushed, chunk-pruned, exact") {
+    import spark.implicits._
+    val vals = spark.read.format("graft").load(dir)
+      .select("hash64").as[Long].collect().sorted
+    val picks = Seq(vals.head, vals.last)
+    val df = spark.read.format("graft").load(dir)
+      .filter(col("hash64").isin(picks: _*))
+    val got = df.select("hash64").as[Long].collect().sorted
+    assert(got.toSeq === picks.sorted, "pushed IN must stay exact")
+    val scan = graftScan(df)
+    assert(scan.description().contains("In(hash64"),
+      s"long IN must be pushed: ${scan.description()}")
+    // min+max only: the middle range-layout containers are pruned
+    assert(scan.planInputPartitions().length < 4,
+      "IN zone-map admission should skip containers holding neither value")
+  }
+
   test("runtime filtering (DPP shape): broadcast-join keys prune chunks") {
     import org.apache.spark.sql.sources.{In => SIn}
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-dpp").toString
