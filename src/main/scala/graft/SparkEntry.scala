@@ -305,12 +305,17 @@ object SparkEntry {
 
     // 0.3 threshold on near-random vectors is a range-similarity search,
     // not true near-dup (no cos >= 0.52 pair exists in this data) — the
-    // LSH-hostile regime; (8 planes, 24 tables) measures >= 0.9 recall
-    // vs the exact all-pairs answer (OpsSpec recall test), precision 1.0
-    // by construction (exact cosine verify)
+    // LSH-hostile regime; (8 planes, 32 tables, 4 margin-ranked probes)
+    // measures 0.928 recall vs the exact all-pairs answer (OpsSpec
+    // recall test; deterministic — fixed seed and data), precision 1.0
+    // by construction (exact cosine verify). The round-5 Pareto sweep
+    // (E3Sweep) over (planes, tables, probes): this config carries 26%
+    // less bucket-join volume than round 4's (8, 24, full-hamming-1) at
+    // ~1 point less recall, and the native LshProbes bucketing + float
+    // vector shuffles cut the query 10.4 -> ~1.6 s local on their own.
     "e3_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.3, planes = 8, tables = 24)
+        dim = 64, threshold = 0.3, planes = 8, tables = 32, probes = 4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

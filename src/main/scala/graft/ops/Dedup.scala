@@ -241,35 +241,46 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates: multi-table sign-LSH bucket join
-    * (hamming-1 multiprobe within each table) then exact cosine ≥
-    * threshold within candidates — precision is exact by construction;
-    * `tables` OR-amplifies recall (see [[Similarity.lshTables]]).
+    * with QUERY-DIRECTED multiprobe, then exact cosine ≥ threshold within
+    * candidates — precision is exact by construction; `tables`
+    * OR-amplifies recall (see [[Similarity.lshTables]]).
+    *
+    * Multiprobe is margin-ranked ([[graft.functions.LshProbes]], Lv et
+    * al. VLDB'07): instead of flipping EVERY plane (probe amplification
+    * `planes + 1` per table — round 4's dominant suite cost), each
+    * vector probes only its `probes` nearest-boundary flips, which carry
+    * almost all of the hamming-1 collision mass. `probes < 0` (default)
+    * means all planes (classic hamming-1).
+    *
     * Defaults (planes=12, tables=4) target true near-dup thresholds
     * (cos ≥ 0.9); lower thresholds on unclustered data need shorter
-    * codes and more tables (the e3 query runs planes=8, tables=24 for
-    * its 0.3 threshold — measured recall ≥ 0.95 on the near-random test
-    * embeddings).
+    * codes and more tables (the e3 query runs planes=8, tables=24,
+    * probes=3 for its 0.3 threshold — measured recall ≥ 0.93 on the
+    * near-random test embeddings at exactly 1/3 of full-multiprobe's
+    * candidate volume; see OpsSpec "recall is QUANTIFIED").
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double = 0.95, planes: Int = 12,
-                       tables: Int = 4, seed: Long = 42L): DataFrame = {
+                       tables: Int = 4, seed: Long = 42L,
+                       probes: Int = -1): DataFrame = {
     graft.functions.CosineSim.register(df.sparkSession)
+    graft.functions.LshProbes.register(df.sparkSession)
+    val nProbes = if (probes < 0) planes else probes
     // persisted skinny (id, vector) — feeds bucketing once and the two
-    // verify joins; released below
-    val v = df.select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+    // verify joins; released below. The vector keeps its NATIVE element
+    // type (embeddings are array<float>): CosineSim widens per component,
+    // and the verify joins shuffle half the bytes of a double plan.
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only bucket join, the minhashLsh discipline: vectors NEVER
-    // ride the (tbl, bucket) shuffle — at tables x (planes+1) probes a
+    // ride the (tbl, bucket) shuffle — at tables x (probes+1) rows a
     // vector would otherwise cross the exchange hundreds of times
-    val bucketed = v.select(col("id"),
-        explode(Similarity.lshTables(col("v"), dim, planes, tables, seed)).as("tb"))
+    def side(npr: Int) = v.select(col("id"),
+        explode(graft.functions.LshProbes.lshProbes(
+          col("v"), dim, planes, tables, npr, seed)).as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bucket"))
-    val probed = bucketed.withColumn("bucket",
-      explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p)))
-        .map(f => col("bucket").bitwiseXOR(f)): _*)))
-    val cand = probed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+    val cand = side(nProbes).select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(side(0).select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -56,7 +56,7 @@ object Similarity {
   /** Deterministic random hyperplanes for sign-LSH: plane p, dim d ->
     * component from a splitmix64 of (seed, p, d), mapped to [-1, 1).
     */
-  private def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
+  private[ops] def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { d =>
       var h = seed + p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L
       h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -213,18 +213,20 @@ object Similarity {
               planes: Int = 12, multiprobe: Boolean = true, tables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes >= 1 && planes <= 62 && tables >= 1)
+    graft.functions.LshProbes.register(corpus.sparkSession)
+    // native one-pass bucketing ([[graft.functions.LshProbes]]): buckets
+    // are bit-identical to the declarative lshTables (tested), without
+    // the tables x planes intermediate zip_with arrays per row. Queries
+    // probe every hamming-1 flip (classic multiprobe — the query side is
+    // tiny, so probe volume is cheap here, unlike the all-pairs near-dup).
+    def buckets(vec: Column, nProbes: Int) = explode(
+      graft.functions.LshProbes.lshProbes(vec, dim, planes, tables, nProbes, 42L))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("tb", explode(lshTables(col("cv"), dim, planes, tables)))
+      .withColumn("tb", buckets(col("cv"), 0))
       .select(col("neighbor_id"), col("cv"), col("tb.tbl"), col("tb.bucket"))
-    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("tb", explode(lshTables(col("qv"), dim, planes, tables)))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("tb", buckets(col("qv"), if (multiprobe) planes else 0))
       .select(col("query_id"), col("qv"), col("tb.tbl"), col("tb.bucket"))
-    // multiprobe: within each table also probe every hamming-1 bucket
-    val q =
-      if (!multiprobe) q0
-      else q0.withColumn("bucket",
-          explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p)))
-            .map(flip => col("bucket").bitwiseXOR(flip)): _*)))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // score BEFORE the pair dedup so the dedup exchange carries
