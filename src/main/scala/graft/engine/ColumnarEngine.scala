@@ -57,7 +57,7 @@ object ColumnarEngine {
 
   /** Cap on one string value (chars). Together with the chunk flush
     * threshold this bounds every encoded block under the streaming
-    * reader's buffer cap ([[graft.sources.ContainerFormat.MaxBlockBytes]]).
+    * reader's block cap ([[graft.engine.ContainerFormat.MaxBlockBytes]]).
     * Source files beyond this belong in chunked/out-of-row storage, not a
     * single table cell.
     */
@@ -383,8 +383,9 @@ object ColumnarEngine {
         s"string value exceeds MaxValueChars ($MaxValueChars) in partition $part")
       bufRows += r
       // ALL string bytes count toward the flush threshold (not just
-      // content): that is what bounds every encoded block under the
-      // streaming reader's 64 MiB buffer cap even on wide-path tables
+      // content): that is what bounds every encoded block under
+      // [[ContainerFormat.MaxBlockBytes]] (256 MiB — sized for the 3x
+      // worst-case UTF-8 expansion of a chunk's chars) on wide-path tables
       bufBytes += r.content.length + r.repo.length + r.path.length +
         r.commit.length + r.lang.length
       if (bufRows.length >= chunkRowsCap || bufBytes >= ChunkContentBytes) flushChunk()

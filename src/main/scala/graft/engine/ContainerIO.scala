@@ -114,6 +114,44 @@ object ContainerIO {
     }
   }
 
+  /** Atomically create `dst` with `bytes` iff it does not already exist;
+    * returns false when another writer got there first. This is the
+    * compare-and-swap primitive of the manifest-index OCC commit
+    * ([[Manifests.commitIndex]]):
+    *
+    *  - `file://`: `java.nio` `CREATE_NEW` — a true `O_EXCL` create
+    *    (Hadoop's local `create(overwrite = false)` is exists-then-create,
+    *    a TOCTOU window).
+    *  - everything else: `create(overwrite = false)` — atomic on HDFS
+    *    (namenode) and a conditional `If-None-Match: *` PUT on S3A
+    *    (see [[commitProtocol]]).
+    */
+  def createExclusive(conf: Configuration, dst: String, bytes: Array[Byte]): Boolean = {
+    val f = fs(dst, conf)
+    val d = new Path(dst)
+    Option(f.getUri.getScheme).getOrElse("file") match {
+      case "file" =>
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d.toUri.getPath), bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case _ =>
+        try {
+          val out = f.create(d, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if f.exists(d) => false
+        }
+    }
+  }
+
   /** File names (not paths) directly under `dir`; empty if absent. */
   def listNames(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)

@@ -51,14 +51,21 @@ final case class ParsedManifest(
   * statistics, aggregate pushdown all plan from manifests, never from a
   * blocks listing).
   *
-  * `_manifest-index.json` is a consolidated snapshot of every committed
-  * manifest, written once at job commit so query planning is ONE file
-  * read instead of O(partitions) sequential round trips (at 10^5
+  * `_manifest-index.v<N>.json` is a consolidated snapshot of every
+  * committed manifest, published at job commit so query planning is ONE
+  * file read instead of O(partitions) sequential round trips (at 10^5
   * partitions the per-file listing costs minutes of driver time per
-  * query). Readers fall back to listing `manifests/` when the index is
-  * absent (legacy tables, mid-encode resume reads). At true 10^12-file
-  * scale the index would be sharded/partitioned Iceberg-style; one file
-  * is right up to ~10^5 partitions.
+  * query). Snapshots are VERSIONED and committed with optimistic
+  * concurrency ([[commitIndex]]): each commit claims version N+1 via an
+  * atomic create-if-absent and retries on top of any winner, so
+  * concurrent appends — two batch jobs, or a streaming-sink epoch next
+  * to a batch append — can never drop each other's manifests (round 4's
+  * single-file read-modify-write could). Readers take the highest
+  * version, fall back to the legacy unversioned `_manifest-index.json`
+  * (pre-round-5 tables), then to listing `manifests/` (mid-encode resume
+  * reads). At true 10^12-file scale the snapshot itself would be
+  * sharded/partitioned Iceberg-style; one file per snapshot is right up
+  * to ~10^5 partitions.
   */
 object Manifests {
 
@@ -126,34 +133,103 @@ object Manifests {
       manifestPath(tableDir, m.name),
       manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** (Re)write the consolidated index from the given manifest JSONs.
-    * Replace is delete-then-rename: the not-atomic window only ever shows
-    * a MISSING index, and readers fall back to listing `manifests/`.
-    */
-  def writeIndex(conf: Configuration, tableDir: String,
-                 manifestJsons: Seq[String]): Unit = {
-    val body = manifestJsons.mkString("""{"version":1,"manifests":[""", ",", "]}")
-    val fs = ContainerIO.fs(tableDir, conf)
-    val dst = new org.apache.hadoop.fs.Path(indexPath(tableDir))
-    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/.tmp-manifest-index")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
-  }
-
   /** Consolidate every committed manifest currently in `manifests/` into
     * the index (end of an engine encode job, including resumed runs).
     */
   def consolidate(conf: Configuration, tableDir: String): Unit = {
-    val jsons = listManifestNames(conf, tableDir).sorted.map { n =>
-      new String(ContainerIO.readAll(conf, s"$tableDir/manifests/$n"),
-        java.nio.charset.StandardCharsets.UTF_8)
-    }
-    writeIndex(conf, tableDir, jsons)
+    commitIndex(conf, tableDir, _ => listedManifestJsons(conf, tableDir))
+    ()
   }
+
+  private val VersionedIndexRe = """_manifest-index\.v(\d+)\.json""".r
+
+  private[engine] def versionedIndexes(conf: Configuration,
+                                       tableDir: String): Seq[(Long, String)] =
+    ContainerIO.listNames(conf, tableDir).collect {
+      case n @ VersionedIndexRe(v) => (v.toLong, n)
+    }.sortBy(_._1)
+
+  private def indexBody(manifestJsons: Seq[String]): Array[Byte] =
+    manifestJsons.mkString("""{"version":1,"manifests":[""", ",", "]}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def parseIndexJsons(bytes: Array[Byte]): Seq[String] = {
+    val om = new ObjectMapper()
+    val root = om.readTree(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8))
+    val arr = root.get("manifests")
+    if (arr == null || !arr.isArray) Nil
+    else arr.elements().asScala.map(_.toString).toSeq
+  }
+
+  /** Highest committed index snapshot: (version, manifest JSONs).
+    * Version -1 is the legacy unversioned `_manifest-index.json`
+    * (pre-round-5 tables); `None` means no index exists and callers fall
+    * back to listing `manifests/`. Retries when a concurrent commit
+    * garbage-collects a version between our listing and our read.
+    */
+  def readIndexSnapshot(conf: Configuration,
+                        tableDir: String): Option[(Long, Seq[String])] = {
+    var tries = 0
+    while (tries < 8) {
+      versionedIndexes(conf, tableDir).lastOption match {
+        case None =>
+          val legacy = indexPath(tableDir)
+          if (!ContainerIO.exists(conf, legacy)) return None
+          try return Some((-1L, parseIndexJsons(ContainerIO.readAll(conf, legacy))))
+          catch { case _: java.io.FileNotFoundException => tries += 1 }
+        case Some((v, name)) =>
+          try return Some((v, parseIndexJsons(
+            ContainerIO.readAll(conf, s"$tableDir/$name"))))
+          catch { case _: java.io.FileNotFoundException => tries += 1 }
+      }
+    }
+    throw new java.io.IOException(
+      s"manifest index for $tableDir kept vanishing mid-read")
+  }
+
+  /** Optimistic-concurrency commit of a new index snapshot (the Iceberg
+    * shape): read the current snapshot, apply `transform`, and publish it
+    * as `_manifest-index.v<current + 1>.json` via an ATOMIC
+    * create-if-absent ([[ContainerIO.createExclusive]]). A concurrent
+    * commit that claimed the same version makes the create fail, and this
+    * commit re-reads and retries on top of the winner — so two
+    * simultaneous appends (or a streaming-sink epoch racing a batch
+    * append) both land; round 4's read-modify-write could silently drop
+    * the loser's manifests from the index.
+    *
+    * Returns the superseded snapshot's manifest JSONs (what the winning
+    * `transform` call saw), so callers can delete generations their
+    * commit replaced. After the commit, versions older than the direct
+    * predecessor are garbage-collected; a reader that already listed one
+    * retries into the newer snapshot ([[readIndexSnapshot]]).
+    */
+  def commitIndex(conf: Configuration, tableDir: String,
+                  transform: Seq[String] => Seq[String]): Seq[String] = {
+    var attempts = 0
+    while (attempts < 64) {
+      val snap = readIndexSnapshot(conf, tableDir)
+      val (ver, cur) = snap.getOrElse((-1L, listedManifestJsons(conf, tableDir)))
+      val next = ver + 1
+      if (ContainerIO.createExclusive(conf,
+          s"$tableDir/${versionedIndexName(next)}", indexBody(transform(cur)))) {
+        val f = ContainerIO.fs(tableDir, conf)
+        versionedIndexes(conf, tableDir).foreach { case (v, n) =>
+          if (v < ver)
+            f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$n"), false)
+        }
+        if (ver == -1L && snap.isDefined) // migrated off the legacy file
+          f.delete(new org.apache.hadoop.fs.Path(indexPath(tableDir)), false)
+        return cur
+      }
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"manifest index commit for $tableDir contended $attempts times")
+  }
+
+  def versionedIndexName(version: Long): String =
+    s"_manifest-index.v$version.json"
 
   // ---------------------------------------------------------------- read
 
@@ -213,45 +289,38 @@ object Manifests {
       ranges, chunkIndex)
   }
 
-  /** Every COMMITTED partition of the table: one index read when the
-    * consolidated index exists, else a `manifests/` listing + per-file
-    * reads (legacy / mid-encode tables).
+  /** Parse a manifest JSON whose block-file name falls back to the
+    * numeric `part` field when the `name` field is absent (legacy
+    * pre-round-4 manifests, whose block files were named by part id).
     */
-  def readCommitted(conf: Configuration, tableDir: String): Seq[ParsedManifest] = {
-    val ip = indexPath(tableDir)
-    if (ContainerIO.exists(conf, ip)) {
-      val om = new ObjectMapper()
-      val root = om.readTree(new String(ContainerIO.readAll(conf, ip),
-        java.nio.charset.StandardCharsets.UTF_8))
-      val arr = root.get("manifests")
-      if (arr == null || !arr.isArray) Nil
-      else arr.elements().asScala.map { n =>
-        parse(n.toString, fallbackName = jLong(n, "part").toString)
-      }.toSeq
-    } else {
-      listManifestNames(conf, tableDir).sorted.map { n =>
-        val json = new String(ContainerIO.readAll(conf, s"$tableDir/manifests/$n"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        parse(json, fallbackName = n.stripPrefix("part-").stripSuffix(".json"))
-      }
-    }
+  def parseWithFallback(json: String): ParsedManifest = {
+    val m = parse(json, "")
+    if (m.name.nonEmpty) m else m.copy(name = m.part.toString)
   }
 
-  /** Raw committed manifest JSONs (job-commit index merging). */
-  def readCommittedJsons(conf: Configuration, tableDir: String): Seq[String] = {
-    val ip = indexPath(tableDir)
-    if (ContainerIO.exists(conf, ip)) {
-      val om = new ObjectMapper()
-      val root = om.readTree(new String(ContainerIO.readAll(conf, ip),
-        java.nio.charset.StandardCharsets.UTF_8))
-      val arr = root.get("manifests")
-      if (arr == null || !arr.isArray) Nil
-      else arr.elements().asScala.map(_.toString).toSeq
-    } else listManifestNames(conf, tableDir).sorted.map { n =>
+  /** Raw manifest JSONs from a `manifests/` listing (tables without an
+    * index: legacy and mid-encode-resume reads).
+    */
+  private[engine] def listedManifestJsons(conf: Configuration,
+                                          tableDir: String): Seq[String] =
+    listManifestNames(conf, tableDir).sorted.map { n =>
       new String(ContainerIO.readAll(conf, s"$tableDir/manifests/$n"),
         java.nio.charset.StandardCharsets.UTF_8)
     }
-  }
+
+  /** Every COMMITTED partition of the table: one index read when an
+    * index snapshot exists (highest version wins), else a `manifests/`
+    * listing + per-file reads (legacy / mid-encode tables).
+    */
+  def readCommitted(conf: Configuration, tableDir: String): Seq[ParsedManifest] =
+    readCommittedJsons(conf, tableDir).map(parseWithFallback)
+
+  /** Raw committed manifest JSONs (job-commit index merging). */
+  def readCommittedJsons(conf: Configuration, tableDir: String): Seq[String] =
+    readIndexSnapshot(conf, tableDir) match {
+      case Some((_, jsons)) => jsons
+      case None => listedManifestJsons(conf, tableDir)
+    }
 
   def crc32c(bytes: Array[Byte], off: Int, len: Int): Long = {
     val c = new java.util.zip.CRC32C

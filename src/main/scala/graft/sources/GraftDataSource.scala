@@ -718,11 +718,24 @@ case class GraftCommitMessage(name: String, rows: Long,
                               manifestJson: String) extends WriterCommitMessage
 
 private[sources] object GraftCommits {
+
+  /** Logical partition identity of a staged container name: the
+    * attempt-qualifying `-a<taskId>` suffix stripped. A replayed
+    * streaming epoch (or a task retry) re-stages the same logical name
+    * under a fresh attempt id; publish REPLACES any previous generation
+    * of the same logical name instead of appending a duplicate.
+    */
+  private[sources] def logicalName(n: String): String =
+    n.replaceFirst("-a\\d+$", "")
+
   /** Publish one job's (or micro-batch's) staged containers: write the
-    * manifests (commit markers), rewrite the consolidated index, and —
-    * for truncate — delete the previous generation only AFTER the new
-    * one is live. Re-publishing the same epoch is idempotent (fresh
-    * names replace their old index entries).
+    * manifests (commit markers) first, then commit the new consolidated
+    * index snapshot via OCC ([[Manifests.commitIndex]] — safe against a
+    * concurrent append or streaming epoch), and only AFTER the new
+    * snapshot is live delete the generations this commit replaced
+    * (everything on truncate; same-logical-name manifests on an epoch
+    * replay). Re-publishing an epoch is idempotent BY LOGICAL NAME: the
+    * replay's attempt-qualified containers replace the originals.
     */
   def publish(confKv: Map[String, String], path: String, truncate: Boolean,
               messages: Array[WriterCommitMessage]): Unit = {
@@ -730,25 +743,35 @@ private[sources] object GraftCommits {
     val fresh = messages.collect {
       case m: GraftCommitMessage if m.rows > 0 => m
     }.sortBy(_.name)
-    // previous generation, via the index when present (one read)
-    val old = Manifests.readCommittedJsons(conf, path)
-    val freshNames = fresh.map(_.name).toSet
-    val keptOld = old.filter(j =>
-      !freshNames.contains(Manifests.parse(j, "?").name))
+    if (fresh.isEmpty && !truncate) return
     fresh.foreach { m =>
       ContainerIO.writeAtomic(conf,
         s"$path/manifests/.tmp-part-${m.name}-commit",
         Manifests.manifestPath(path, m.name),
         m.manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val visible = (if (truncate) Nil else keptOld) ++ fresh.map(_.manifestJson)
-    Manifests.writeIndex(conf, path, visible)
-    if (truncate) {
-      val f = ContainerIO.fs(path, conf)
-      keptOld.map(j => Manifests.parse(j, "?").name).foreach { n =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
-        f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
-      }
+    val freshNames = fresh.map(_.name).toSet
+    val freshLogical = freshNames.map(logicalName)
+    def replaced(name: String): Boolean =
+      !freshNames.contains(name) &&
+        (truncate || freshLogical.contains(logicalName(name)))
+    // the snapshot the winning commit superseded — exactly the state this
+    // commit's deletes must be judged against
+    val prior = Manifests.commitIndex(conf, path, old => {
+      val kept =
+        if (truncate) Nil
+        else old.filterNot { j =>
+          val n = Manifests.parseWithFallback(j).name
+          freshNames.contains(n) || freshLogical.contains(logicalName(n))
+        }
+      kept ++ fresh.map(_.manifestJson)
+    })
+    val doomed = prior.map(Manifests.parseWithFallback)
+      .map(_.name).filter(replaced)
+    val f = ContainerIO.fs(path, conf)
+    doomed.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
+      f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
     }
   }
 
@@ -764,12 +787,13 @@ private[sources] object GraftCommits {
   }
 }
 
-/** Job-level commit: tasks publish only epoch-named CONTAINERS (invisible
-  * to readers — no manifest); this commit writes every manifest plus the
-  * rewritten `_manifest-index.json`, and — for overwrite — deletes the
-  * old generation only AFTER the new one is live. A failed/killed job
-  * leaves the previous table fully intact; `abort` garbage-collects this
-  * epoch's staged containers.
+/** Job-level commit: tasks publish only attempt-qualified CONTAINERS
+  * (invisible to readers — no manifest); this commit writes every
+  * manifest plus a new OCC-committed `_manifest-index.v<N>.json`
+  * snapshot, and — for overwrite — deletes the old generation only
+  * AFTER the new one is live. A failed/killed job leaves the previous
+  * table fully intact; `abort` garbage-collects this epoch's staged
+  * containers.
   */
 class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
                       confKv: Map[String, String], chunkRows: Int)
@@ -811,27 +835,38 @@ class GraftStreamingWriterFactory(path: String, queryEpoch: String,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, s"$queryEpoch-e$epochId", confKv,
-      chunkRows)
+      chunkRows, taskId)
 }
 
 class GraftWriterFactory(path: String, epoch: String,
                          confKv: Map[String, String], chunkRows: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows)
+    new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows, taskId)
 }
 
 /** Streams rows through the engine's [[ColumnarEngine.PartitionEncoder]]:
-  * chunk-bounded memory; the container write in `commit()` is atomic and
-  * first-commit-wins across attempts, but stays INVISIBLE until
-  * [[GraftBatchWrite.commit]] publishes the manifests.
+  * chunk-bounded memory; the container written in `commit()` stays
+  * INVISIBLE until [[GraftBatchWrite.commit]] publishes the manifests.
+  *
+  * The staged name is ATTEMPT-qualified (`<epoch>-<part>-a<taskId>`): a
+  * retry or speculative attempt stages its own container and its commit
+  * message describes exactly those bytes, so the driver can never publish
+  * a manifest whose CRCs/digest belong to a different attempt's file
+  * (round 4's shared final name + first-commit-wins rename could, when
+  * an attempt died between its rename and its commit message and row
+  * order upstream was nondeterministic). A losing attempt's `abort`
+  * deletes its own staged container; one that dies uncleanly leaves an
+  * orphan that no manifest references — invisible to every read path and
+  * swept by job-level `abort`.
   */
 class GraftDataWriter(path: String, part: Int, epoch: String,
-                      confKv: Map[String, String], chunkRows: Int)
+                      confKv: Map[String, String], chunkRows: Int,
+                      taskId: Long)
     extends DataWriter[InternalRow] {
   private val enc = new ColumnarEngine.PartitionEncoder(
-    part, path, ContainerIO.confFrom(confKv), partName = s"$epoch-$part",
-    chunkRowsCap = chunkRows)
+    part, path, ContainerIO.confFrom(confKv),
+    partName = s"$epoch-$part-a$taskId", chunkRowsCap = chunkRows)
   private var n = 0L
 
   private def str(row: InternalRow, i: Int): String = {
@@ -861,6 +896,16 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     GraftCommitMessage(manifest.name, n, Manifests.manifestJson(manifest))
   }
 
-  override def abort(): Unit = ()
+  /** Best-effort delete of this attempt's own staged container (present
+    * only when `commit()` already ran but the driver discarded the
+    * message — e.g. the losing side of speculation). The name is
+    * attempt-unique, so nothing else can reference it.
+    */
+  override def abort(): Unit = {
+    val conf = ContainerIO.confFrom(confKv)
+    ContainerIO.fs(path, conf).delete(
+      new org.apache.hadoop.fs.Path(s"$path/blocks/part-${enc.name}.gblk"), false)
+    ()
+  }
   override def close(): Unit = ()
 }

@@ -188,6 +188,113 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(back.filter(!col("repo").endsWith("-v2")).count() === 100)
   }
 
+  // -------- commit-safety harness: drive the task writers directly ----
+
+  private def internalRowOf(r: graft.engine.DerivedRow)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    // field order = GraftDataSource.schema = strings then longs
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(r.repo), UTF8String.fromString(r.path),
+      UTF8String.fromString(r.commit), UTF8String.fromString(r.lang),
+      UTF8String.fromString(r.content),
+      r.len_content, r.hash64, r.commit_ord,
+      r.repo_code, r.lang_code, r.path_code))
+  }
+
+  private def mkTableDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    val conf = graft.engine.ContainerIO.localConf()
+    graft.engine.ContainerIO.mkdirs(conf, s"$d/blocks")
+    graft.engine.ContainerIO.mkdirs(conf, s"$d/manifests")
+    d
+  }
+
+  test("task retry: published manifest describes exactly its own attempt's bytes") {
+    val d = mkTableDir("graft-dsv2-retry")
+    val confKv = graft.engine.ContainerIO.confSnapshot(spark)
+    val conf = graft.engine.ContainerIO.localConf()
+    val rows = ColumnarEngine.derive(SourceTable.synthesize(spark, 60, 2)).collect()
+    val factory = new GraftWriterFactory(d, "ep0", confKv, 32)
+    // attempt 1 stages and commits its container, then "dies" before its
+    // commit message reaches the driver
+    val w1 = factory.createWriter(0, 1L)
+    rows.foreach(r => w1.write(internalRowOf(r)))
+    w1.commit()
+    // the retry attempt sees a DIFFERENT upstream row order (shuffle
+    // nondeterminism) — its container bytes, CRCs, digest all differ
+    val w2 = factory.createWriter(0, 2L)
+    rows.reverse.foreach(r => w2.write(internalRowOf(r)))
+    val m2 = w2.commit()
+    GraftCommits.publish(confKv, d, truncate = false, Array(m2))
+    // the published manifest must describe attempt 2's file: a content
+    // read re-verifies every block CRC and the chunk digests (round 4's
+    // shared final name would publish m2 against attempt 1's bytes here)
+    val back = spark.read.format("graft").load(d)
+    assert(back.select("content").collect().length === 60)
+    assert(back.count() === 60)
+    // attempt 1's container is an invisible orphan, still on disk
+    assert(graft.engine.ContainerIO.listNames(conf, s"$d/blocks")
+      .count(_.endsWith(".gblk")) === 2)
+  }
+
+  test("epoch replay is idempotent BY LOGICAL NAME: replaces, never duplicates") {
+    val d = mkTableDir("graft-dsv2-replay")
+    val confKv = graft.engine.ContainerIO.confSnapshot(spark)
+    val conf = graft.engine.ContainerIO.localConf()
+    val rows = ColumnarEngine.derive(SourceTable.synthesize(spark, 40, 2)).collect()
+    def publishEpoch(taskId: Long): Unit = {
+      val w = new GraftDataWriter(d, 0, "q1-e5", confKv, 32, taskId)
+      rows.foreach(r => w.write(internalRowOf(r)))
+      GraftCommits.publish(confKv, d, truncate = false, Array(w.commit()))
+    }
+    publishEpoch(7L)
+    assert(spark.read.format("graft").load(d).count() === 40)
+    // a failure replays the epoch under a fresh task id: the logical
+    // name (epoch, part) matches, so publish REPLACES the original
+    publishEpoch(8L)
+    assert(spark.read.format("graft").load(d).count() === 40,
+      "replayed epoch must not duplicate rows")
+    assert(graft.engine.ContainerIO.listNames(conf, s"$d/blocks")
+      .count(_.endsWith(".gblk")) === 1,
+      "the replaced attempt's container must be deleted")
+    assert(graft.engine.ContainerIO.listNames(conf, s"$d/manifests")
+      .count(_.endsWith(".json")) === 1)
+  }
+
+  test("concurrent index commits: OCC retries keep BOTH appends (no lost update)") {
+    import graft.engine.{ColumnMetric, Manifests, PartManifest}
+    val d = mkTableDir("graft-dsv2-occ")
+    val conf = graft.engine.ContainerIO.localConf()
+    def mkJson(name: String) = Manifests.manifestJson(PartManifest(
+      0, 5L, 1, 10L, 8L, skipped = false, "", Seq.empty[ColumnMetric], name = name))
+    // deterministic interleave: A reads its snapshot, then B commits a
+    // full snapshot BEFORE A writes — A's version claim must fail and
+    // retry on top of B's. Round 4's read-modify-write lost B here.
+    var fired = false
+    Manifests.commitIndex(conf, d, old => {
+      if (!fired) {
+        fired = true
+        Manifests.commitIndex(conf, d, o2 => o2 :+ mkJson("bbb"))
+      }
+      old :+ mkJson("aaa")
+    })
+    val names = Manifests.readCommitted(conf, d).map(_.name)
+    assert(names.toSet === Set("aaa", "bbb"))
+    // true thread contention on the create-if-absent primitive
+    val threads = (0 until 6).map(i => new Thread(() => {
+      Manifests.commitIndex(conf, d, old => old :+ mkJson(s"t$i")); ()
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val all = Manifests.readCommitted(conf, d).map(_.name).toSet
+    assert(all === (Set("aaa", "bbb") ++ (0 until 6).map(i => s"t$i")),
+      s"lost update under contention: $all")
+    // superseded snapshots are garbage-collected (current + predecessor kept)
+    assert(graft.engine.ContainerIO.listNames(conf, d)
+      .count(_.startsWith("_manifest-index")) <= 2)
+  }
+
   test("aggregate pushdown over an empty table: count 0, null min/max") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-empty").toString
     graft.engine.ContainerIO.mkdirs(graft.engine.ContainerIO.localConf(), s"$d/blocks")
@@ -248,7 +355,9 @@ class GraftSourceSpec extends AnyFunSuite {
       .filter(_.endsWith(".json")).head
     val mfPath = java.nio.file.Paths.get(s"$d/manifests/$mf")
     val orig = new String(java.nio.file.Files.readAllBytes(mfPath), "UTF-8")
-    val idxPath = java.nio.file.Paths.get(s"$d/_manifest-index.json")
+    val idxName = graft.engine.ContainerIO.listNames(conf, d)
+      .filter(_.startsWith("_manifest-index")).head
+    val idxPath = java.nio.file.Paths.get(s"$d/$idxName")
     val origIdx = java.nio.file.Files.readAllBytes(idxPath)
     def controlled(ctx: String)(f: => Any): Unit =
       try { f; () }
@@ -460,7 +569,9 @@ class GraftSourceSpec extends AnyFunSuite {
           java.nio.file.Paths.get(s"$d/manifests/part-$legacyName.json"),
           root.toString.getBytes("UTF-8"))
       }
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$d/_manifest-index.json"))
+    graft.engine.ContainerIO.listNames(conf, d)
+      .filter(_.startsWith("_manifest-index"))
+      .foreach(n => java.nio.file.Files.delete(java.nio.file.Paths.get(s"$d/$n")))
     // DSv2 read and engine decode both fall back to whole-file streaming
     assert(spark.read.format("graft").load(d).count() === 150)
     assert(ColumnarEngine.decode(spark, d).count() === 150)
