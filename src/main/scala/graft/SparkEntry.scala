@@ -449,6 +449,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // GENERIC schema (round 5): the graft table is no longer bound to
+    // the engine's DerivedRow shape — a user's own BIGINT/STRING table
+    // writes, infers its schema back from the manifests, and gets the
+    // same chunk-dict string pushdown + long zone maps under an oracle
+    "c7_generic_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c7").toString
+      t(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        .write.format("graft").option("chunkRows", "1024").mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("o_orderstatus") === "F" && col("price_cents") > 10000000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // the selector's SIZE ACCOUNTING under a DuckDB oracle: raw bytes per
     // column (8/row for longs, utf8 bytes for strings) computed through
     // the same chunked stats pass the codec selector prices against —
@@ -748,6 +767,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars
          FROM documents WHERE lang IN ('de', 'zh') GROUP BY 1 ORDER BY 1""",
+
+    "c7_generic_schema" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         WHERE o_orderstatus = 'F' AND CAST(round(o_totalprice * 100) AS BIGINT) > 10000000
+         GROUP BY 1 ORDER BY 1""",
 
     "c5_size_accounting" ->
       """SELECT * FROM (

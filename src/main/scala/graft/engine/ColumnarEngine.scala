@@ -23,6 +23,17 @@ final case class ColumnMetric(column: String, codec: String,
     rawBytes: Long, encodedBytes: Long,
     minVal: Long = 0L, maxVal: Long = 0L, hasRange: Boolean = false)
 
+/** One column of a graft table: kind 0 = long (int64), kind 1 = string
+  * (UTF-8). The container format stores (name, kind, block) per column
+  * per chunk, so any schema of these kinds round-trips; [[DerivedRow]]
+  * is simply the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
+  */
+final case class ColumnSpec(name: String, kind: Int) {
+  require(kind == 0 || kind == 1, s"unknown column kind $kind")
+  require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
+    s"column name out of range: '$name'")
+}
+
 /** Per-partition manifest: lineage + metrics + integrity digest + the
   * per-chunk index ([[ChunkStats]]: byte ranges, zone maps, block CRCs).
   * Presence of the manifest file is the partition's commit marker for
@@ -35,7 +46,8 @@ final case class ColumnMetric(column: String, codec: String,
 final case class PartManifest(part: Int, rows: Long, chunks: Int,
     rawBytes: Long, encodedBytes: Long, skipped: Boolean,
     digest: String, columns: Seq[ColumnMetric],
-    name: String = "", chunkIndex: Seq[ChunkStats] = Nil)
+    name: String = "", chunkIndex: Seq[ChunkStats] = Nil,
+    schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content")
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *
@@ -66,6 +78,21 @@ object ColumnarEngine {
   val longColumns: Seq[String] =
     Seq("len_content", "hash64", "commit_ord", "repo_code", "lang_code", "path_code")
   val stringColumns: Seq[String] = Seq("repo", "path", "commit", "lang", "content")
+
+  /** The engine's own table schema ([[DerivedRow]]), strings first —
+    * matching the DSv2 `GraftDataSource.schema` field order.
+    */
+  val DefaultSchema: Seq[ColumnSpec] =
+    stringColumns.map(ColumnSpec(_, 1)) ++ longColumns.map(ColumnSpec(_, 0))
+
+  /** The column whose per-row sha256 feeds the chunk digest: `content`
+    * when the schema has it (the north-rule invariant), else the first
+    * string column, else none (block CRCs still cover every read).
+    */
+  def digestColumnOf(schema: Seq[ColumnSpec]): String =
+    schema.find(_.name == "content").filter(_.kind == 1).map(_.name)
+      .orElse(schema.find(_.kind == 1).map(_.name))
+      .getOrElse("")
 
   // ---------------------------------------------------------------- derive
 
@@ -215,20 +242,37 @@ object ColumnarEngine {
     e.finish()
   }
 
-  /** Push-style single-partition encoder: `add` rows (chunks flush at the
-    * same thresholds as the pull path), `finish` commits the container +
-    * manifest atomically. Shared by the `mapPartitions` encode job and
-    * the `graft` DataSource V2 writer, so neither buffers more than one
-    * chunk beyond the flush thresholds.
+  /** Push-style single-partition encoder: `add`/`addRow` rows (chunks
+    * flush at the same thresholds as the pull path), `finish` commits the
+    * container + manifest atomically. Shared by the `mapPartitions`
+    * encode job and the `graft` DataSource V2 writer, so neither buffers
+    * more than one chunk beyond the flush thresholds.
+    *
+    * `schema` may be ANY mix of long/string columns
+    * ([[ColumnarEngine.DefaultSchema]] = the engine's [[DerivedRow]]
+    * shape): buffering is columnar, the chunk digest covers
+    * [[ColumnarEngine.digestColumnOf]] (all-zero when the schema has no
+    * string column), and the manifest records the schema + digest column
+    * so readers infer both.
     */
   private[graft] final class PartitionEncoder(
       part: Int, outDir: String,
       conf: org.apache.hadoop.conf.Configuration,
       partName: String = null,
-      chunkRowsCap: Int = ChunkRows) {
+      chunkRowsCap: Int = ChunkRows,
+      schema: Seq[ColumnSpec] = DefaultSchema) {
     require(chunkRowsCap >= 1, s"chunkRowsCap must be >= 1: $chunkRowsCap")
+    require(schema.nonEmpty && schema.map(_.name).distinct.size == schema.size,
+      s"schema must be non-empty with distinct names: $schema")
     /** Block-file suffix; epoch-qualified for DSv2 writes (append-safe). */
     val name: String = if (partName == null) part.toString else partName
+    /** Positional contract of [[addRow]]: string columns in schema order,
+      * long columns in schema order.
+      */
+    val strNames: Array[String] = schema.filter(_.kind == 1).map(_.name).toArray
+    val longNames: Array[String] = schema.filter(_.kind == 0).map(_.name).toArray
+    private val digestCol = digestColumnOf(schema)
+    private val digestIdx = strNames.indexOf(digestCol)
     private val w = new BlockWriter(1 << 20)
     w.putBytes(Magic)
     w.putVarint(part.toLong)
@@ -242,14 +286,21 @@ object ColumnarEngine {
     private var chunks = 0
     private var rawTotal = 0L
 
-    private val bufRows = new scala.collection.mutable.ArrayBuffer[DerivedRow](ChunkRows)
+    // columnar chunk buffers (round 4 buffered row OBJECTS; columnar
+    // buffers serve any schema and feed the codecs without per-column
+    // re-extraction)
+    private var bufN = 0
+    private val strBufs = Array.fill(strNames.length)(
+      new scala.collection.mutable.ArrayBuffer[String](1024))
+    private var longCap = math.min(chunkRowsCap, 1024)
+    private var longBufs = Array.fill(longNames.length)(new Array[Long](longCap))
     private var bufBytes = 0L
     // FSST training amortized across this partition's chunks, per column
     private val fsstStates = new java.util.HashMap[String, StringCodecs.FsstState]()
 
     private def flushChunk(): Unit = {
-      if (bufRows.isEmpty) return
-      val n = bufRows.length
+      if (bufN == 0) return
+      val n = bufN
       chunks += 1
       rows += n
       val chunkStart = w.size.toLong
@@ -258,16 +309,22 @@ object ColumnarEngine {
       var chunkStrRanges = Map.empty[String, (String, String)]
       var chunkCrcs = Map.empty[String, Long]
       w.putVarint(n.toLong)
-      w.putVarint((longColumns.size + stringColumns.size).toLong)
-      // per-row content sha256 -> chunk digest
-      val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
-      var i = 0
-      while (i < n) {
-        sha.reset()
-        chunkSha.update(sha.digest(bufRows(i).content.getBytes(UTF_8)))
-        i += 1
-      }
-      val digest = chunkSha.digest()
+      w.putVarint((longNames.length + strNames.length).toLong)
+      // per-row digest-column sha256 -> chunk digest (all-zero when the
+      // schema has no string column: block CRCs still cover every block)
+      val digest =
+        if (digestIdx < 0) new Array[Byte](32)
+        else {
+          val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
+          val vals = strBufs(digestIdx)
+          var i = 0
+          while (i < n) {
+            sha.reset()
+            chunkSha.update(sha.digest(vals(i).getBytes(UTF_8)))
+            i += 1
+          }
+          chunkSha.digest()
+        }
 
       def writeCol(name: String, kind: Int, block: Array[Byte],
                    codecName: String, raw: Long,
@@ -293,45 +350,36 @@ object ColumnarEngine {
         codecByCol.merge(name, codecName, (a, b) => if (a == b) a else s"$a+$b")
       }
 
-      val longs = new Array[Long](n)
-      def fillLongs(get: DerivedRow => Long): Unit = {
-        var j = 0
-        while (j < n) { longs(j) = get(bufRows(j)); j += 1 }
-      }
-      val longGetters: Seq[(String, DerivedRow => Long)] = Seq(
-        "len_content" -> (_.len_content), "hash64" -> (_.hash64),
-        "commit_ord" -> (_.commit_ord), "repo_code" -> (_.repo_code),
-        "lang_code" -> (_.lang_code), "path_code" -> (_.path_code))
-      for ((name, get) <- longGetters) {
-        fillLongs(get)
-        val st = LongCodecs.stats(longs, n)
+      var ci = 0
+      while (ci < longNames.length) {
+        val nm = longNames(ci)
+        val vals = longBufs(ci)
+        val st = LongCodecs.stats(vals, n)
         val codec = LongCodecs.select(st)
-        writeCol(name, 0, codec.encode(longs, n), codec.name, 8L * n,
+        writeCol(nm, 0, codec.encode(vals, n), codec.name, 8L * n,
           st.min, st.max, hasRange = true)
+        ci += 1
       }
       val strs = new Array[String](n)
-      def fillStrs(get: DerivedRow => String): Unit = {
-        var j = 0
-        while (j < n) { strs(j) = get(bufRows(j)); j += 1 }
-      }
-      val strGetters: Seq[(String, DerivedRow => String)] = Seq(
-        "repo" -> (_.repo), "path" -> (_.path), "commit" -> (_.commit),
-        "lang" -> (_.lang), "content" -> (_.content))
-      for ((name, get) <- strGetters) {
-        fillStrs(get)
+      ci = 0
+      while (ci < strNames.length) {
+        val nm = strNames(ci)
+        strBufs(ci).copyToArray(strs, 0, n)
         val st = StringCodecs.stats(strs, n)
         val (codec, block) = StringCodecs.encodeBest(strs, n, st,
-          fsstStates.computeIfAbsent(name, _ => new StringCodecs.FsstState))
-        writeCol(name, 1, block, codec.name, st.totalBytes)
+          fsstStates.computeIfAbsent(nm, _ => new StringCodecs.FsstState))
+        writeCol(nm, 1, block, codec.name, st.totalBytes)
         val (dict, range) = strZoneStats(strs, n)
-        dict.foreach(d => chunkStrDicts = chunkStrDicts.updated(name, d))
-        range.foreach(r => chunkStrRanges = chunkStrRanges.updated(name, r))
+        dict.foreach(d => chunkStrDicts = chunkStrDicts.updated(nm, d))
+        range.foreach(r => chunkStrRanges = chunkStrRanges.updated(nm, r))
+        ci += 1
       }
       w.putBytes(digest)
       partDigest.update(digest)
       chunkIndex += ChunkStats(chunkStart, w.size.toLong - chunkStart, n,
         chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs)
-      bufRows.clear()
+      strBufs.foreach(_.clear())
+      bufN = 0
       bufBytes = 0L
     }
 
@@ -376,20 +424,49 @@ object ColumnarEngine {
        if (rangeOk && i == n && min != null) Some((min, max)) else None)
     }
 
-    def add(r: DerivedRow): Unit = {
-      require(r.content.length <= MaxValueChars && r.repo.length <= MaxValueChars &&
-        r.path.length <= MaxValueChars && r.commit.length <= MaxValueChars &&
-        r.lang.length <= MaxValueChars,
-        s"string value exceeds MaxValueChars ($MaxValueChars) in partition $part")
-      bufRows += r
+    /** One row, positionally: `strs` in [[strNames]] order, `longs` in
+      * [[longNames]] order.
+      */
+    def addRow(strVals: Array[String], longVals: Array[Long]): Unit = {
+      require(strVals.length == strNames.length && longVals.length == longNames.length,
+        s"addRow arity (${strVals.length} strs, ${longVals.length} longs) != schema " +
+          s"(${strNames.length} strs, ${longNames.length} longs)")
+      var bytes = 0L
+      var i = 0
+      while (i < strVals.length) {
+        val v = strVals(i)
+        require(v != null, s"null value in column '${strNames(i)}' (partition $part)")
+        require(v.length <= MaxValueChars,
+          s"string value exceeds MaxValueChars ($MaxValueChars) in column " +
+            s"'${strNames(i)}' of partition $part")
+        bytes += v.length
+        i += 1
+      }
+      if (bufN == longCap && longNames.length > 0) {
+        longCap = math.min(chunkRowsCap.toLong.max(1L), longCap * 2L).toInt
+        longBufs = longBufs.map(java.util.Arrays.copyOf(_, longCap))
+      }
+      var j = 0
+      while (j < longVals.length) { longBufs(j)(bufN) = longVals(j); j += 1 }
+      i = 0
+      while (i < strVals.length) { strBufs(i) += strVals(i); i += 1 }
+      bufN += 1
       // ALL string bytes count toward the flush threshold (not just
       // content): that is what bounds every encoded block under
       // [[ContainerFormat.MaxBlockBytes]] (256 MiB — sized for the 3x
       // worst-case UTF-8 expansion of a chunk's chars) on wide-path tables
-      bufBytes += r.content.length + r.repo.length + r.path.length +
-        r.commit.length + r.lang.length
-      if (bufRows.length >= chunkRowsCap || bufBytes >= ChunkContentBytes) flushChunk()
+      bufBytes += bytes
+      if (bufN >= chunkRowsCap || bufBytes >= ChunkContentBytes) flushChunk()
     }
+
+    /** [[DerivedRow]] convenience for the engine encode job; valid only
+      * with the default schema (the positional mapping below IS
+      * [[DefaultSchema]]'s order).
+      */
+    def add(r: DerivedRow): Unit = addRow(
+      Array(r.repo, r.path, r.commit, r.lang, r.content),
+      Array(r.len_content, r.hash64, r.commit_ord,
+        r.repo_code, r.lang_code, r.path_code))
 
     def finish(): PartManifest = finish(publishManifest = true)
 
@@ -423,7 +500,8 @@ object ColumnarEngine {
       }
       val encTotal = cols.map(_.encodedBytes).sum
       val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
-        skipped = false, digestHex, cols, name, chunkIndex.result())
+        skipped = false, digestHex, cols, name, chunkIndex.result(),
+        schemaCols = schema.map(s => (s.name, s.kind)), digestCol = digestCol)
       if (publishManifest) Manifests.writeManifest(conf, outDir, manifest, attemptId)
       manifest
     }

@@ -216,13 +216,15 @@ private[graft] object ContainerFormat {
     DecodedChunk(n, longs, strs, digest)
   }
 
-  /** Recompute the chunk's per-row-content sha256 digest and enforce it
-    * against the stored one (the engine decode contract, now available to
-    * every DSv2 read that selects `content`).
+  /** Recompute the chunk's per-row digest-column sha256 digest and
+    * enforce it against the stored one (the engine decode contract,
+    * available to every DSv2 read that selects the digest column —
+    * `content` for the engine schema, the manifest's `digestCol` for
+    * generic tables).
     */
-  def verifyContentDigest(chunk: DecodedChunk): Unit = {
-    val content = chunk.strs.get("content")
-    require(content != null, "verifyContentDigest needs the content column")
+  def verifyContentDigest(chunk: DecodedChunk, digestCol: String = "content"): Unit = {
+    val content = chunk.strs.get(digestCol)
+    require(content != null, s"verifyContentDigest needs the $digestCol column")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
     val chunkSha = java.security.MessageDigest.getInstance("SHA-256")
     var i = 0

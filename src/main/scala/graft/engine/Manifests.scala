@@ -34,12 +34,19 @@ final case class ChunkStats(
     strRanges: Map[String, (String, String)],
     blockCrcs: Map[String, Long])
 
-/** Driver-side view of one committed partition manifest. */
+/** Driver-side view of one committed partition manifest. `schemaCols`
+  * is (name, kind 0=long/1=string) in table order — empty for legacy
+  * (pre-round-5) manifests, which are always the engine's
+  * [[ColumnarEngine.DefaultSchema]]; `digestCol` names the string column
+  * whose per-row sha256 feeds the chunk digests ("" = none).
+  */
 final case class ParsedManifest(
     name: String, part: Int, rows: Long, chunks: Int,
     rawBytes: Long, encodedBytes: Long, digest: String,
     longRanges: Map[String, (Long, Long)],
-    chunkIndex: Seq[ChunkStats]) {
+    chunkIndex: Seq[ChunkStats],
+    schemaCols: Seq[(String, Int)] = Nil,
+    digestCol: String = "content") {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 }
 
@@ -120,9 +127,13 @@ object Manifests {
       s""""hasRange":${c.hasRange}}"""
     ).mkString("[", ",", "]")
     val chunks = m.chunkIndex.map(chunkJson).mkString("[", ",", "]")
+    val schema = m.schemaCols.map { case (n, k) =>
+      s"""{"name":${q(n)},"kind":$k}"""
+    }.mkString("[", ",", "]")
     s"""{"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
       s""""rawBytes":${m.rawBytes},"encodedBytes":${m.encodedBytes},""" +
-      s""""digest":${q(m.digest)},"columns":$cols,"chunkIndex":$chunks}"""
+      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},""" +
+      s""""columns":$cols,"chunkIndex":$chunks}"""
   }
 
   /** Publish one manifest (the partition's commit marker) atomically. */
@@ -282,11 +293,16 @@ object Manifests {
     val chunkIndex = Option(root.get("chunkIndex")).filter(_.isArray).map {
       _.elements().asScala.map(parseChunk).toSeq
     }.getOrElse(Nil)
+    val schemaCols = Option(root.get("schema")).filter(_.isArray).map {
+      _.elements().asScala.map(c =>
+        (c.get("name").asText(), c.get("kind").asInt())).toSeq
+    }.getOrElse(Nil)
     ParsedManifest(name, jLong(root, "part").toInt, jLong(root, "rows"),
       jLong(root, "chunks").toInt, jLong(root, "rawBytes"),
       jLong(root, "encodedBytes"),
       Option(root.get("digest")).map(_.asText()).getOrElse(""),
-      ranges, chunkIndex)
+      ranges, chunkIndex, schemaCols,
+      Option(root.get("digestCol")).map(_.asText()).getOrElse("content"))
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

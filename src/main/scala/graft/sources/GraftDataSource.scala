@@ -42,33 +42,83 @@ import graft.engine.{ChunkStats, ColumnarEngine, ContainerFormat, ContainerInput
   * index, so a failed or killed job never exposes a partial table and an
   * overwrite destroys the old data only after the new table is live.
   *
-  * Schema is the engine's fixed source-code table shape
-  * ([[graft.engine.DerivedRow]]).
+  * Schema: ANY mix of non-null BIGINT/STRING columns (round 5). A first
+  * write defines the table's schema; reads infer it from the committed
+  * manifests; appends must match it. The engine's own source-code shape
+  * ([[graft.engine.DerivedRow]]) is simply the default for tables that
+  * don't exist yet.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
+  /** Table schema from the committed manifests (any long/string mix —
+    * round 5); the engine's fixed [[DerivedRow]] schema only as the
+    * default for empty/absent tables (round 4 hard-coded it for every
+    * table).
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.schema
+    Option(options.get("path"))
+      .flatMap(GraftDataSource.inferFrom(_))
+      .getOrElse(GraftDataSource.schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a path"))
-    new GraftTable(path)
+    new GraftTable(path, schema)
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object GraftDataSource {
-  /** Fixed table schema, aligned with [[DerivedRow]] field order. */
+  /** The engine's table schema ([[DerivedRow]] field order) — the
+    * default for tables that don't exist yet.
+    */
   val schema: StructType = StructType(
     ColumnarEngine.stringColumns.map(StructField(_, StringType, nullable = false)) ++
       ColumnarEngine.longColumns.map(StructField(_, LongType, nullable = false)))
 
+  private[sources] def schemaOf(specs: Seq[graft.engine.ColumnSpec]): StructType =
+    StructType(specs.map(s => StructField(s.name,
+      if (s.kind == 0) LongType else StringType, nullable = false)))
+
+  /** Validate + translate a Spark write/table schema into column specs;
+    * rejects anything the container format can't hold.
+    */
+  private[sources] def specsOf(st: StructType): Seq[graft.engine.ColumnSpec] = {
+    require(st.fields.nonEmpty, "graft table needs at least one column")
+    st.fields.toSeq.map { f =>
+      f.dataType match {
+        case LongType => graft.engine.ColumnSpec(f.name, 0)
+        case StringType => graft.engine.ColumnSpec(f.name, 1)
+        case other => throw new IllegalArgumentException(
+          s"graft supports only BIGINT and STRING columns; " +
+            s"column '${f.name}' is $other")
+      }
+    }
+  }
+
+  /** Committed schema of an existing table, from its manifests. Legacy
+    * manifests (no schema field) are always the engine schema.
+    */
+  private[sources] def inferFrom(path: String,
+      conf: org.apache.hadoop.conf.Configuration = null): Option[StructType] = {
+    val c = if (conf != null) conf
+      else org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    Manifests.readCommitted(c, path).headOption.map { m =>
+      if (m.schemaCols.isEmpty) schema
+      else schemaOf(m.schemaCols.map { case (n, k) => graft.engine.ColumnSpec(n, k) })
+    }
+  }
+
   private[sources] val longCols = ColumnarEngine.longColumns.toSet
   private[sources] val strCols = ColumnarEngine.stringColumns.toSet
+
+  private[sources] def longColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == LongType => f.name }.toSet
+  private[sources] def strColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == StringType => f.name }.toSet
 
   /** Default target split size (encoded bytes) when grouping admitted
     * chunks into input partitions.
@@ -124,7 +174,8 @@ object GraftDataSource {
     * stats, not arbitrary row values). IsNotNull is vacuous on this
     * non-null schema.
     */
-  private[sources] def pushable(f: Filter): Boolean = f match {
+  private[sources] def pushable(f: Filter, longCols: Set[String],
+                                strCols: Set[String]): Boolean = f match {
     case EqualTo(c, _: Long) => longCols(c)
     case GreaterThan(c, _: Long) => longCols(c)
     case GreaterThanOrEqual(c, _: Long) => longCols(c)
@@ -148,7 +199,8 @@ object GraftDataSource {
     (java.util.HashMap[String, Array[Long]],
      java.util.HashMap[String, graft.codecs.Utf8Column], Int) => Boolean
 
-  private[sources] def compileFilters(filters: Array[Filter]): Array[RowPred] =
+  private[sources] def compileFilters(filters: Array[Filter],
+                                      longCols: Set[String]): Array[RowPred] =
     filters.map[RowPred] {
       case EqualTo(c, x: Long) => (l, _, j) => l.get(c)(j) == x
       case GreaterThan(c, x: Long) => (l, _, j) => l.get(c)(j) > x
@@ -182,15 +234,20 @@ object GraftDataSource {
   }
 }
 
-class GraftTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class GraftTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
-  override def schema(): StructType = GraftDataSource.schema
+  override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: a write to a NEW table defines its schema (the
+  // provider can't see the DataFrame at inferSchema time); the write
+  // builder enforces long/string-only columns and exact-match appends
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, options)
+    new GraftScanBuilder(path, tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
@@ -204,12 +261,15 @@ private[sources] case object CountStarAgg extends GraftAgg
 private[sources] final case class MinAgg(col: String) extends GraftAgg
 private[sources] final case class MaxAgg(col: String) extends GraftAgg
 
-class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
+class GraftScanBuilder(path: String, tableSchema: StructType,
+                       options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private var required: StructType = GraftDataSource.schema
+  private val longCols = GraftDataSource.longColsOf(tableSchema)
+  private val strCols = GraftDataSource.strColsOf(tableSchema)
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[GraftAgg]] = None
   private var limit: Int = Int.MaxValue
@@ -233,8 +293,8 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarAgg)
-      case m: Min => fieldName(m.column).filter(GraftDataSource.longCols).map(MinAgg)
-      case m: Max => fieldName(m.column).filter(GraftDataSource.longCols).map(MaxAgg)
+      case m: Min => fieldName(m.column).filter(longCols).map(MinAgg)
+      case m: Max => fieldName(m.column).filter(longCols).map(MaxAgg)
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
@@ -251,14 +311,17 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs one column to drive
-    // row counts; keep the cheapest long column
+    // row counts; keep the cheapest long column (any column when the
+    // schema has no longs)
     required =
       if (requiredSchema.isEmpty)
-        StructType(Seq(StructField("len_content", LongType, nullable = false)))
+        StructType(Seq(tableSchema.fields.find(_.dataType == LongType)
+          .getOrElse(tableSchema.fields.head)))
       else requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (take, residual) = filters.partition(GraftDataSource.pushable)
+    val (take, residual) = filters.partition(
+      GraftDataSource.pushable(_, longCols, strCols))
     pushed = take
     residual // fully enforced below: chunk zone-map skip + row-level check
   }
@@ -274,7 +337,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
       case None => new GraftScan(path, required, pushed, confKv, limit,
-        maxSplit, verify)
+        maxSplit, verify, longCols, strCols)
     }
   }
 }
@@ -351,16 +414,20 @@ case class ChunkSpec(offset: Long, length: Long, rows: Int,
 
 /** A run of chunks from one container. Empty `chunks` = stream the whole
   * file sequentially (legacy manifests without a chunk index, and the
-  * direct-reader fuzz surface).
+  * direct-reader fuzz surface). `digestCol` is the manifest's recorded
+  * digest column ("" = chunk digests not verifiable for this partition).
   */
-case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec])
+case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec],
+                               digestCol: String = "content")
     extends InputPartition
 
 class GraftScan(path: String, required: StructType,
                 initialFilters: Array[Filter],
                 confKv: Map[String, String], limit: Int = Int.MaxValue,
                 maxSplitBytes: Long = GraftDataSource.DefaultMaxSplitBytes,
-                verifyContent: Boolean = true)
+                verifyContent: Boolean = true,
+                longCols: Set[String] = GraftDataSource.longCols,
+                strCols: Set[String] = GraftDataSource.strCols)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -385,7 +452,7 @@ class GraftScan(path: String, required: StructType,
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
-    val accepted = runtime.filter(GraftDataSource.pushable)
+    val accepted = runtime.filter(GraftDataSource.pushable(_, longCols, strCols))
     filters = filters ++ accepted
   }
 
@@ -443,7 +510,7 @@ class GraftScan(path: String, required: StructType,
       if (m.chunkIndex.isEmpty) {
         // legacy manifest: whole-container sequential stream
         if (GraftDataSource.admit(m.longRanges, filters.toSeq))
-          parts += GraftInputPartition(file, Nil)
+          parts += GraftInputPartition(file, Nil, m.digestCol)
       } else {
         val admitted = m.chunkIndex
           .filter(GraftDataSource.admitChunk(_, filters.toSeq))
@@ -452,30 +519,33 @@ class GraftScan(path: String, required: StructType,
         var runBytes = 0L
         admitted.foreach { c =>
           if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
-            parts += GraftInputPartition(file, run.reverse)
+            parts += GraftInputPartition(file, run.reverse, m.digestCol)
             run = Nil; runBytes = 0L
           }
           run = c :: run
           runBytes += c.length
         }
-        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse)
+        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse, m.digestCol)
       }
     }
     parts.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, filters, confKv, limit, verifyContent)
+    new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
+      longCols, strCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
                          confKv: Map[String, String], limit: Int,
-                         verifyContent: Boolean)
+                         verifyContent: Boolean,
+                         longCols: Set[String] = GraftDataSource.longCols,
+                         strCols: Set[String] = GraftDataSource.strCols)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent)
+      limit, verifyContent, longCols, strCols, p.digestCol)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -489,7 +559,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent)
+      limit, verifyContent, longCols, strCols, p.digestCol)
   }
 }
 
@@ -501,14 +571,18 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
 private[sources] final class ChunkCursor(
     file: String, chunks: Seq[ChunkSpec], required: StructType,
     filters: Array[Filter], confKv: Map[String, String],
-    verifyContent: Boolean) {
+    verifyContent: Boolean,
+    longCols: Set[String] = GraftDataSource.longCols,
+    strCols: Set[String] = GraftDataSource.strCols,
+    digestCol: String = "content") {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
   val neededLongs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.longCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(longCols)
   val neededStrs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(GraftDataSource.strCols)
-  private val verify = verifyContent && neededStrs.contains("content")
+    (required.fieldNames.toSet ++ filterCols).intersect(strCols)
+  private val verify =
+    verifyContent && digestCol.nonEmpty && neededStrs.contains(digestCol)
 
   private val conf = ContainerIO.confFrom(confKv)
   private val hPath = new org.apache.hadoop.fs.Path(file)
@@ -536,7 +610,7 @@ private[sources] final class ChunkCursor(
         }
       }
     if (!verify) raw
-    else raw.map { c => ContainerFormat.verifyContentDigest(c); c }
+    else raw.map { c => ContainerFormat.verifyContentDigest(c, digestCol); c }
   }
 
   def close(): Unit = in.close()
@@ -548,14 +622,17 @@ private[sources] final class ChunkCursor(
 class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           required: StructType, filters: Array[Filter],
                           confKv: Map[String, String],
-                          limit: Int, verifyContent: Boolean)
+                          limit: Int, verifyContent: Boolean,
+                          longCols: Set[String] = GraftDataSource.longCols,
+                          strCols: Set[String] = GraftDataSource.strCols,
+                          digestCol: String = "content")
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent)
-  private val preds = GraftDataSource.compileFilters(filters)
+    confKv, verifyContent, longCols, strCols, digestCol)
+  private val preds = GraftDataSource.compileFilters(filters, longCols)
   private val fields = required.fields
   private var batch: ColumnarBatch = _
   private var emitted = 0
@@ -621,7 +698,10 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
 class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            required: StructType, filters: Array[Filter],
                            confKv: Map[String, String],
-                           limit: Int, verifyContent: Boolean)
+                           limit: Int, verifyContent: Boolean,
+                           longCols: Set[String] = GraftDataSource.longCols,
+                           strCols: Set[String] = GraftDataSource.strCols,
+                           digestCol: String = "content")
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -630,8 +710,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent)
-  private val preds = GraftDataSource.compileFilters(filters)
+    confKv, verifyContent, longCols, strCols, digestCol)
+  private val preds = GraftDataSource.compileFilters(filters, longCols)
 
   private val fields = required.fields
   private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
@@ -677,18 +757,25 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val in = info.schema()
-    val expect = GraftDataSource.schema
-    require(in.fields.map(f => (f.name, f.dataType)).toSeq ==
-      expect.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"graft write requires schema ${expect.simpleString}, got ${in.simpleString}")
+    // any mix of BIGINT/STRING columns is writable (specsOf validates);
+    // a first write defines the table's schema, an APPEND must match the
+    // committed one exactly, and an overwrite may replace it
+    val specs = GraftDataSource.specsOf(in)
+    if (!doTruncate) {
+      GraftDataSource.inferFrom(path).foreach { existing =>
+        require(GraftDataSource.specsOf(existing) == specs,
+          s"graft append schema mismatch: table has ${existing.simpleString}, " +
+            s"write is ${in.simpleString}")
+      }
+    }
     val chunkRows = Option(info.options().get("chunkRows")).map(_.toInt)
       .getOrElse(ColumnarEngine.ChunkRows)
-    new GraftWrite(path, doTruncate, info.queryId(), chunkRows)
+    new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in)
   }
 }
 
 class GraftWrite(path: String, truncate: Boolean, epoch: String,
-                 chunkRows: Int) extends Write {
+                 chunkRows: Int, writeSchema: StructType) extends Write {
   private def prepare(): Map[String, String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -698,7 +785,7 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
   }
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows)
+    new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows, writeSchema)
 
   /** `writeStream.format("graft")` — append-only micro-batch sink. Each
     * micro-batch commits as one epoch (`<queryId>-e<epochId>`), so a
@@ -710,7 +797,7 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncate,
       "graft streaming sink is append-only (outputMode(\"append\"))")
-    new GraftStreamingWrite(path, epoch, prepare(), chunkRows)
+    new GraftStreamingWrite(path, epoch, prepare(), chunkRows, writeSchema)
   }
 }
 
@@ -796,10 +883,11 @@ private[sources] object GraftCommits {
   * containers.
   */
 class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
-                      confKv: Map[String, String], chunkRows: Int)
+                      confKv: Map[String, String], chunkRows: Int,
+                      writeSchema: StructType = GraftDataSource.schema)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, epoch, confKv, chunkRows)
+    new GraftWriterFactory(path, epoch, confKv, chunkRows, writeSchema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate, messages)
@@ -812,7 +900,8 @@ class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
   * containers + manifest publication as a batch append.
   */
 class GraftStreamingWrite(path: String, queryEpoch: String,
-                          confKv: Map[String, String], chunkRows: Int)
+                          confKv: Map[String, String], chunkRows: Int,
+                          writeSchema: StructType = GraftDataSource.schema)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -820,7 +909,8 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(path, queryEpoch, confKv, chunkRows)
+    new GraftStreamingWriterFactory(path, queryEpoch, confKv, chunkRows,
+      writeSchema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate = false, messages)
@@ -830,19 +920,22 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
 }
 
 class GraftStreamingWriterFactory(path: String, queryEpoch: String,
-                                  confKv: Map[String, String], chunkRows: Int)
+                                  confKv: Map[String, String], chunkRows: Int,
+                                  writeSchema: StructType = GraftDataSource.schema)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, s"$queryEpoch-e$epochId", confKv,
-      chunkRows, taskId)
+      chunkRows, taskId, writeSchema)
 }
 
 class GraftWriterFactory(path: String, epoch: String,
-                         confKv: Map[String, String], chunkRows: Int)
+                         confKv: Map[String, String], chunkRows: Int,
+                         writeSchema: StructType = GraftDataSource.schema)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows, taskId)
+    new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows, taskId,
+      writeSchema)
 }
 
 /** Streams rows through the engine's [[ColumnarEngine.PartitionEncoder]]:
@@ -862,32 +955,42 @@ class GraftWriterFactory(path: String, epoch: String,
   */
 class GraftDataWriter(path: String, part: Int, epoch: String,
                       confKv: Map[String, String], chunkRows: Int,
-                      taskId: Long)
+                      taskId: Long,
+                      writeSchema: StructType = GraftDataSource.schema)
     extends DataWriter[InternalRow] {
   private val enc = new ColumnarEngine.PartitionEncoder(
     part, path, ContainerIO.confFrom(confKv),
-    partName = s"$epoch-$part-a$taskId", chunkRowsCap = chunkRows)
+    partName = s"$epoch-$part-a$taskId", chunkRowsCap = chunkRows,
+    schema = GraftDataSource.specsOf(writeSchema))
+  // row positions of the string/long fields, in the encoder's
+  // (strNames, longNames) order — both preserve writeSchema field order
+  private val strPos: Array[Int] = writeSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == StringType => i }
+  private val longPos: Array[Int] = writeSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == LongType => i }
   private var n = 0L
 
-  private def str(row: InternalRow, i: Int): String = {
+  private def checkNotNull(row: InternalRow, i: Int): Unit =
     if (row.isNullAt(i)) throw new IllegalArgumentException(
       s"graft write: null value in non-nullable column " +
-        s"'${GraftDataSource.schema.fields(i).name}' (row ${n + 1} of task $part)")
-    row.getUTF8String(i).toString
-  }
-  private def lng(row: InternalRow, i: Int): Long = {
-    if (row.isNullAt(i)) throw new IllegalArgumentException(
-      s"graft write: null value in non-nullable column " +
-        s"'${GraftDataSource.schema.fields(i).name}' (row ${n + 1} of task $part)")
-    row.getLong(i)
-  }
+        s"'${writeSchema.fields(i).name}' (row ${n + 1} of task $part)")
 
   override def write(row: InternalRow): Unit = {
-    // field order = GraftDataSource.schema = strings then longs
-    enc.add(DerivedRow(
-      str(row, 0), str(row, 1), str(row, 2), str(row, 3), str(row, 4),
-      lng(row, 5), lng(row, 6), lng(row, 7),
-      lng(row, 8), lng(row, 9), lng(row, 10)))
+    val strs = new Array[String](strPos.length)
+    var i = 0
+    while (i < strPos.length) {
+      checkNotNull(row, strPos(i))
+      strs(i) = row.getUTF8String(strPos(i)).toString
+      i += 1
+    }
+    val longs = new Array[Long](longPos.length)
+    i = 0
+    while (i < longPos.length) {
+      checkNotNull(row, longPos(i))
+      longs(i) = row.getLong(longPos(i))
+      i += 1
+    }
+    enc.addRow(strs, longs)
     n += 1
   }
 

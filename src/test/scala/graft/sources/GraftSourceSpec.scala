@@ -295,6 +295,84 @@ class GraftSourceSpec extends AnyFunSuite {
       .count(_.startsWith("_manifest-index")) <= 2)
   }
 
+  test("generic schemas: a user's own BIGINT/STRING table round-trips with pushdown") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-generic").toString
+    val df = (0 until 500).map(i =>
+      (i.toLong, s"cat${i % 7}", s"name-$i", (i * 37L) % 1000))
+      .toDF("id", "category", "label", "score")
+    df.orderBy("category", "id")
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    // schema inferred from the manifests — no user-supplied schema needed
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "category", "label", "score"))
+    assert(back.schema.fields.map(_.dataType).toSeq ===
+      Seq(LongType, StringType, StringType, LongType))
+    assert(back.count() === 500)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // string pushdown via chunk dicts (table is category-sorted) + long
+    // zone maps, both exact
+    val filtered = spark.read.format("graft").load(d)
+      .filter(col("category") === "cat3")
+    filtered.collect()
+    assert(graftScan(filtered).description().contains("EqualTo(category,cat3)"))
+    assert(filtered.count() === df.filter(col("category") === "cat3").count())
+    assert(spark.read.format("graft").load(d).filter(col("score") > 500L).count()
+      === df.filter(col("score") > 500L).count())
+    // appends must match the committed schema
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "category")
+        .write.format("graft").mode("append").save(d)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(ex).contains("schema mismatch"), s"got $ex")
+    // a matching append lands
+    df.limit(10).write.format("graft").mode("append").save(d)
+    assert(spark.read.format("graft").load(d).count() === 510)
+    // a non-representable type is rejected with a named column
+    val ex2 = intercept[Exception] {
+      Seq((1L, 2.5)).toDF("id", "weight")
+        .write.format("graft").mode("overwrite").save(d)
+    }
+    assert(messages(ex2).contains("weight"), s"got $ex2")
+    // an overwrite may REPLACE the schema
+    Seq((1L, 9L)).toDF("a", "b").write.format("graft").mode("overwrite").save(d)
+    assert(spark.read.format("graft").load(d).schema.fieldNames.toSeq === Seq("a", "b"))
+  }
+
+  test("generic schemas: pure-long table (no digest column) reads under CRC protection") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-longs").toString
+    val df = (0 until 300).map(i => (i.toLong, i * 2L, (i % 17).toLong))
+      .toDF("a", "b", "c")
+    df.coalesce(1)
+      .write.format("graft").option("chunkRows", "300").mode("overwrite").save(d)
+    val conf = graft.engine.ContainerIO.localConf()
+    val m = graft.engine.Manifests.readCommitted(conf, d).head
+    assert(m.digestCol === "", "pure-long schema has no digest column")
+    assert(m.schemaCols === Seq(("a", 0), ("b", 0), ("c", 0)))
+    val back = spark.read.format("graft").load(d)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // integrity still enforced per block: flip a byte, drop the local FS
+    // checksum sidecar, and the read fails on OUR CRC32C
+    val f = java.nio.file.Paths.get(m.blockFile(d).stripPrefix("file:"))
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    val at = m.chunkIndex.head.offset.toInt + 12
+    bytes(at) = (bytes(at) ^ 0x5a).toByte
+    java.nio.file.Files.write(f, bytes)
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve("." + f.getFileName.toString + ".crc"))
+    val ex = intercept[Exception] {
+      spark.read.format("graft").load(d).select("a").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(ex).contains("CRC") || messages(ex).contains("implausible")
+      || messages(ex).contains("length"), s"expected controlled failure, got $ex")
+  }
+
   test("aggregate pushdown over an empty table: count 0, null min/max") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-empty").toString
     graft.engine.ContainerIO.mkdirs(graft.engine.ContainerIO.localConf(), s"$d/blocks")
