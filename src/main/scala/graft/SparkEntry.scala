@@ -452,15 +452,19 @@ object SparkEntry {
     // GENERIC schema (round 5): the graft table is no longer bound to
     // the engine's DerivedRow shape — a user's own BIGINT/STRING table
     // writes, infers its schema back from the manifests, and gets the
-    // same chunk-dict string pushdown + long zone maps under an oracle
+    // same chunk-dict string pushdown + long zone maps under an oracle.
+    // The write declares its clustering via option("sortBy") (the DSv2
+    // RequiresDistributionAndOrdering contract — Spark plans the
+    // exchange + sort), so chunk dicts are selective with NO caller sort
     "c7_generic_schema" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-c7").toString
       t(s, d, "orders").select(
           col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_orderpriority"),
           cents(col("o_totalprice")).as("price_cents"))
-        .orderBy(col("o_orderstatus"), col("o_orderkey"))
-        .write.format("graft").option("chunkRows", "1024").mode("overwrite").save(dir)
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "o_orderstatus,o_orderkey")
+        .mode("overwrite").save(dir)
       s.read.format("graft").load(dir)
         .filter(col("o_orderstatus") === "F" && col("price_cents") > 10000000L)
         .groupBy(col("o_orderpriority"))

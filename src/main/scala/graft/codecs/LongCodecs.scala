@@ -395,3 +395,49 @@ case object DictLongCodec extends LongCodec {
     out
   }
 }
+
+/** Kind-2 (i32 / `IntegerType`) column blocks: `[count varint][count
+  * zigzag prefix varints]`, decoded through the reference's
+  * overflow-checked NARROW iterator contract
+  * ([[graft.core.BlockReader.varintIteratorI32]]) — the engine surface
+  * of the crate's u16/u32/i32 wrappers (reference: src/core.rs:77-83,
+  * 198-203): a well-formed value outside i32 range raises
+  * `DecodeError.Overflow`, a truncated one `DecodeError.Eob`, so a
+  * corrupted or foreign block can never silently truncate into a wrong
+  * int.
+  */
+object IntCodecs {
+
+  /** Values must each fit i32 (the encoder validates at buffer time). */
+  def encode(values: Array[Long], n: Int): Array[Byte] = {
+    val w = new BlockWriter(8 + n * 2)
+    w.putVarint(n.toLong)
+    var i = 0
+    while (i < n) {
+      w.putVarint(PrefixVarInt.zigzagEncode(values(i)))
+      i += 1
+    }
+    w.result()
+  }
+
+  def decodeSlice(buf: Array[Byte], off: Int, end: Int): Array[Int] = {
+    require(off >= 0 && off < end && end <= buf.length,
+      "empty or out-of-range int block slice")
+    val r = new BlockReader(buf, off, end)
+    val n = r.getVarint()
+    require(n >= 0 && n <= LongCodecs.MaxDecodeRows,
+      s"implausible row count $n in int block (cap ${LongCodecs.MaxDecodeRows})")
+    val out = new Array[Int](n.toInt)
+    val it = r.varintIteratorI32
+    var i = 0
+    while (i < out.length) {
+      if (!it.hasNext) graft.core.DecodeError.eob()
+      it.next() match {
+        case Right(v) => out(i) = v.toInt
+        case Left(e) => throw e
+      }
+      i += 1
+    }
+    out
+  }
+}

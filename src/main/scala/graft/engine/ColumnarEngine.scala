@@ -24,12 +24,14 @@ final case class ColumnMetric(column: String, codec: String,
     minVal: Long = 0L, maxVal: Long = 0L, hasRange: Boolean = false)
 
 /** One column of a graft table: kind 0 = long (int64), kind 1 = string
-  * (UTF-8). The container format stores (name, kind, block) per column
-  * per chunk, so any schema of these kinds round-trips; [[DerivedRow]]
-  * is simply the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
+  * (UTF-8), kind 2 = int (i32, decoded through the overflow-checked
+  * narrow iterators — [[graft.codecs.IntCodecs]]). The container format
+  * stores (name, kind, block) per column per chunk, so any schema of
+  * these kinds round-trips; [[DerivedRow]] is simply the engine's own
+  * schema ([[ColumnarEngine.DefaultSchema]]).
   */
 final case class ColumnSpec(name: String, kind: Int) {
-  require(kind == 0 || kind == 1, s"unknown column kind $kind")
+  require(kind == 0 || kind == 1 || kind == 2, s"unknown column kind $kind")
   require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
     s"column name out of range: '$name'")
 }
@@ -267,10 +269,12 @@ object ColumnarEngine {
     /** Block-file suffix; epoch-qualified for DSv2 writes (append-safe). */
     val name: String = if (partName == null) part.toString else partName
     /** Positional contract of [[addRow]]: string columns in schema order,
-      * long columns in schema order.
+      * then NUMERIC columns (kind 0 longs and kind 2 ints, widened to
+      * Long) in schema order.
       */
     val strNames: Array[String] = schema.filter(_.kind == 1).map(_.name).toArray
-    val longNames: Array[String] = schema.filter(_.kind == 0).map(_.name).toArray
+    val longNames: Array[String] = schema.filter(_.kind != 1).map(_.name).toArray
+    private val numKinds: Array[Int] = schema.filter(_.kind != 1).map(_.kind).toArray
     private val digestCol = digestColumnOf(schema)
     private val digestIdx = strNames.indexOf(digestCol)
     private val w = new BlockWriter(1 << 20)
@@ -354,10 +358,18 @@ object ColumnarEngine {
       while (ci < longNames.length) {
         val nm = longNames(ci)
         val vals = longBufs(ci)
-        val st = LongCodecs.stats(vals, n)
-        val codec = LongCodecs.select(st)
-        writeCol(nm, 0, codec.encode(vals, n), codec.name, 8L * n,
-          st.min, st.max, hasRange = true)
+        if (numKinds(ci) == 2) {
+          // i32 column: zigzag-varint block behind the overflow-checked
+          // narrow decode ([[graft.codecs.IntCodecs]])
+          val st = LongCodecs.stats(vals, n)
+          writeCol(nm, 2, IntCodecs.encode(vals, n), "varint-i32", 4L * n,
+            st.min, st.max, hasRange = true)
+        } else {
+          val st = LongCodecs.stats(vals, n)
+          val codec = LongCodecs.select(st)
+          writeCol(nm, 0, codec.encode(vals, n), codec.name, 8L * n,
+            st.min, st.max, hasRange = true)
+        }
         ci += 1
       }
       val strs = new Array[String](n)
@@ -447,7 +459,13 @@ object ColumnarEngine {
         longBufs = longBufs.map(java.util.Arrays.copyOf(_, longCap))
       }
       var j = 0
-      while (j < longVals.length) { longBufs(j)(bufN) = longVals(j); j += 1 }
+      while (j < longVals.length) {
+        require(numKinds(j) != 2 || longVals(j) == longVals(j).toInt.toLong,
+          s"value ${longVals(j)} out of i32 range for int column " +
+            s"'${longNames(j)}' (partition $part)")
+        longBufs(j)(bufN) = longVals(j)
+        j += 1
+      }
       i = 0
       while (i < strVals.length) { strBufs(i) += strVals(i); i += 1 }
       bufN += 1

@@ -133,7 +133,9 @@ private[graft] final case class DecodedChunk(
     rows: Int,
     longs: java.util.HashMap[String, Array[Long]],
     strs: java.util.HashMap[String, graft.codecs.Utf8Column],
-    storedDigest: Array[Byte])
+    storedDigest: Array[Byte],
+    ints: java.util.HashMap[String, Array[Int]] =
+      new java.util.HashMap[String, Array[Int]]())
 
 /** Shared streaming parse of the container format (prelude + chunks),
   * used by the row and columnar DSv2 readers. Mirrors the validation caps
@@ -164,8 +166,10 @@ private[graft] object ContainerFormat {
     * the manifest recorded a CRC, and decoded.
     */
   def readChunk(ci: ContainerInput, neededLongs: Set[String],
-                neededStrs: Set[String], crcs: Map[String, Long]): DecodedChunk = {
-    val needed = (name: String) => neededLongs(name) || neededStrs(name)
+                neededStrs: Set[String], crcs: Map[String, Long],
+                neededInts: Set[String] = Set.empty): DecodedChunk = {
+    val needed = (name: String) =>
+      neededLongs(name) || neededStrs(name) || neededInts(name)
     val n = {
       val l = ci.readVarint()
       require(l >= 1 && l <= LongCodecs.MaxDecodeRows, s"implausible chunk rows $l")
@@ -178,6 +182,7 @@ private[graft] object ContainerFormat {
     }
     val longs = new java.util.HashMap[String, Array[Long]]()
     val strs = new java.util.HashMap[String, graft.codecs.Utf8Column]()
+    val ints = new java.util.HashMap[String, Array[Int]]()
     var c = 0
     while (c < nCols) {
       val nameLen = ci.readVarint()
@@ -185,7 +190,7 @@ private[graft] object ContainerFormat {
       val name = new String(ci.readFullyBytes(nameLen.toInt),
         java.nio.charset.StandardCharsets.UTF_8)
       val kind = ci.readByte()
-      require(kind == 0 || kind == 1, s"unknown column kind $kind")
+      require(kind == 0 || kind == 1 || kind == 2, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -200,6 +205,8 @@ private[graft] object ContainerFormat {
             s"block CRC mismatch for column $name: container is corrupt")
         }
         if (kind == 0) longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
+        else if (kind == 2)
+          ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, 0, block.length))
         else strs.put(name, StringCodecs.decodeSliceUtf8(block, 0, block.length))
       } else ci.skipBytes(blockLen.toLong)
       c += 1
@@ -213,7 +220,11 @@ private[graft] object ContainerFormat {
       val a = strs.get(col)
       require(a != null && a.n == n, s"container missing/short string column $col")
     }
-    DecodedChunk(n, longs, strs, digest)
+    for (col <- neededInts) {
+      val a = ints.get(col)
+      require(a != null && a.length == n, s"container missing/short int column $col")
+    }
+    DecodedChunk(n, longs, strs, digest, ints)
   }
 
   /** Recompute the chunk's per-row digest-column sha256 digest and

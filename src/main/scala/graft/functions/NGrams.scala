@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * n-gram similarity pipeline at SF.
   */
 case class WordNGrams(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -36,6 +36,15 @@ case class WordNGrams(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, k: Any): Any =
     WordNGrams.compute(text.asInstanceOf[UTF8String].toString,
       k.asInstanceOf[Int])
+
+  /** The kernel is a static call, so the surrounding stage stays inside
+    * whole-stage codegen (round 4's CodegenFallback fenced the d5/d7
+    * shingling stage out of it — PlanSpec gates the star now).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (text, k) =>
+      s"${ev.value} = graft.functions.WordNGrams$$.MODULE$$.compute(" +
+        s"$text.toString(), $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordNGrams =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   */
 case class SortedJaccardGE(first: Expression, second: Expression,
                            third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -50,6 +50,13 @@ case class SortedJaccardGE(first: Expression, second: Expression,
     val th = t.asInstanceOf[Double]
     java.lang.Double.valueOf(SortedJaccardGE.compute(x, y, th))
   }
+
+  /** Static-call codegen: the d5/d7 verify Project stays inside
+    * whole-stage codegen like [[CosineSim]] (PlanSpec gates the star).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) =>
+      s"${ev.value} = graft.functions.SortedJaccardGE$$.MODULE$$.compute($a, $b, $t);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,

@@ -80,8 +80,11 @@ object GraftDataSource {
       ColumnarEngine.longColumns.map(StructField(_, LongType, nullable = false)))
 
   private[sources] def schemaOf(specs: Seq[graft.engine.ColumnSpec]): StructType =
-    StructType(specs.map(s => StructField(s.name,
-      if (s.kind == 0) LongType else StringType, nullable = false)))
+    StructType(specs.map(s => StructField(s.name, s.kind match {
+      case 0 => LongType
+      case 2 => IntegerType
+      case _ => StringType
+    }, nullable = false)))
 
   /** Validate + translate a Spark write/table schema into column specs;
     * rejects anything the container format can't hold.
@@ -92,8 +95,9 @@ object GraftDataSource {
       f.dataType match {
         case LongType => graft.engine.ColumnSpec(f.name, 0)
         case StringType => graft.engine.ColumnSpec(f.name, 1)
+        case IntegerType => graft.engine.ColumnSpec(f.name, 2)
         case other => throw new IllegalArgumentException(
-          s"graft supports only BIGINT and STRING columns; " +
+          s"graft supports only BIGINT, INT, and STRING columns; " +
             s"column '${f.name}' is $other")
       }
     }
@@ -119,6 +123,8 @@ object GraftDataSource {
     st.fields.collect { case f if f.dataType == LongType => f.name }.toSet
   private[sources] def strColsOf(st: StructType): Set[String] =
     st.fields.collect { case f if f.dataType == StringType => f.name }.toSet
+  private[sources] def intColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == IntegerType => f.name }.toSet
 
   /** Default target split size (encoded bytes) when grouping admitted
     * chunks into input partitions.
@@ -148,24 +154,36 @@ object GraftDataSource {
       case _ => true
     }
 
-  /** Container/partition-level long zone-map admission (legacy manifests
-    * without a chunk index plan at this granularity).
+  /** Container/partition-level numeric zone-map admission (legacy
+    * manifests without a chunk index plan at this granularity). Int
+    * (kind 2) columns record their ranges in the same map; their filter
+    * constants arrive as Integer.
     */
   private[sources] def admit(ranges: Map[String, (Long, Long)],
-                             filters: Seq[Filter]): Boolean =
+                             filters: Seq[Filter]): Boolean = {
+    def num(x: Any): Option[Long] = x match {
+      case v: java.lang.Long => Some(v.longValue())
+      case v: java.lang.Integer => Some(v.longValue())
+      case _ => None
+    }
     filters.forall {
-      case EqualTo(c, v: Long) if ranges.contains(c) =>
-        val (lo, hi) = ranges(c); v >= lo && v <= hi
-      case GreaterThan(c, v: Long) if ranges.contains(c) => ranges(c)._2 > v
-      case GreaterThanOrEqual(c, v: Long) if ranges.contains(c) => ranges(c)._2 >= v
-      case LessThan(c, v: Long) if ranges.contains(c) => ranges(c)._1 < v
-      case LessThanOrEqual(c, v: Long) if ranges.contains(c) => ranges(c)._1 <= v
+      case EqualTo(c, x) if ranges.contains(c) && num(x).isDefined =>
+        val (lo, hi) = ranges(c); val v = num(x).get; v >= lo && v <= hi
+      case GreaterThan(c, x) if ranges.contains(c) && num(x).isDefined =>
+        ranges(c)._2 > num(x).get
+      case GreaterThanOrEqual(c, x) if ranges.contains(c) && num(x).isDefined =>
+        ranges(c)._2 >= num(x).get
+      case LessThan(c, x) if ranges.contains(c) && num(x).isDefined =>
+        ranges(c)._1 < num(x).get
+      case LessThanOrEqual(c, x) if ranges.contains(c) && num(x).isDefined =>
+        ranges(c)._1 <= num(x).get
       case In(c, vs) if ranges.contains(c) && vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+          vs.forall(num(_).isDefined) =>
         val (lo, hi) = ranges(c)
-        vs.exists(x => { val v = x.asInstanceOf[java.lang.Long].longValue(); v >= lo && v <= hi })
+        vs.exists(x => { val v = num(x).get; v >= lo && v <= hi })
       case _ => true
     }
+  }
 
   /** A filter this source fully enforces (zone-map/dict chunk skip +
     * row-level re-check). Long comparisons and IN; string equality and
@@ -175,7 +193,8 @@ object GraftDataSource {
     * non-null schema.
     */
   private[sources] def pushable(f: Filter, longCols: Set[String],
-                                strCols: Set[String]): Boolean = f match {
+                                strCols: Set[String],
+                                intCols: Set[String] = Set.empty): Boolean = f match {
     case EqualTo(c, _: Long) => longCols(c)
     case GreaterThan(c, _: Long) => longCols(c)
     case GreaterThanOrEqual(c, _: Long) => longCols(c)
@@ -183,10 +202,17 @@ object GraftDataSource {
     case LessThanOrEqual(c, _: Long) => longCols(c)
     case In(c, vs) if longCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long])
+    case EqualTo(c, _: Int) => intCols(c)
+    case GreaterThan(c, _: Int) => intCols(c)
+    case GreaterThanOrEqual(c, _: Int) => intCols(c)
+    case LessThan(c, _: Int) => intCols(c)
+    case LessThanOrEqual(c, _: Int) => intCols(c)
+    case In(c, vs) if intCols(c) =>
+      vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Integer])
     case EqualTo(c, _: String) => strCols(c)
     case In(c, vs) if strCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-    case IsNotNull(c) => longCols(c) || strCols(c)
+    case IsNotNull(c) => longCols(c) || strCols(c) || intCols(c)
     case _ => false
   }
 
@@ -197,37 +223,47 @@ object GraftDataSource {
     */
   private[sources] type RowPred =
     (java.util.HashMap[String, Array[Long]],
+     java.util.HashMap[String, Array[Int]],
      java.util.HashMap[String, graft.codecs.Utf8Column], Int) => Boolean
 
   private[sources] def compileFilters(filters: Array[Filter],
                                       longCols: Set[String]): Array[RowPred] =
     filters.map[RowPred] {
-      case EqualTo(c, x: Long) => (l, _, j) => l.get(c)(j) == x
-      case GreaterThan(c, x: Long) => (l, _, j) => l.get(c)(j) > x
-      case GreaterThanOrEqual(c, x: Long) => (l, _, j) => l.get(c)(j) >= x
-      case LessThan(c, x: Long) => (l, _, j) => l.get(c)(j) < x
-      case LessThanOrEqual(c, x: Long) => (l, _, j) => l.get(c)(j) <= x
+      case EqualTo(c, x: Long) => (l, _, _, j) => l.get(c)(j) == x
+      case GreaterThan(c, x: Long) => (l, _, _, j) => l.get(c)(j) > x
+      case GreaterThanOrEqual(c, x: Long) => (l, _, _, j) => l.get(c)(j) >= x
+      case LessThan(c, x: Long) => (l, _, _, j) => l.get(c)(j) < x
+      case LessThanOrEqual(c, x: Long) => (l, _, _, j) => l.get(c)(j) <= x
+      case EqualTo(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) == x
+      case GreaterThan(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) > x
+      case GreaterThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) >= x
+      case LessThan(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) < x
+      case LessThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) <= x
       case EqualTo(c, x: String) =>
         val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (_, s, j) => s.get(c).equalsBytes(j, b)
+        (_, _, s, j) => s.get(c).equalsBytes(j, b)
       case In(c, vs) if longCols(c) =>
         val set = vs.map(_.asInstanceOf[java.lang.Long].longValue()).toSet
-        (l, _, j) => set.contains(l.get(c)(j))
+        (l, _, _, j) => set.contains(l.get(c)(j))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Integer]) =>
+        val set = vs.map(_.asInstanceOf[java.lang.Integer].intValue()).toSet
+        (_, ia, _, j) => set.contains(ia.get(c)(j))
       case In(c, vs) =>
         val bs = vs.map(_.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        (_, s, j) => bs.exists(b => s.get(c).equalsBytes(j, b))
-      case IsNotNull(_) => (_, _, _) => true
+        (_, _, s, j) => bs.exists(b => s.get(c).equalsBytes(j, b))
+      case IsNotNull(_) => (_, _, _, _) => true
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
 
   private[sources] def rowPasses(preds: Array[RowPred],
       longs: java.util.HashMap[String, Array[Long]],
+      ints: java.util.HashMap[String, Array[Int]],
       strs: java.util.HashMap[String, graft.codecs.Utf8Column],
       j: Int): Boolean = {
     var i = 0
     while (i < preds.length) {
-      if (!preds(i)(longs, strs, j)) return false
+      if (!preds(i)(longs, ints, strs, j)) return false
       i += 1
     }
     true
@@ -269,6 +305,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   private val longCols = GraftDataSource.longColsOf(tableSchema)
   private val strCols = GraftDataSource.strColsOf(tableSchema)
+  private val intCols = GraftDataSource.intColsOf(tableSchema)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[GraftAgg]] = None
@@ -321,7 +358,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, residual) = filters.partition(
-      GraftDataSource.pushable(_, longCols, strCols))
+      GraftDataSource.pushable(_, longCols, strCols, intCols))
     pushed = take
     residual // fully enforced below: chunk zone-map skip + row-level check
   }
@@ -337,7 +374,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
       case None => new GraftScan(path, required, pushed, confKv, limit,
-        maxSplit, verify, longCols, strCols)
+        maxSplit, verify, longCols, strCols, intCols)
     }
   }
 }
@@ -427,7 +464,8 @@ class GraftScan(path: String, required: StructType,
                 maxSplitBytes: Long = GraftDataSource.DefaultMaxSplitBytes,
                 verifyContent: Boolean = true,
                 longCols: Set[String] = GraftDataSource.longCols,
-                strCols: Set[String] = GraftDataSource.strCols)
+                strCols: Set[String] = GraftDataSource.strCols,
+                intCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -452,7 +490,8 @@ class GraftScan(path: String, required: StructType,
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
-    val accepted = runtime.filter(GraftDataSource.pushable(_, longCols, strCols))
+    val accepted = runtime.filter(
+      GraftDataSource.pushable(_, longCols, strCols, intCols))
     filters = filters ++ accepted
   }
 
@@ -533,19 +572,20 @@ class GraftScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
-      longCols, strCols)
+      longCols, strCols, intCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
                          confKv: Map[String, String], limit: Int,
                          verifyContent: Boolean,
                          longCols: Set[String] = GraftDataSource.longCols,
-                         strCols: Set[String] = GraftDataSource.strCols)
+                         strCols: Set[String] = GraftDataSource.strCols,
+                         intCols: Set[String] = Set.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -559,7 +599,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols)
   }
 }
 
@@ -574,13 +614,16 @@ private[sources] final class ChunkCursor(
     verifyContent: Boolean,
     longCols: Set[String] = GraftDataSource.longCols,
     strCols: Set[String] = GraftDataSource.strCols,
-    digestCol: String = "content") {
+    digestCol: String = "content",
+    intCols: Set[String] = Set.empty) {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
   val neededLongs: Set[String] =
     (required.fieldNames.toSet ++ filterCols).intersect(longCols)
   val neededStrs: Set[String] =
     (required.fieldNames.toSet ++ filterCols).intersect(strCols)
+  val neededInts: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(intCols)
   private val verify =
     verifyContent && digestCol.nonEmpty && neededStrs.contains(digestCol)
 
@@ -596,7 +639,8 @@ private[sources] final class ChunkCursor(
         require(cs.offset >= 0 && cs.length >= 0 && cs.offset + cs.length <= fileLen,
           s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
         val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
-        val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs, cs.crcs)
+        val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs,
+          cs.crcs, neededInts)
         require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
         require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
         chunk
@@ -606,7 +650,8 @@ private[sources] final class ChunkCursor(
         new Iterator[DecodedChunk] {
           override def hasNext: Boolean = !ci.atEnd
           override def next(): DecodedChunk =
-            ContainerFormat.readChunk(ci, neededLongs, neededStrs, Map.empty)
+            ContainerFormat.readChunk(ci, neededLongs, neededStrs,
+              Map.empty, neededInts)
         }
       }
     if (!verify) raw
@@ -625,13 +670,14 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           limit: Int, verifyContent: Boolean,
                           longCols: Set[String] = GraftDataSource.longCols,
                           strCols: Set[String] = GraftDataSource.strCols,
-                          digestCol: String = "content")
+                          digestCol: String = "content",
+                          intCols: Set[String] = Set.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
   private val fields = required.fields
   private var batch: ColumnarBatch = _
@@ -646,7 +692,8 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
       var m = 0
       var j = 0
       while (j < chunk.rows && emitted + m < limit) {
-        if (GraftDataSource.rowPasses(preds, chunk.longs, chunk.strs, j)) {
+        if (GraftDataSource.rowPasses(preds, chunk.longs, chunk.ints,
+            chunk.strs, j)) {
           sel(m) = j; m += 1
         }
         j += 1
@@ -661,6 +708,10 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
               val src = chunk.longs.get(fields(i).name)
               var k = 0
               while (k < m) { v.putLong(k, src(sel(k))); k += 1 }
+            case IntegerType =>
+              val src = chunk.ints.get(fields(i).name)
+              var k = 0
+              while (k < m) { v.putInt(k, src(sel(k))); k += 1 }
             case _ =>
               // straight from the decoded UTF-8 slices: no String
               // materialization, no re-encode
@@ -701,7 +752,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            limit: Int, verifyContent: Boolean,
                            longCols: Set[String] = GraftDataSource.longCols,
                            strCols: Set[String] = GraftDataSource.strCols,
-                           digestCol: String = "content")
+                           digestCol: String = "content",
+                           intCols: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -710,21 +762,23 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
 
   private val fields = required.fields
   private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
     val longs = chunk.longs
     val strs = chunk.strs
+    val ints = chunk.ints
     (0 until chunk.rows).iterator.flatMap { j =>
-      if (!GraftDataSource.rowPasses(preds, longs, strs, j)) None
+      if (!GraftDataSource.rowPasses(preds, longs, ints, strs, j)) None
       else {
         val row = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
           fields(i).dataType match {
             case LongType => row.setLong(i, longs.get(fields(i).name)(j))
+            case IntegerType => row.setInt(i, ints.get(fields(i).name)(j))
             case _ =>
               // zero-copy view over the decoded UTF-8 slice
               val u = strs.get(fields(i).name)
@@ -770,12 +824,36 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     }
     val chunkRows = Option(info.options().get("chunkRows")).map(_.toInt)
       .getOrElse(ColumnarEngine.ChunkRows)
-    new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in)
+    val sortBy = Option(info.options().get("sortBy")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    sortBy.foreach(c => require(in.fieldNames.contains(c),
+      s"sortBy column '$c' is not in the write schema ${in.simpleString}"))
+    new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in, sortBy)
   }
 }
 
+/** `option("sortBy", "colA,colB")` declares the write CLUSTERED by its
+  * first sort column and sorted within partitions by all of them —
+  * Spark plans the exchange + sort itself (the DSv2
+  * `RequiresDistributionAndOrdering` contract), so per-chunk
+  * dictionaries and zone maps come out selective without the caller
+  * hand-sorting the DataFrame (what c6 had to do before round 5).
+  */
 class GraftWrite(path: String, truncate: Boolean, epoch: String,
-                 chunkRows: Int, writeSchema: StructType) extends Write {
+                 chunkRows: Int, writeSchema: StructType,
+                 sortBy: Seq[String] = Nil)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution =
+    if (sortBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(Array(Expressions.column(sortBy.head)))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    sortBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
   private def prepare(): Map[String, String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -962,12 +1040,17 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     part, path, ContainerIO.confFrom(confKv),
     partName = s"$epoch-$part-a$taskId", chunkRowsCap = chunkRows,
     schema = GraftDataSource.specsOf(writeSchema))
-  // row positions of the string/long fields, in the encoder's
-  // (strNames, longNames) order — both preserve writeSchema field order
+  // row positions of the string/numeric fields, in the encoder's
+  // (strNames, longNames) order — both preserve writeSchema field order;
+  // IntegerType fields ride the numeric array widened to Long (the
+  // encoder writes them as kind-2 narrow blocks)
   private val strPos: Array[Int] = writeSchema.fields.zipWithIndex
     .collect { case (f, i) if f.dataType == StringType => i }
   private val longPos: Array[Int] = writeSchema.fields.zipWithIndex
-    .collect { case (f, i) if f.dataType == LongType => i }
+    .collect { case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i }
+  private val longIsInt: Array[Boolean] = writeSchema.fields
+    .collect { case f if f.dataType == LongType || f.dataType == IntegerType =>
+      f.dataType == IntegerType }
   private var n = 0L
 
   private def checkNotNull(row: InternalRow, i: Int): Unit =
@@ -987,7 +1070,9 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     i = 0
     while (i < longPos.length) {
       checkNotNull(row, longPos(i))
-      longs(i) = row.getLong(longPos(i))
+      longs(i) =
+        if (longIsInt(i)) row.getInt(longPos(i)).toLong
+        else row.getLong(longPos(i))
       i += 1
     }
     enc.addRow(strs, longs)

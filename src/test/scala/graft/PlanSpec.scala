@@ -65,6 +65,36 @@ class PlanSpec extends AnyFunSuite {
       "codec Project fell out of whole-stage codegen: " + stage.get)
   }
 
+  test("d7 verify stage: sorted_jaccard_ge and word_ngrams stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("d7_ngram_jaccard")(spark, d)
+    df.collect()
+    val dumps = Seq.newBuilder[String]
+    dumps += df.queryExecution.executedPlan.toString
+    // the op materializes via a persisted result: the verify Project
+    // lives inside the cached plan — include it in the search
+    df.queryExecution.executedPlan.foreach {
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        dumps += t.relation.cachedPlan.toString
+      case _ => ()
+    }
+    // AQE dumps repeat the plan under "== Initial Plan ==" WITHOUT
+    // codegen stars — gate only the final-plan section of each dump
+    val p = dumps.result()
+      .map(s => s.indexOf("== Initial Plan ==") match {
+        case -1 => s
+        case i => s.substring(0, i)
+      }).mkString("\n")
+    for (fn <- Seq("sorted_jaccard_ge", "word_ngrams")) {
+      val lines = p.linesIterator.filter(l =>
+        l.contains(fn) && (l.contains("Project") || l.contains("Filter"))).toSeq
+      assert(lines.nonEmpty, s"$fn missing from the plan:\n" + p.take(1200))
+      for (l <- lines)
+        assert(l.contains("*("),
+          s"$fn fell out of whole-stage codegen (round-4 CodegenFallback fence): $l")
+    }
+    df.unpersist()
+  }
+
   test("derive: unbounded repo/commit dictionaries carry no broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val derived = graft.engine.ColumnarEngine.derive(

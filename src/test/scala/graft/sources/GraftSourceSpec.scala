@@ -373,6 +373,121 @@ class GraftSourceSpec extends AnyFunSuite {
       || messages(ex).contains("length"), s"expected controlled failure, got $ex")
   }
 
+  test("write clustering: option(\"sortBy\") prunes like a hand-sorted write") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val langs = Seq("en", "de", "fr", "zh", "es")
+    // deliberately UNSORTED input: langs interleave row by row
+    val df = (0 until 2000).map { i =>
+      (i.toLong, langs(rnd.nextInt(5)), s"text body $i ${rnd.nextInt()}")
+    }.toDF("id", "lang", "body")
+    def admittedFraction(dir: String): Double = {
+      val conf = graft.engine.ContainerIO.localConf()
+      val total = graft.engine.Manifests.readCommitted(conf, dir)
+        .map(_.chunkIndex.size).sum
+      val filtered = spark.read.format("graft").load(dir)
+        .filter(col("lang") === "zh").select("id")
+      filtered.collect()
+      val admitted = graftScan(filtered).planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+      admitted.toDouble / total
+    }
+    val dManual = java.nio.file.Files.createTempDirectory("graft-sortby-man").toString
+    df.orderBy("lang", "id").coalesce(1)
+      .write.format("graft").option("chunkRows", "200").mode("overwrite").save(dManual)
+    val dOpt = java.nio.file.Files.createTempDirectory("graft-sortby-opt").toString
+    df.write.format("graft").option("chunkRows", "200")
+      .option("sortBy", "lang,id").mode("overwrite").save(dOpt)
+    val dNone = java.nio.file.Files.createTempDirectory("graft-sortby-none").toString
+    df.coalesce(1)
+      .write.format("graft").option("chunkRows", "200").mode("overwrite").save(dNone)
+    val (fOpt, fManual, fNone) =
+      (admittedFraction(dOpt), admittedFraction(dManual), admittedFraction(dNone))
+    // the declared ordering (Spark plans the exchange + sort) must prune
+    // at least as hard as the hand-sorted write; the unsorted control
+    // prunes nothing (every chunk's dict contains every lang)
+    assert(fOpt <= fManual + 1e-9, s"sortBy option pruned $fOpt vs manual $fManual")
+    assert(fNone > 0.9, s"control should admit ~all chunks, got $fNone")
+    // and the clustered write still returns exactly the right rows
+    assert(spark.read.format("graft").load(dOpt).filter(col("lang") === "zh").count()
+      === df.filter(col("lang") === "zh").count())
+    // bad column name is rejected up front
+    val ex = intercept[Exception] {
+      df.write.format("graft").option("sortBy", "nope").mode("overwrite")
+        .save(java.nio.file.Files.createTempDirectory("graft-sortby-bad").toString)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(ex).contains("nope"))
+  }
+
+  test("IntegerType columns: kind-2 narrow blocks round-trip with pushdown") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-ints").toString
+    val df = (0 until 400).map(i => (i.toLong, i * 3, s"r$i")).toDF("id", "n", "tag")
+    df.coalesce(1)
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema("n").dataType === IntegerType)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // int comparisons are pushed (chunk zone maps + row re-check), exact
+    val filtered = spark.read.format("graft").load(d).filter(col("n") > 900)
+    filtered.collect()
+    assert(graftScan(filtered).description().contains("GreaterThan(n,900)"))
+    assert(filtered.count() === df.filter(col("n") > 900).count())
+    // chunk pruning: n is monotone (chunk zone maps [0,297], [300,597],
+    // [600,897], [900,1197]), so > 900 admits exactly the last chunk
+    val admitted = graftScan(filtered).planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(admitted === 1, s"expected 1 of 4 chunks admitted, got $admitted")
+    // the manifest records the narrow kind
+    val m = graft.engine.Manifests.readCommitted(
+      graft.engine.ContainerIO.localConf(), d).head
+    assert(m.schemaCols === Seq(("id", 0), ("n", 2), ("tag", 1)))
+  }
+
+  test("narrow decode is overflow-checked: out-of-i32 values raise DecodeError") {
+    // block-codec level: a well-formed varint beyond i32 must raise
+    // Overflow (the reference's narrow-wrapper contract), truncation Eob
+    val block = graft.codecs.IntCodecs.encode(Array(7L, 1L << 40, 3L), 3)
+    val ovf = intercept[graft.core.DecodeError] {
+      graft.codecs.IntCodecs.decodeSlice(block, 0, block.length)
+    }
+    assert(ovf.isInstanceOf[graft.core.DecodeError.Overflow], s"got $ovf")
+    val ok = graft.codecs.IntCodecs.encode(Array(7L, -42L, Int.MaxValue.toLong), 3)
+    assert(graft.codecs.IntCodecs.decodeSlice(ok, 0, ok.length).toSeq
+      === Seq(7, -42, Int.MaxValue))
+    intercept[graft.core.DecodeError] {
+      graft.codecs.IntCodecs.decodeSlice(ok, 0, ok.length - 1) // truncated
+    }
+    // format level: a crafted container whose kind-2 block holds an
+    // overflowing value fails the read with DecodeError, never a wrong int
+    val d = java.nio.file.Files.createTempDirectory("graft-int-ovf").toString
+    val w = new graft.core.BlockWriter(256)
+    w.putBytes(ColumnarEngine.Magic)
+    w.putVarint(0L) // part id
+    w.putVarint(3L) // chunk rows
+    w.putVarint(1L) // one column
+    val nm = "x".getBytes("UTF-8")
+    w.putVarint(nm.length.toLong); w.putBytes(nm)
+    w.putByte(2) // kind 2 = i32
+    w.putVarint(block.length.toLong); w.putBytes(block)
+    w.putBytes(new Array[Byte](32)) // digest (no string columns)
+    val file = s"$d/crafted.gblk"
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), w.result())
+    val confKv = graft.engine.ContainerIO.confSnapshot(spark)
+    val cursor = new ChunkCursor(file, Nil,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      Array.empty, confKv, verifyContent = false,
+      longCols = Set.empty, strCols = Set.empty, digestCol = "",
+      intCols = Set("x"))
+    try intercept[graft.core.DecodeError] { cursor.chunkIter.next() }
+    finally cursor.close()
+  }
+
   test("aggregate pushdown over an empty table: count 0, null min/max") {
     val d = java.nio.file.Files.createTempDirectory("graft-dsv2-empty").toString
     graft.engine.ContainerIO.mkdirs(graft.engine.ContainerIO.localConf(), s"$d/blocks")
