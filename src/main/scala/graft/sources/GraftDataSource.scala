@@ -256,6 +256,40 @@ object GraftDataSource {
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
 
+  /** Chunk-granular input partitions for a set of committed manifests:
+    * admitted chunks grouped into runs of ≤ maxSplitBytes (shared by the
+    * batch scan and the micro-batch stream).
+    */
+  private[sources] def planPartitions(path: String,
+      manifests: Seq[ParsedManifest], filters: Array[Filter],
+      maxSplitBytes: Long): Array[InputPartition] = {
+    val parts = Array.newBuilder[InputPartition]
+    manifests.sortBy(_.name).foreach { m =>
+      val file = m.blockFile(path)
+      if (m.chunkIndex.isEmpty) {
+        // legacy manifest: whole-container sequential stream
+        if (admit(m.longRanges, filters.toSeq))
+          parts += GraftInputPartition(file, Nil, m.digestCol)
+      } else {
+        val admitted = m.chunkIndex
+          .filter(admitChunk(_, filters.toSeq))
+          .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
+        var run = List.empty[ChunkSpec]
+        var runBytes = 0L
+        admitted.foreach { c =>
+          if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
+            parts += GraftInputPartition(file, run.reverse, m.digestCol)
+            run = Nil; runBytes = 0L
+          }
+          run = c :: run
+          runBytes += c.length
+        }
+        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse, m.digestCol)
+      }
+    }
+    parts.result()
+  }
+
   private[sources] def rowPasses(preds: Array[RowPred],
       longs: java.util.HashMap[String, Array[Long]],
       ints: java.util.HashMap[String, Array[Int]],
@@ -280,7 +314,7 @@ class GraftTable(path: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.MICRO_BATCH_READ, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, tableSchema, options)
@@ -542,37 +576,23 @@ class GraftScan(path: String, required: StructType,
     * ORPHANS of failed writes and are never planned (the manifest is the
     * commit marker on the read side too).
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val parts = Array.newBuilder[InputPartition]
-    committed().sortBy(_.name).foreach { m =>
-      val file = m.blockFile(path)
-      if (m.chunkIndex.isEmpty) {
-        // legacy manifest: whole-container sequential stream
-        if (GraftDataSource.admit(m.longRanges, filters.toSeq))
-          parts += GraftInputPartition(file, Nil, m.digestCol)
-      } else {
-        val admitted = m.chunkIndex
-          .filter(GraftDataSource.admitChunk(_, filters.toSeq))
-          .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
-        var run = List.empty[ChunkSpec]
-        var runBytes = 0L
-        admitted.foreach { c =>
-          if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
-            parts += GraftInputPartition(file, run.reverse, m.digestCol)
-            run = Nil; runBytes = 0L
-          }
-          run = c :: run
-          runBytes += c.length
-        }
-        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse, m.digestCol)
-      }
-    }
-    parts.result()
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftDataSource.planPartitions(path, committed(), filters, maxSplitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
       longCols, strCols, intCols)
+
+  /** `readStream.format("graft")` — micro-batch TAILING of this table:
+    * each trigger reads exactly the manifests committed since the last
+    * processed offset ([[GraftMicroBatchStream]]), with the same pushed
+    * filters, pruned columns, chunk admission, and verified readers as
+    * a batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, required, filters, confKv,
+      maxSplitBytes, verifyContent, longCols, strCols, intCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
@@ -799,6 +819,75 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     else false
   override def get(): InternalRow = cur
   override def close(): Unit = cursor.close()
+}
+
+// -------------------------------------------------------------- streaming read
+
+/** Streaming offset = the SET of committed manifest names already
+  * processed. Names are the stable identity here — snapshot version
+  * numbers are garbage-collected after commit, so they can't anchor a
+  * checkpoint that must replay later. JSON form: a sorted string array.
+  */
+case class GraftStreamOffset(names: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    names.sorted.map(n => "\"" + n.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"").mkString("[", ",", "]")
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json)
+    require(root.isArray, s"bad graft stream offset: $json")
+    GraftStreamOffset(root.elements().asScala.map(_.asText()).toSeq)
+  }
+}
+
+/** Micro-batch tailing of a graft table: `latestOffset` is the current
+  * committed manifest-name set; each batch plans exactly the manifests
+  * in (end \ start), chunk-granular, with the scan's pushed filters and
+  * pruned columns. Append-mostly semantics: an epoch REPLAY or an
+  * overwrite re-commits new names, which the tail emits as new data
+  * (the `FileStreamSource` contract on rewrites).
+  */
+class GraftMicroBatchStream(path: String, required: StructType,
+                            filters: Array[Filter],
+                            confKv: Map[String, String],
+                            maxSplitBytes: Long, verifyContent: Boolean,
+                            longCols: Set[String], strCols: Set[String],
+                            intCols: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def committedNames(): Seq[String] =
+    Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
+      .filter(_.rows > 0).map(_.name)
+
+  override def initialOffset(): Offset = GraftStreamOffset(Nil)
+  override def latestOffset(): Offset =
+    GraftStreamOffset(committedNames().sorted)
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftStreamOffset].names.toSet
+    val want = end.asInstanceOf[GraftStreamOffset].names.toSet -- seen
+    val fresh = Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
+      .filter(m => want.contains(m.name))
+    GraftDataSource.planPartitions(path, fresh, filters, maxSplitBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, filters, confKv, Int.MaxValue,
+      verifyContent, longCols, strCols, intCols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // ------------------------------------------------------------------ write

@@ -68,6 +68,46 @@ class StreamingSpec extends AnyFunSuite {
       "second micro-batch must append, not replace")
   }
 
+  test("streaming source: readStream.format(\"graft\") tails appends exactly once") {
+    import spark.implicits._
+    val tableDir = Files.createTempDirectory("graft-src-table").toString
+    val ckpt = Files.createTempDirectory("graft-src-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-src-out").toString
+    val wave1 = (0 until 120).map(i => (i.toLong, s"cat${i % 3}", i * 7L))
+      .toDF("id", "category", "score")
+    wave1.write.format("graft").option("chunkRows", "50").mode("append").save(tableDir)
+    def drain(): Long = {
+      // AvailableNow: process everything committed since the checkpoint,
+      // then stop — each call is one "tail catch-up" (parquet sink: the
+      // memory sink can't recover a checkpoint)
+      val q = spark.readStream.format("graft").load(tableDir)
+        .filter(col("category") === "cat1") // pushed into the stream scan
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+    val first = drain()
+    assert(first === wave1.filter(col("category") === "cat1").count(), s"got $first")
+    // an append lands; the tail emits ONLY the new manifests' rows
+    val wave2 = (200 until 260).map(i => (i.toLong, s"cat${i % 3}", i * 7L))
+      .toDF("id", "category", "score")
+    wave2.write.format("graft").mode("append").save(tableDir)
+    val second = drain()
+    assert(second === first + wave2.filter(col("category") === "cat1").count(),
+      s"expected exactly the appended cat1 rows, got ${second - first} new")
+    // no appends -> no new rows (offsets are the manifest-name set)
+    assert(drain() === second, "an idle tail must emit nothing")
+    // the emitted rows are the table's rows, not transformed
+    val emitted = spark.read.parquet(outDir).select("id", "category", "score")
+    val expected = wave1.union(wave2).filter(col("category") === "cat1")
+    assert(emitted.except(expected).isEmpty && expected.except(emitted).isEmpty)
+  }
+
   test("streaming exact dedup drops repeated texts within the watermark horizon") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
