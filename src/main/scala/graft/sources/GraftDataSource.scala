@@ -325,11 +325,16 @@ class GraftTable(path: String, tableSchema: StructType)
 
 // ------------------------------------------------------------------- read
 
-/** One fully-pushed aggregate, answered from the manifests alone. */
+/** One fully-pushed aggregate, answered from the manifests alone.
+  * `isInt` marks an IntegerType column (kind 2): its zone maps live in
+  * the same manifest ranges, but the result narrows back to i32.
+  */
 private[sources] sealed trait GraftAgg
 private[sources] case object CountStarAgg extends GraftAgg
-private[sources] final case class MinAgg(col: String) extends GraftAgg
-private[sources] final case class MaxAgg(col: String) extends GraftAgg
+private[sources] final case class MinAgg(col: String,
+                                         isInt: Boolean = false) extends GraftAgg
+private[sources] final case class MaxAgg(col: String,
+                                         isInt: Boolean = false) extends GraftAgg
 
 class GraftScanBuilder(path: String, tableSchema: StructType,
                        options: CaseInsensitiveStringMap)
@@ -364,8 +369,14 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarAgg)
-      case m: Min => fieldName(m.column).filter(longCols).map(MinAgg)
-      case m: Max => fieldName(m.column).filter(longCols).map(MaxAgg)
+      case m: Min => fieldName(m.column).collect {
+        case c if longCols(c) => MinAgg(c)
+        case c if intCols(c) => MinAgg(c, isInt = true)
+      }
+      case m: Max => fieldName(m.column).collect {
+        case c if longCols(c) => MaxAgg(c)
+        case c if intCols(c) => MaxAgg(c, isInt = true)
+      }
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
@@ -421,8 +432,10 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
                    confKv: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(specs.map {
     case CountStarAgg => StructField("count_star", LongType, nullable = false)
-    case MinAgg(c) => StructField(s"min_$c", LongType, nullable = true)
-    case MaxAgg(c) => StructField(s"max_$c", LongType, nullable = true)
+    case MinAgg(c, isInt) => StructField(s"min_$c",
+      if (isInt) IntegerType else LongType, nullable = true)
+    case MaxAgg(c, isInt) => StructField(s"max_$c",
+      if (isInt) IntegerType else LongType, nullable = true)
   })
   override def toBatch: Batch = this
   override def description(): String =
@@ -442,11 +455,16 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     }
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
-      case MinAgg(c) => mins.get(c).map(java.lang.Long.valueOf).orNull
-      case MaxAgg(c) => maxs.get(c).map(java.lang.Long.valueOf).orNull
+      case MinAgg(c, isInt) => mins.get(c)
+        .map(v => if (isInt) java.lang.Integer.valueOf(v.toInt): Any
+                  else java.lang.Long.valueOf(v): Any).orNull
+      case MaxAgg(c, isInt) => maxs.get(c)
+        .map(v => if (isInt) java.lang.Integer.valueOf(v.toInt): Any
+                  else java.lang.Long.valueOf(v): Any).orNull
     }.toArray
     Array(GraftAggPartition(values.map {
       case null => null
+      case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.longValue()
     }))
   }
@@ -466,6 +484,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
               vals(i) match {
                 case null => row.setNullAt(i)
                 case l: Long => row.setLong(i, l)
+                case n: Int => row.setInt(i, n)
                 case other => row.update(i, other)
               }
               i += 1
@@ -921,12 +940,16 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-/** `option("sortBy", "colA,colB")` declares the write CLUSTERED by its
-  * first sort column and sorted within partitions by all of them —
-  * Spark plans the exchange + sort itself (the DSv2
-  * `RequiresDistributionAndOrdering` contract), so per-chunk
-  * dictionaries and zone maps come out selective without the caller
-  * hand-sorting the DataFrame (what c6 had to do before round 5).
+/** `option("sortBy", "colA,colB")` declares the write CLUSTERED by the
+  * full sort key and sorted within partitions by it — Spark plans the
+  * exchange + sort itself (the DSv2 `RequiresDistributionAndOrdering`
+  * contract), so per-chunk dictionaries and zone maps come out
+  * selective without the caller hand-sorting the DataFrame (what c6
+  * had to do before round 5). Clustering hashes on ALL sort columns,
+  * not just the head: a zipf-skewed leading column (one hot language,
+  * one giant repo) would otherwise land in a single writer task, while
+  * the within-partition sort alone already gives every chunk its
+  * near-pure dictionary runs.
   */
 class GraftWrite(path: String, truncate: Boolean, epoch: String,
                  chunkRows: Int, writeSchema: StructType,
@@ -938,7 +961,8 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
 
   override def requiredDistribution(): Distribution =
     if (sortBy.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(Array(Expressions.column(sortBy.head)))
+    else Distributions.clustered(
+      sortBy.map(c => Expressions.column(c): Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
     sortBy.map(c => Expressions.sort(Expressions.column(c),

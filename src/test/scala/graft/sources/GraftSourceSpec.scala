@@ -445,6 +445,9 @@ class GraftSourceSpec extends AnyFunSuite {
     val m = graft.engine.Manifests.readCommitted(
       graft.engine.ContainerIO.localConf(), d).head
     assert(m.schemaCols === Seq(("id", 0), ("n", 2), ("tag", 1)))
+    // MIN/MAX over the int column are manifest-answered, result stays i32
+    val r = spark.read.format("graft").load(d).agg(min("n"), max("n")).collect()(0)
+    assert(r.getInt(0) === 0 && r.getInt(1) === 1197)
   }
 
   test("narrow decode is overflow-checked: out-of-i32 values raise DecodeError") {
@@ -533,6 +536,45 @@ class GraftSourceSpec extends AnyFunSuite {
         val r = new GraftPartitionReader(tmp.toString, schema,
           Array.empty, Map.empty)
         while (r.next()) r.get()
+      }
+      k += 1
+    }
+  }
+
+  test("fuzz: bit-flipped kind-2 int containers fail controlled (Overflow/Eob/require)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val d = java.nio.file.Files.createTempDirectory("graft-int-fuzz").toString
+    (0 until 200).map(i => (i - 100, i.toLong)).toDF("n", "id")
+      .coalesce(1)
+      .write.format("graft").option("chunkRows", "200").mode("overwrite").save(d)
+    val conf = graft.engine.ContainerIO.localConf()
+    val block = graft.engine.ContainerIO
+      .listNames(conf, s"$d/blocks").filter(_.endsWith(".gblk")).head
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/blocks/$block"))
+    val tmp = java.nio.file.Files.createTempFile("graft-int-fuzz", ".gblk")
+    val schema = StructType(Seq(StructField("n", IntegerType)))
+    val rnd = new scala.util.Random(29)
+    var k = 0
+    while (k < 200) {
+      val m = bytes.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      java.nio.file.Files.write(tmp, m)
+      try {
+        // direct sequential reader (no manifest CRCs shielding the flip):
+        // every outcome must be correct data or a typed decode failure
+        val cursor = new ChunkCursor(tmp.toString, Nil, schema, Array.empty,
+          graft.engine.ContainerIO.confSnapshot(spark),
+          verifyContent = false, longCols = Set.empty, strCols = Set.empty,
+          digestCol = "", intCols = Set("n"))
+        try while (cursor.chunkIter.hasNext) cursor.chunkIter.next()
+        finally cursor.close()
+      } catch {
+        case _: graft.core.DecodeError => ()
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"uncontrolled ${e.getClass.getName}: ${e.getMessage} on mut $k", e)
       }
       k += 1
     }
