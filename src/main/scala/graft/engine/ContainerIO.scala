@@ -117,37 +117,60 @@ object ContainerIO {
   /** Atomically create `dst` with `bytes` iff it does not already exist;
     * returns false when another writer got there first. This is the
     * compare-and-swap primitive of the manifest-index OCC commit
-    * ([[Manifests.commitIndex]]):
+    * ([[Manifests.commitIndex]]), and it must ALSO be atomic for
+    * READERS: `dst` either doesn't exist or holds the complete bytes —
+    * a create-then-stream would let a concurrent reader parse a
+    * half-written snapshot.
     *
-    *  - `file://`: `java.nio` `CREATE_NEW` — a true `O_EXCL` create
-    *    (Hadoop's local `create(overwrite = false)` is exists-then-create,
-    *    a TOCTOU window).
-    *  - everything else: `create(overwrite = false)` — atomic on HDFS
-    *    (namenode) and a conditional `If-None-Match: *` PUT on S3A
-    *    (see [[commitProtocol]]).
+    *  - `file://`: write a private tmp file, publish via
+    *    `Files.createLink` — POSIX `link(2)` is atomic AND fails with
+    *    `EEXIST` if `dst` appeared meanwhile (a plain rename overwrites,
+    *    so it can't arbitrate; `CREATE_NEW`+write exposes partial
+    *    bytes).
+    *  - HDFS/ABFS: tmp + `rename`, which is namenode-atomic and FAILS
+    *    onto an existing destination — exclusive and all-or-nothing.
+    *  - S3-family ([[commitProtocol]]): direct
+    *    `create(overwrite = false)` — a conditional `If-None-Match: *`
+    *    PUT; S3 objects are invisible until the PUT completes.
     */
   def createExclusive(conf: Configuration, dst: String, bytes: Array[Byte]): Boolean = {
     val f = fs(dst, conf)
     val d = new Path(dst)
+    val uniq = s"${System.nanoTime()}-${Thread.currentThread().getId}"
     Option(f.getUri.getScheme).getOrElse("file") match {
       case "file" =>
+        val dstP = java.nio.file.Paths.get(d.toUri.getPath)
+        val tmp = dstP.resolveSibling(s".${dstP.getFileName}.tmp-$uniq")
+        java.nio.file.Files.write(tmp, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
         try {
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(d.toUri.getPath), bytes,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
+          java.nio.file.Files.createLink(dstP, tmp)
           true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
+        } finally {
+          java.nio.file.Files.deleteIfExists(tmp)
+          ()
         }
-      case _ =>
+      case scheme if commitProtocol(scheme) == ConditionalCreate =>
         try {
           val out = f.create(d, false)
           try out.write(bytes) finally out.close()
           true
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException if f.exists(d) => false
+          case _: java.io.IOException if f.exists(d) => false
+        }
+      case _ =>
+        val tmp = new Path(s"$dst.tmp-$uniq")
+        val out = f.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        if (f.rename(tmp, d)) true
+        else {
+          f.delete(tmp, false)
+          if (f.exists(d)) false
+          else throw new java.io.IOException(s"exclusive rename $tmp -> $dst failed")
         }
     }
   }

@@ -181,8 +181,10 @@ object Manifests {
     */
   def readIndexSnapshot(conf: Configuration,
                         tableDir: String): Option[(Long, Seq[String])] = {
+    // generous retry budget: under heavy commit contention a reader's
+    // stale listing can lose the open-vs-GC race several times in a row
     var tries = 0
-    while (tries < 8) {
+    while (tries < 64) {
       versionedIndexes(conf, tableDir).lastOption match {
         case None =>
           val legacy = indexPath(tableDir)

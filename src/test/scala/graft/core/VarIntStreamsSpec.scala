@@ -71,4 +71,51 @@ class VarIntStreamsSpec extends AnyFunSuite {
     intercept[DecodeError.UnexpectedEob](
       VarIntStreams.read(new ByteArrayInputStream(full.take(3))))
   }
+
+  test("chunked (non-contiguous) reader: values straddle every possible boundary") {
+    val rnd = new scala.util.Random(17)
+    // one value per length class + random fill, so every multibyte
+    // ladder rung crosses chunk boundaries somewhere below
+    val values = (1 to 9).map { n =>
+      val lo = if (n == 1) 0L else PrefixVarInt.MaxValue(n - 1) + 1
+      lo + (rnd.nextLong() & 0xffL)
+    } ++ Seq.fill(200)(rnd.nextLong() >>> rnd.nextInt(64))
+    val w = new BlockWriter(4096)
+    values.foreach(v => w.putVarint(v))
+    val bytes = w.result()
+    def chunked(sizes: Iterator[Int]): ChunkedBytesReader = {
+      val parts = Iterator.unfold(0) { off =>
+        if (off >= bytes.length) None
+        else {
+          val n = math.min(math.max(sizes.next(), 1), bytes.length - off)
+          Some((java.util.Arrays.copyOfRange(bytes, off, off + n), off + n))
+        }
+      }
+      new ChunkedBytesReader(parts)
+    }
+    // every chunk exactly 1 byte: the pure slow path
+    assert(chunked(Iterator.continually(1)).varintIterator.toSeq === values)
+    // random small chunks: fast/slow path mix with straddling values
+    for (seed <- 1 to 10) {
+      val r2 = new scala.util.Random(seed)
+      assert(chunked(Iterator.continually(1 + r2.nextInt(12))).varintIterator.toSeq
+        === values, s"chunking seed $seed")
+    }
+    // one big chunk: pure fast path
+    assert(new ChunkedBytesReader(Seq(bytes)).varintIterator.toSeq === values)
+    // truncation mid-value drains with Eob (iteration terminates)
+    val cut = new ChunkedBytesReader(Seq(
+      java.util.Arrays.copyOf(bytes, bytes.length - 1)))
+    intercept[DecodeError.UnexpectedEob] { cut.varintIterator.toSeq }
+    assert(!cut.hasRemaining, "Eob must drain the cursor")
+    // narrow u32: Overflow for wide values, then CONTINUE (reference
+    // chunked-Buf contract)
+    val w2 = new BlockWriter(64)
+    Seq(7L, 1L << 40, 9L).foreach(v => w2.putVarint(v))
+    val got = new ChunkedBytesReader(
+      w2.result().grouped(2).toSeq).varintIterator32.toSeq
+    assert(got(0) === Right(7L))
+    assert(got(1).isLeft && got(1).swap.exists(_.isInstanceOf[DecodeError.Overflow]))
+    assert(got(2) === Right(9L))
+  }
 }
