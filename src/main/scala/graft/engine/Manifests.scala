@@ -173,11 +173,13 @@ object Manifests {
     else arr.elements().asScala.map(_.toString).toSeq
   }
 
-  /** Highest committed index snapshot: (version, manifest JSONs).
-    * Version -1 is the legacy unversioned `_manifest-index.json`
-    * (pre-round-5 tables); `None` means no index exists and callers fall
-    * back to listing `manifests/`. Retries when a concurrent commit
-    * garbage-collects a version between our listing and our read.
+  /** Highest LIVE committed index snapshot: (version, manifest JSONs).
+    * Superseded versions are TOMBSTONED (truncated to zero bytes, see
+    * [[commitIndex]]) — a tombstone at the top of a stale listing, a
+    * vanished file, or a mid-truncation read all retry against a fresh
+    * listing. Version -1 is the legacy unversioned
+    * `_manifest-index.json` (pre-round-5 tables); `None` means no index
+    * exists and callers fall back to listing `manifests/`.
     */
   def readIndexSnapshot(conf: Configuration,
                         tableDir: String): Option[(Long, Seq[String])] = {
@@ -189,17 +191,34 @@ object Manifests {
         case None =>
           val legacy = indexPath(tableDir)
           if (!ContainerIO.exists(conf, legacy)) return None
-          try return Some((-1L, parseIndexJsons(ContainerIO.readAll(conf, legacy))))
-          catch { case _: java.io.FileNotFoundException => tries += 1 }
+          try {
+            val bytes = ContainerIO.readAll(conf, legacy)
+            if (bytes.nonEmpty) return Some((-1L, parseIndexJsons(bytes)))
+            tries += 1
+          } catch { case _: java.io.FileNotFoundException => tries += 1 }
         case Some((v, name)) =>
-          try return Some((v, parseIndexJsons(
-            ContainerIO.readAll(conf, s"$tableDir/$name"))))
-          catch { case _: java.io.FileNotFoundException => tries += 1 }
+          try {
+            val bytes = ContainerIO.readAll(conf, s"$tableDir/$name")
+            // empty = we raced a commit that just tombstoned this
+            // version (max moved past it between our listing and read)
+            if (bytes.nonEmpty) return Some((v, parseIndexJsons(bytes)))
+            tries += 1
+          } catch { case _: java.io.FileNotFoundException => tries += 1 }
       }
     }
     throw new java.io.IOException(
       s"manifest index for $tableDir kept vanishing mid-read")
   }
+
+  /** How many superseded TOMBSTONED version claims stay behind the
+    * current snapshot before their 0-byte files are finally deleted.
+    * A tombstone pins its version number so no commit can ever re-claim
+    * it; deleting one is safe only once no committer could still be
+    * inside a read-snapshot→create window that old — 1024 full commit
+    * cycles inside one such window is the documented impossibility
+    * envelope.
+    */
+  final val TombstoneRetention = 1024L
 
   /** Optimistic-concurrency commit of a new index snapshot (the Iceberg
     * shape): read the current snapshot, apply `transform`, and publish it
@@ -211,11 +230,19 @@ object Manifests {
     * append) both land; round 4's read-modify-write could silently drop
     * the loser's manifests from the index.
     *
+    * Superseded versions are TOMBSTONED (truncated to 0 bytes), never
+    * deleted outright: a deleted version FREES its number, and a
+    * committer whose read-snapshot→create window straddled enough
+    * concurrent commits could then re-claim a number BELOW the current
+    * maximum — its "successful" create would be invisible to every
+    * reader (a silent lost update; caught by the contention test before
+    * tombstoning existed). With every claimed number pinned forever, a
+    * successful create always extends the true tip. Ancient tombstones
+    * (> [[TombstoneRetention]] versions behind) are finally deleted.
+    *
     * Returns the superseded snapshot's manifest JSONs (what the winning
     * `transform` call saw), so callers can delete generations their
-    * commit replaced. After the commit, versions older than the direct
-    * predecessor are garbage-collected; a reader that already listed one
-    * retries into the newer snapshot ([[readIndexSnapshot]]).
+    * commit replaced.
     */
   def commitIndex(conf: Configuration, tableDir: String,
                   transform: Seq[String] => Seq[String]): Seq[String] = {
@@ -228,8 +255,18 @@ object Manifests {
           s"$tableDir/${versionedIndexName(next)}", indexBody(transform(cur)))) {
         val f = ContainerIO.fs(tableDir, conf)
         versionedIndexes(conf, tableDir).foreach { case (v, n) =>
-          if (v < ver)
-            f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/$n"), false)
+          val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
+          if (v < ver - TombstoneRetention) f.delete(p, false)
+          else if (v < ver && v >= ver - 8) {
+            // tombstone: pin the claim, drop the payload. The EXISTENCE
+            // of the file is what blocks number re-claim — truncation
+            // only reclaims space, so the recent window suffices
+            // (anything older was tombstoned by an earlier commit, and
+            // a crash-skipped live straggler still pins its number).
+            // Concurrent readers of a just-truncated version retry.
+            try f.create(p, true).close()
+            catch { case _: java.io.IOException => () }
+          }
         }
         if (ver == -1L && snap.isDefined) // migrated off the legacy file
           f.delete(new org.apache.hadoop.fs.Path(indexPath(tableDir)), false)

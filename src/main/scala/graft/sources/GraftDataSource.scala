@@ -548,9 +548,17 @@ class GraftScan(path: String, required: StructType,
     filters = filters ++ accepted
   }
 
-  private def committed(): Seq[ParsedManifest] =
+  /** Parsed committed manifests, read ONCE per scan: statistics,
+    * runtime-filter admission, and input-partition planning all reuse
+    * this snapshot (filters only affect chunk admission, never the
+    * manifest set) — at 10^5 partitions the index parse is the driver
+    * cost worth not paying three times per query.
+    */
+  private lazy val committedSnapshot: Seq[ParsedManifest] =
     Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
       .filter(_.rows > 0)
+
+  private def committed(): Seq[ParsedManifest] = committedSnapshot
 
   /** Manifest-derived table statistics, so Catalyst/AQE can size joins
     * (e.g. auto-broadcast a small graft table) without scanning it.

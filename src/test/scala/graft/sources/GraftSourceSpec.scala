@@ -281,18 +281,32 @@ class GraftSourceSpec extends AnyFunSuite {
     })
     val names = Manifests.readCommitted(conf, d).map(_.name)
     assert(names.toSet === Set("aaa", "bbb"))
-    // true thread contention on the create-if-absent primitive
+    // true thread contention on the create-if-absent primitive; a thread
+    // that DIES mid-commit is a lost update too — surface its exception
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 6).map(i => new Thread(() => {
-      Manifests.commitIndex(conf, d, old => old :+ mkJson(s"t$i")); ()
+      try { Manifests.commitIndex(conf, d, old => old :+ mkJson(s"t$i")); () }
+      catch { case t: Throwable => errs.add(t); () }
     }))
     threads.foreach(_.start())
     threads.foreach(_.join())
+    assert(errs.isEmpty, Option(errs.peek()).map(t =>
+      s"commit thread died: $t\n  at ${t.getStackTrace.take(6).mkString("\n  at ")}")
+      .getOrElse(""))
     val all = Manifests.readCommitted(conf, d).map(_.name).toSet
     assert(all === (Set("aaa", "bbb") ++ (0 until 6).map(i => s"t$i")),
       s"lost update under contention: $all")
-    // superseded snapshots are garbage-collected (current + predecessor kept)
-    assert(graft.engine.ContainerIO.listNames(conf, d)
-      .count(_.startsWith("_manifest-index")) <= 2)
+    // superseded snapshots are TOMBSTONED, not deleted: every claimed
+    // version number stays pinned (deleting would free the number for a
+    // stale committer to re-claim BELOW the max — a silent lost update
+    // this very test caught), but at most current + predecessor carry
+    // payload
+    val idx = graft.engine.ContainerIO.listNames(conf, d)
+      .filter(_.startsWith("_manifest-index"))
+    val live = idx.filter(n =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(s"$d/$n")) > 0)
+    assert(live.size <= 2, s"more than 2 live snapshots: $live")
+    assert(idx.size > live.size, "expected tombstoned version claims to remain")
   }
 
   test("generic schemas: a user's own BIGINT/STRING table round-trips with pushdown") {
