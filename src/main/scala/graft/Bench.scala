@@ -358,8 +358,9 @@ object Bench {
       // best, so a single bad window can't fabricate a 10-80 s outlier
       // in the driver artifact (round 4: e1 19 s driver vs 0.65 s local)
       val sec =
-        if (first <= 3.0) first
+        if (first >= 0 && first <= 3.0) first
         else {
+          // slow first rep OR a transient failure: one re-run, best kept
           val second = once()
           spark.catalog.clearCache()
           if (second < 0) first

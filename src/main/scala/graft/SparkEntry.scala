@@ -305,17 +305,18 @@ object SparkEntry {
 
     // 0.3 threshold on near-random vectors is a range-similarity search,
     // not true near-dup (no cos >= 0.52 pair exists in this data) — the
-    // LSH-hostile regime; (8 planes, 32 tables, 4 margin-ranked probes)
-    // measures 0.928 recall vs the exact all-pairs answer (OpsSpec
-    // recall test; deterministic — fixed seed and data), precision 1.0
-    // by construction (exact cosine verify). The round-5 Pareto sweep
-    // (E3Sweep) over (planes, tables, probes): this config carries 26%
-    // less bucket-join volume than round 4's (8, 24, full-hamming-1) at
-    // ~1 point less recall, and the native LshProbes bucketing + float
-    // vector shuffles cut the query 10.4 -> ~1.6 s local on their own.
+    // LSH-hostile regime. (8 planes, 28 tables, 4 margin-ranked probes,
+    // SYMMETRIC matching) measures 0.9505 recall vs the exact all-pairs
+    // answer (OpsSpec recall test; deterministic — fixed seed and
+    // data), precision 1.0 by construction (exact cosine verify). The
+    // round-5 E3Sweep Pareto: native LshProbes bucketing + float vector
+    // shuffles cut round 4's 10.4 s to ~1.6-2.1 s local on their own;
+    // symmetric probe matching then buys MORE recall than round 4's
+    // full hamming-1 (0.939) at ~1/5 of its cost.
     "e3_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.3, planes = 8, tables = 32, probes = 4)
+        dim = 64, threshold = 0.3, planes = 8, tables = 28, probes = 4,
+        symmetric = true)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

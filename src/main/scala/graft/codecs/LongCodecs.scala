@@ -397,14 +397,17 @@ case object DictLongCodec extends LongCodec {
 }
 
 /** Kind-2 (i32 / `IntegerType`) column blocks: `[count varint][count
-  * zigzag prefix varints]`, decoded through the reference's
-  * overflow-checked NARROW iterator contract
-  * ([[graft.core.BlockReader.varintIteratorI32]]) — the engine surface
-  * of the crate's u16/u32/i32 wrappers (reference: src/core.rs:77-83,
-  * 198-203): a well-formed value outside i32 range raises
-  * `DecodeError.Overflow`, a truncated one `DecodeError.Eob`, so a
-  * corrupted or foreign block can never silently truncate into a wrong
-  * int.
+  * zigzag prefix varints]`, decoded under the reference's
+  * overflow-checked NARROW contract — the batch form of the crate's
+  * u16/u32/i32 wrappers (reference: src/core.rs:77-83, 198-203; the
+  * per-value iterator surface is
+  * [[graft.core.BlockReader.varintIteratorI32]]): a well-formed value
+  * outside i32 range raises `DecodeError.Overflow`, a truncated one
+  * `DecodeError.Eob`, so a corrupted or foreign block can never
+  * silently truncate into a wrong int. Encode/decode go through the
+  * BATCH codec APIs (`putSignedVarints` / `readVarints`) — the
+  * per-call cursor methods pay field traffic the JIT won't elide on
+  * this per-chunk hot path.
   */
 object IntCodecs {
 
@@ -412,11 +415,7 @@ object IntCodecs {
   def encode(values: Array[Long], n: Int): Array[Byte] = {
     val w = new BlockWriter(8 + n * 2)
     w.putVarint(n.toLong)
-    var i = 0
-    while (i < n) {
-      w.putVarint(PrefixVarInt.zigzagEncode(values(i)))
-      i += 1
-    }
+    w.putSignedVarints(values, 0, n)
     w.result()
   }
 
@@ -424,18 +423,24 @@ object IntCodecs {
     require(off >= 0 && off < end && end <= buf.length,
       "empty or out-of-range int block slice")
     val r = new BlockReader(buf, off, end)
-    val n = r.getVarint()
-    require(n >= 0 && n <= LongCodecs.MaxDecodeRows,
-      s"implausible row count $n in int block (cap ${LongCodecs.MaxDecodeRows})")
-    val out = new Array[Int](n.toInt)
-    val it = r.varintIteratorI32
+    val n = {
+      val l = r.getVarint()
+      require(l >= 0 && l <= LongCodecs.MaxDecodeRows,
+        s"implausible row count $l in int block (cap ${LongCodecs.MaxDecodeRows})")
+      l.toInt
+    }
+    val raw = new Array[Long](n)
+    var got = r.readVarints(raw, 0, n)
+    while (got < n) { // tail values too close to the end for the batch loop
+      raw(got) = r.getVarint() // truncation raises Eob with the cursor drained
+      got += 1
+    }
+    val out = new Array[Int](n)
     var i = 0
-    while (i < out.length) {
-      if (!it.hasNext) graft.core.DecodeError.eob()
-      it.next() match {
-        case Right(v) => out(i) = v.toInt
-        case Left(e) => throw e
-      }
+    while (i < n) {
+      val v = PrefixVarInt.zigzagDecode(raw(i))
+      if (v != v.toInt.toLong) throw new graft.core.DecodeError.Overflow
+      out(i) = v.toInt
       i += 1
     }
     out

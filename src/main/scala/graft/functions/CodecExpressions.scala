@@ -87,19 +87,13 @@ case class DecodePrefixVarint(child: Expression) extends UnaryExpression {
 
 object CodecExpressions {
 
-  /** Register all codec expressions as SQL functions on the session. */
+  /** Register all codec expressions as SQL functions on the session
+    * (builders come from the single [[GraftFunctions.all]] table).
+    */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("prefix_varint_len",
-      es => PrefixVarintLen(es.head), "built-in")
-    reg.createOrReplaceTempFunction("zigzag_encode",
-      es => ZigZagEncode(es.head), "built-in")
-    reg.createOrReplaceTempFunction("zigzag_decode",
-      es => ZigZagDecode(es.head), "built-in")
-    reg.createOrReplaceTempFunction("encode_prefix_varint",
-      es => EncodePrefixVarint(es.head), "built-in")
-    reg.createOrReplaceTempFunction("decode_prefix_varint",
-      es => DecodePrefixVarint(es.head), "built-in")
+    Seq("prefix_varint_len", "zigzag_encode", "zigzag_decode",
+      "encode_prefix_varint", "decode_prefix_varint")
+      .foreach(GraftFunctions.registerOne(spark, _))
     SimHash64.register(spark)
   }
 

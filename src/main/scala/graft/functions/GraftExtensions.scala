@@ -52,12 +52,21 @@ object GraftFunctions {
         es(4).eval().asInstanceOf[Number].intValue(),
         es(5).eval().asInstanceOf[Number].longValue())))
 
+  private lazy val byName: Map[String, Seq[Expression] => Expression] =
+    all.map(t => (t._1, t._3)).toMap
+
   /** Register everything on an existing session's function registry. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
-    }
+    all.foreach { case (name, _, _) => registerOne(spark, name) }
+
+  /** One function by name — the per-expression `register` helpers
+    * delegate here so this builder table is the SINGLE source of truth
+    * (a builder change can't silently diverge between SQL-registered
+    * and extension-injected forms).
+    */
+  def registerOne(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, byName(name), "built-in")
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the

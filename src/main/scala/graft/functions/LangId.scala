@@ -98,8 +98,7 @@ object LangIdExpr {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lang_id", exprs => LangIdExpr(exprs.head), "built-in")
+    GraftFunctions.registerOne(spark, "lang_id")
 
   def lang_id(c: Column): Column =
     org.apache.spark.sql.functions.call_function("lang_id", c)

@@ -148,13 +148,7 @@ case class LshProbes(child: Expression, dim: Int, planes: Int, tables: Int,
 object LshProbes {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_probes", exprs => LshProbes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue(),
-        exprs(4).eval().asInstanceOf[Number].intValue(),
-        exprs(5).eval().asInstanceOf[Number].longValue()), "built-in")
+    GraftFunctions.registerOne(spark, "lsh_probes")
 
   /** Column entry point; requires [[register]] on the session. */
   def lshProbes(vec: Column, dim: Int, planes: Int, tables: Int,

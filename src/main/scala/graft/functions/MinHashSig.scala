@@ -88,10 +88,7 @@ object MinHashSig {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    GraftFunctions.registerOne(spark, "minhash_sig")
 
   /** Column entry point; requires [[register]] on the session. */
   def minhashSig(shingles: Column, numHashes: Int, seed: Long): Column =

@@ -111,8 +111,7 @@ object WordNGrams {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "built-in")
+    GraftFunctions.registerOne(spark, "word_ngrams")
 
   /** Column-level entry point; requires [[register]] on the session. */
   def wordNgrams(text: Column, k: Int): Column =

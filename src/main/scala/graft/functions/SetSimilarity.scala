@@ -91,9 +91,7 @@ object SortedJaccardGE {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_jaccard_ge",
-      exprs => SortedJaccardGE(exprs(0), exprs(1), exprs(2)), "built-in")
+    GraftFunctions.registerOne(spark, "sorted_jaccard_ge")
 
   /** Column-level entry point; requires [[register]] on the session. */
   def sortedJaccardGe(a: Column, b: Column, t: Column): Column =

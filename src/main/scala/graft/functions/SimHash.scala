@@ -90,8 +90,7 @@ object SimHash64 {
     * then build Columns via `call_function`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    GraftFunctions.registerOne(spark, "simhash64")
 
   /** Column-level entry point; requires [[register]] on the session. */
   def simhash64(c: Column): Column =

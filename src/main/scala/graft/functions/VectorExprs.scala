@@ -98,8 +98,7 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    GraftFunctions.registerOne(spark, "cosine_sim")
 
   /** Column entry point; requires [[register]] on the executing session. */
   def cosineSim(a: Column, b: Column): Column =

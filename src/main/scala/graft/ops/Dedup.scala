@@ -252,17 +252,26 @@ object Dedup {
     * almost all of the hamming-1 collision mass. `probes < 0` (default)
     * means all planes (classic hamming-1).
     *
+    * `symmetric = false` keeps the `id_a < id_b` orientation, which
+    * makes margin-ranked probing ONE-SIDED: a pair is found only if the
+    * SMALLER id's probe set covers the differing plane — half the
+    * probe-generated join volume is filtered away unmatched.
+    * `symmetric = true` matches either direction and canonicalizes with
+    * least/greatest, spending the full probe budget at the price of
+    * double-counting identity collisions. Measured on the E3Sweep
+    * Pareto (sf0.01 recall / sf0.1 wall): symmetric (8 planes, 28
+    * tables, 4 probes) reaches recall 0.9505 at ~2.1 s — above BOTH
+    * the one-sided round-5 config (0.928, ~1.6 s) and round 4's full
+    * hamming-1 × 24 tables (0.939, ~10.4 s) — and is what e3 runs.
+    *
     * Defaults (planes=12, tables=4) target true near-dup thresholds
     * (cos ≥ 0.9); lower thresholds on unclustered data need shorter
-    * codes and more tables (the e3 query runs planes=8, tables=24,
-    * probes=3 for its 0.3 threshold — measured recall ≥ 0.93 on the
-    * near-random test embeddings at exactly 1/3 of full-multiprobe's
-    * candidate volume; see OpsSpec "recall is QUANTIFIED").
+    * codes and more tables (see OpsSpec "recall is QUANTIFIED").
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double = 0.95, planes: Int = 12,
                        tables: Int = 4, seed: Long = 42L,
-                       probes: Int = -1): DataFrame = {
+                       probes: Int = -1, symmetric: Boolean = false): DataFrame = {
     graft.functions.CosineSim.register(df.sparkSession)
     graft.functions.LshProbes.register(df.sparkSession)
     val nProbes = if (probes < 0) planes else probes
@@ -279,11 +288,18 @@ object Dedup {
         explode(graft.functions.LshProbes.lshProbes(
           col("v"), dim, planes, tables, npr, seed)).as("tb"))
       .select(col("id"), col("tb.tbl"), col("tb.bucket"))
-    val cand = side(nProbes).select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val matched = side(nProbes)
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(side(0).select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val cand = (if (symmetric)
+        // either direction's probes may find the pair: canonicalize,
+        // at the price of double-counting identity collisions
+        matched.filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      else matched.filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")))
       .dropDuplicates("id_a", "id_b")
     // vectors join back exactly once per deduped candidate pair, then
     // exact-cosine verify (precision 1.0 by construction)

@@ -393,11 +393,13 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs one column to drive
-    // row counts; keep the cheapest long column (any column when the
-    // schema has no longs)
+    // row counts; prefer ANY numeric column (fixed-width decode) before
+    // falling back to a string column — head could be a wide content
+    // column whose full decode would be paid just for counting
     required =
       if (requiredSchema.isEmpty)
-        StructType(Seq(tableSchema.fields.find(_.dataType == LongType)
+        StructType(Seq(tableSchema.fields
+          .find(f => f.dataType == LongType || f.dataType == IntegerType)
           .getOrElse(tableSchema.fields.head)))
       else requiredSchema
 
@@ -618,8 +620,8 @@ class GraftScan(path: String, required: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, required, filters, confKv,
-      maxSplitBytes, verifyContent, longCols, strCols, intCols)
+    new GraftMicroBatchStream(path, checkpointLocation, required, filters,
+      confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
@@ -850,39 +852,43 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
 
 // -------------------------------------------------------------- streaming read
 
-/** Streaming offset = the SET of committed manifest names already
-  * processed. Names are the stable identity here — snapshot version
-  * numbers are garbage-collected after commit, so they can't anchor a
-  * checkpoint that must replay later. JSON form: a sorted string array.
+/** Streaming offset = a monotone BATCH id, O(1) no matter how long the
+  * tail runs. The manifest names each batch covers live in the source's
+  * own seen-log under the checkpoint (`FileStreamSource`'s shape — the
+  * first cut serialized the full cumulative name set into every offset,
+  * which grows without bound over the life of a query).
   */
-case class GraftStreamOffset(names: Seq[String])
+case class GraftStreamOffset(batch: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    names.sorted.map(n => "\"" + n.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < 0x20 => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\"").mkString("[", ",", "]")
+  override def json(): String = s"""{"batch":$batch}"""
 }
 
 object GraftStreamOffset {
   def parse(json: String): GraftStreamOffset = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(json)
-    require(root.isArray, s"bad graft stream offset: $json")
-    GraftStreamOffset(root.elements().asScala.map(_.asText()).toSeq)
+    val b = root.get("batch")
+    require(b != null && b.canConvertToLong, s"bad graft stream offset: $json")
+    GraftStreamOffset(b.asLong())
   }
 }
 
-/** Micro-batch tailing of a graft table: `latestOffset` is the current
-  * committed manifest-name set; each batch plans exactly the manifests
-  * in (end \ start), chunk-granular, with the scan's pushed filters and
-  * pruned columns. Append-mostly semantics: an epoch REPLAY or an
-  * overwrite re-commits new names, which the tail emits as new data
-  * (the `FileStreamSource` contract on rewrites).
+/** Micro-batch tailing of a graft table. Every time `latestOffset` sees
+  * committed manifests it has not logged yet, it assigns them the next
+  * batch id and persists that name list as
+  * `<checkpoint>/graft-seen/<batch>.json` BEFORE returning the offset —
+  * so `planInputPartitions(start, end)` (including replays after a
+  * restart) resolves any (start, end] range from the durable log, while
+  * the offsets Spark checkpoints stay O(1). Batches plan chunk-granular
+  * with the scan's pushed filters and pruned columns. Append-mostly
+  * semantics: an epoch REPLAY or an overwrite re-commits new names,
+  * which the tail emits as new data (the `FileStreamSource` contract on
+  * rewrites). Log entries are the seen-set memory and are never
+  * deleted; at extreme batch counts they would be compacted
+  * FileStreamSource-style.
   */
-class GraftMicroBatchStream(path: String, required: StructType,
+class GraftMicroBatchStream(path: String, checkpointLocation: String,
+                            required: StructType,
                             filters: Array[Filter],
                             confKv: Map[String, String],
                             maxSplitBytes: Long, verifyContent: Boolean,
@@ -891,21 +897,82 @@ class GraftMicroBatchStream(path: String, required: StructType,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def committedNames(): Seq[String] =
-    Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
-      .filter(_.rows > 0).map(_.name)
+  private val conf = ContainerIO.confFrom(confKv)
+  private val logDir = s"$checkpointLocation/graft-seen"
+  private val LogName = """(\d+)\.json""".r
 
-  override def initialOffset(): Offset = GraftStreamOffset(Nil)
-  override def latestOffset(): Offset =
-    GraftStreamOffset(committedNames().sorted)
+  // batch id -> the manifest names that batch covers (mirror of the
+  // on-disk log; loaded lazily, appended as latestOffset assigns)
+  private val seenLog = scala.collection.mutable.Map.empty[Long, Seq[String]]
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def refreshLog(): Unit =
+    ContainerIO.listNames(conf, logDir).foreach {
+      case n @ LogName(b) =>
+        val id = b.toLong
+        if (!seenLog.contains(id)) {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(new String(
+            ContainerIO.readAll(conf, s"$logDir/$n"),
+            java.nio.charset.StandardCharsets.UTF_8))
+          seenLog(id) = root.elements().asScala.map(_.asText()).toSeq
+        }
+      case _ => ()
+    }
+
+  // one manifest-index read+parse per trigger: latestOffset refreshes,
+  // the same trigger's planInputPartitions reuses (replaced manifests
+  // since the refresh just stop resolving — same semantics as a fresh
+  // read); a restart-replay with no prior latestOffset reads directly
+  @volatile private var lastCommitted: Seq[ParsedManifest] = null
+
+  private def committed(): Seq[ParsedManifest] = {
+    val ms = Manifests.readCommitted(conf, path).filter(_.rows > 0)
+    lastCommitted = ms
+    ms
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+
+  override def latestOffset(): Offset = {
+    refreshLog()
+    val maxBatch = if (seenLog.isEmpty) -1L else seenLog.keys.max
+    val seenAll = seenLog.values.flatten.toSet
+    val fresh = committed().map(_.name).filterNot(seenAll).sorted
+    if (fresh.isEmpty) GraftStreamOffset(maxBatch)
+    else {
+      val next = maxBatch + 1
+      ContainerIO.mkdirs(conf, logDir)
+      val body = fresh.map(q).mkString("[", ",", "]")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (ContainerIO.createExclusive(conf, s"$logDir/$next.json", body))
+        seenLog(next) = fresh
+      else refreshLog() // lost a (restart) race; the log has the truth
+      GraftStreamOffset(seenLog.keys.max)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[GraftStreamOffset].names.toSet
-    val want = end.asInstanceOf[GraftStreamOffset].names.toSet -- seen
-    val fresh = Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
-      .filter(m => want.contains(m.name))
+    val s = start.asInstanceOf[GraftStreamOffset].batch
+    val e = end.asInstanceOf[GraftStreamOffset].batch
+    refreshLog()
+    val want = seenLog.collect {
+      case (b, names) if b > s && b <= e => names
+    }.flatten.toSet
+    // logged-but-since-replaced names (epoch replay, truncate) simply no
+    // longer resolve; their replacements arrive as a later batch
+    val ms = Option(lastCommitted).getOrElse(committed())
+    val fresh = ms.filter(m => want.contains(m.name))
     GraftDataSource.planPartitions(path, fresh, filters, maxSplitBytes)
   }
 

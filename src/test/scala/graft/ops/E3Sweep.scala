@@ -34,12 +34,12 @@ object E3Sweep {
     embT.count()
 
     val configs = Seq(
-      // (planes, tables, probes); probes < 0 = full hamming-1 (round 4)
-      (8, 32, 4), (8, 24, -1), (8, 32, 4), (8, 24, -1)
+      // (planes, tables, probes, symmetric); probes < 0 = full hamming-1
+      (8, 32, 4, false), (8, 24, 4, true), (8, 28, 4, true), (8, 32, 4, false)
     )
-    for ((p, t, pr) <- configs) {
+    for ((p, t, pr, sym) <- configs) {
       val nd = Dedup.embeddingNearDup(embR, "vec_id", "embedding", dim = 64,
-        threshold = 0.3, planes = p, tables = t, probes = pr)
+        threshold = 0.3, planes = p, tables = t, probes = pr, symmetric = sym)
       val pairs = nd.select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       nd.unpersist()
@@ -49,12 +49,12 @@ object E3Sweep {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val r = Dedup.embeddingNearDup(embT, "vec_id", "embedding", dim = 64,
-          threshold = 0.3, planes = p, tables = t, probes = pr)
+          threshold = 0.3, planes = p, tables = t, probes = pr, symmetric = sym)
         val n = r.count()
         r.unpersist()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      println(f"[sweep] planes=$p tables=$t probes=$pr recall=$recall%.4f " +
+      println(f"[sweep] planes=$p tables=$t probes=$pr sym=$sym recall=$recall%.4f " +
         f"fp=$falsePos time=${times.map(_._1).min}%.2f s pairs@time=${times.head._2}")
     }
     spark.stop()

@@ -228,11 +228,12 @@ class OpsSpec extends AnyFunSuite {
       .filter(Similarity.cosine(col("v_a"), col("v_b")) >= 0.3)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // e3's config: margin-ranked multiprobe (4 of 8 flips) x 32 tables —
-    // measured recall 0.928 here (deterministic); round 4's full
-    // hamming-1 x 24 tables measured 0.939 at 1.35x the join volume
+    // e3's config: SYMMETRIC margin-ranked multiprobe (4 of 8 flips,
+    // either direction counts) x 28 tables — measured recall 0.9505
+    // here (deterministic); round 4's full hamming-1 x 24 tables
+    // measured 0.939 at ~5x the cost, one-sided (8, 32, 4) 0.928
     val nd = Dedup.embeddingNearDup(emb, "vec_id", "embedding", dim = 64,
-      threshold = 0.3, planes = 8, tables = 32, probes = 4)
+      threshold = 0.3, planes = 8, tables = 28, probes = 4, symmetric = true)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ndRecall = if (exactPairs.isEmpty) 1.0
