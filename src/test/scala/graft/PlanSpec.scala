@@ -164,8 +164,9 @@ class PlanSpec extends AnyFunSuite {
     val vecs = spark.range(200).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 16), j -> cast(hash(id, j) % 1000 AS float) / 1000.0)")
         .as("embedding"))
+    // symmetric probe matching — the e3 plan shape
     val pairs = graft.ops.Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
-      dim = 16, threshold = 0.99, planes = 6, tables = 4)
+      dim = 16, threshold = 0.99, planes = 6, tables = 4, symmetric = true)
     try pairs.collect()
     finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
