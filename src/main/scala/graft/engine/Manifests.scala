@@ -195,7 +195,12 @@ object Manifests {
             val bytes = ContainerIO.readAll(conf, legacy)
             if (bytes.nonEmpty) return Some((-1L, parseIndexJsons(bytes)))
             tries += 1
-          } catch { case _: java.io.FileNotFoundException => tries += 1 }
+          } catch {
+            case _: java.io.FileNotFoundException => tries += 1
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              throw new IllegalArgumentException(
+                s"corrupt manifest index $legacy", e)
+          }
         case Some((v, name)) =>
           try {
             val bytes = ContainerIO.readAll(conf, s"$tableDir/$name")
@@ -203,7 +208,14 @@ object Manifests {
             // version (max moved past it between our listing and read)
             if (bytes.nonEmpty) return Some((v, parseIndexJsons(bytes)))
             tries += 1
-          } catch { case _: java.io.FileNotFoundException => tries += 1 }
+          } catch {
+            case _: java.io.FileNotFoundException => tries += 1
+            case e: com.fasterxml.jackson.core.JacksonException =>
+              // persistent corruption is a CONTROLLED failure (the fuzz
+              // contract), not a raw parser exception
+              throw new IllegalArgumentException(
+                s"corrupt manifest index $tableDir/$name", e)
+          }
       }
     }
     throw new java.io.IOException(
@@ -333,8 +345,13 @@ object Manifests {
       _.elements().asScala.map(parseChunk).toSeq
     }.getOrElse(Nil)
     val schemaCols = Option(root.get("schema")).filter(_.isArray).map {
-      _.elements().asScala.map(c =>
-        (c.get("name").asText(), c.get("kind").asInt())).toSeq
+      _.elements().asScala.map { c =>
+        val n = c.get("name")
+        val k = c.get("kind")
+        require(n != null && k != null && k.canConvertToInt,
+          s"corrupt manifest schema entry: $c")
+        (n.asText(), k.asInt())
+      }.toSeq
     }.getOrElse(Nil)
     ParsedManifest(name, jLong(root, "part").toInt, jLong(root, "rows"),
       jLong(root, "chunks").toInt, jLong(root, "rawBytes"),

@@ -104,15 +104,24 @@ object GraftDataSource {
   }
 
   /** Committed schema of an existing table, from its manifests. Legacy
-    * manifests (no schema field) are always the engine schema.
+    * manifests (no schema field) are always the engine schema. ANY
+    * parse failure surfaces as IllegalArgumentException — this runs
+    * inside Spark's ANALYSIS phase, where a raw NPE/parser exception
+    * would be wrapped as an opaque internal error (fuzz contract).
     */
   private[sources] def inferFrom(path: String,
       conf: org.apache.hadoop.conf.Configuration = null): Option[StructType] = {
     val c = if (conf != null) conf
       else org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    Manifests.readCommitted(c, path).headOption.map { m =>
-      if (m.schemaCols.isEmpty) schema
-      else schemaOf(m.schemaCols.map { case (n, k) => graft.engine.ColumnSpec(n, k) })
+    try
+      Manifests.readCommitted(c, path).headOption.map { m =>
+        if (m.schemaCols.isEmpty) schema
+        else schemaOf(m.schemaCols.map { case (n, k) => graft.engine.ColumnSpec(n, k) })
+      }
+    catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+        s"corrupt graft table metadata under $path", e)
     }
   }
 

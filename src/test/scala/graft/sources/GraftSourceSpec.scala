@@ -653,6 +653,20 @@ class GraftSourceSpec extends AnyFunSuite {
       catch { case _: Throwable => () } // any failure fine, just no JVM crash/OOM
       k += 1
     }
+    // restore the manifest, then fuzz the INDEX SNAPSHOT itself: a
+    // corrupt index must fail controlled (IllegalArgumentException —
+    // never a raw parser exception escaping the read path)
+    writeNoSidecar(mfPath, orig.getBytes("UTF-8"))
+    k = 0
+    while (k < 30) {
+      val b = origIdx.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      writeNoSidecar(idxPath, b)
+      controlled(s"index mut $k") {
+        spark.read.format("graft").load(d).select("len_content").collect()
+      }
+      k += 1
+    }
     // restore: the table reads clean again
     writeNoSidecar(mfPath, orig.getBytes("UTF-8"))
     writeNoSidecar(idxPath, origIdx)
