@@ -430,15 +430,14 @@ object IntCodecs {
       l.toInt
     }
     val raw = new Array[Long](n)
-    var got = r.readVarints(raw, 0, n)
-    while (got < n) { // tail values too close to the end for the batch loop
-      raw(got) = r.getVarint() // truncation raises Eob with the cursor drained
-      got += 1
-    }
+    // readSignedVarints drains the block's tail itself (its bounds-checked
+    // tail loop runs to the cursor's end): fewer decoded values than
+    // claimed means the block is truncated
+    if (r.readSignedVarints(raw, 0, n) < n) graft.core.DecodeError.eob()
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val v = PrefixVarInt.zigzagDecode(raw(i))
+      val v = raw(i)
       if (v != v.toInt.toLong) throw new graft.core.DecodeError.Overflow
       out(i) = v.toInt
       i += 1

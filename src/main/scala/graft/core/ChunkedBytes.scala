@@ -61,7 +61,11 @@ final class ChunkedBytesReader(chunks: Iterator[Array[Byte]]) {
     if (!ensure()) drainEob()
     if (cur.length - pos >= PrefixVarInt.MaxLen) {
       // fast path: whole worst-case value inside the current chunk
-      val (raw, n) = PrefixVarInt.decodePair(cur, pos)
+      // (decodeValue + tag-derived length — decodePair's Tuple2 return
+      // would box a Long per value on this hot path)
+      val tag = cur(pos) & 0xff
+      val n = if (tag <= 0x7f) 1 else PrefixVarInt.leadingOnes(tag) + 1
+      val raw = PrefixVarInt.decodeValue(cur, pos)
       pos += n
       raw
     } else {

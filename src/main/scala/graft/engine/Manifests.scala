@@ -197,6 +197,9 @@ object Manifests {
             tries += 1
           } catch {
             case _: java.io.FileNotFoundException => tries += 1
+            // status said non-empty but the read hit the truncation: a
+            // concurrent tombstone landed mid-read — retry fresh
+            case _: java.io.EOFException => tries += 1
             case e: com.fasterxml.jackson.core.JacksonException =>
               throw new IllegalArgumentException(
                 s"corrupt manifest index $legacy", e)
@@ -210,6 +213,9 @@ object Manifests {
             tries += 1
           } catch {
             case _: java.io.FileNotFoundException => tries += 1
+            // status said non-empty but the read hit the truncation: a
+            // concurrent tombstone landed mid-read — retry fresh
+            case _: java.io.EOFException => tries += 1
             case e: com.fasterxml.jackson.core.JacksonException =>
               // persistent corruption is a CONTROLLED failure (the fuzz
               // contract), not a raw parser exception
@@ -328,8 +334,21 @@ object Manifests {
 
   /** Parse one manifest JSON; `fallbackName` covers legacy manifests
     * written before the `name` field existed (derived from the filename).
+    * Any malformation — parser errors AND structurally-wrong-but-valid
+    * JSON (an NPE from a mutated field) — surfaces as
+    * IllegalArgumentException: this runs inside Spark planning/analysis,
+    * where a raw exception becomes an opaque internal error (fuzz
+    * contract).
     */
-  def parse(json: String, fallbackName: String): ParsedManifest = {
+  def parse(json: String, fallbackName: String): ParsedManifest =
+    try parseUnchecked(json, fallbackName)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(s"corrupt manifest JSON", e)
+    }
+
+  private def parseUnchecked(json: String, fallbackName: String): ParsedManifest = {
     val om = new ObjectMapper()
     val root = om.readTree(json)
     val name = Option(root.get("name")).map(_.asText()).getOrElse(fallbackName)

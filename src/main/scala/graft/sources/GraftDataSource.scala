@@ -876,6 +876,11 @@ object GraftStreamOffset {
   def parse(json: String): GraftStreamOffset = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(json)
+    if (root.isArray) // the short-lived pre-release name-set format
+      throw new IllegalArgumentException(
+        "this checkpoint holds a pre-release graft stream offset " +
+          "(manifest-name array); restart the query with a fresh " +
+          "checkpoint location")
     val b = root.get("batch")
     require(b != null && b.canConvertToLong, s"bad graft stream offset: $json")
     GraftStreamOffset(b.asLong())
@@ -931,6 +936,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
           val root = om.readTree(new String(
             ContainerIO.readAll(conf, s"$logDir/$n"),
             java.nio.charset.StandardCharsets.UTF_8))
+          require(root.isArray,
+            s"corrupt graft stream seen-log entry $logDir/$n")
           seenLog(id) = root.elements().asScala.map(_.asText()).toSeq
         }
       case _ => ()
@@ -975,6 +982,15 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     val s = start.asInstanceOf[GraftStreamOffset].batch
     val e = end.asInstanceOf[GraftStreamOffset].batch
     refreshLog()
+    // a replayed range whose seen-log entries are GONE (checkpoint
+    // restored without graft-seen/, deleted log files) must FAIL, not
+    // silently commit an empty batch and skip those rows forever
+    (s + 1) to e foreach { b =>
+      require(seenLog.contains(b),
+        s"graft stream seen-log entry for batch $b is missing under " +
+          s"$logDir — the checkpoint is incomplete; cannot replay " +
+          s"offsets ($s, $e] without it")
+    }
     val want = seenLog.collect {
       case (b, names) if b > s && b <= e => names
     }.flatten.toSet
