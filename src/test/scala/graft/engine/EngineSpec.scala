@@ -84,6 +84,27 @@ class EngineSpec extends AnyFunSuite {
       s"unexpected failure shape: $ex")
   }
 
+  test("decode plans one task per chunk: a single giant container parallelizes") {
+    val dir = tempDir("chunksplit")
+    val conf = spark.sparkContext.hadoopConfiguration
+    ContainerIO.mkdirs(conf, s"$dir/blocks")
+    ContainerIO.mkdirs(conf, s"$dir/manifests")
+    val rows = ColumnarEngine.derive(SourceTable.synthesize(spark, 400, 4))
+      .collect().sortBy(_.path)
+    // ONE container, chunked small: the decode planner must split it
+    // across tasks like the DSv2 scan does (round-5 nit: one task per
+    // container serialized a giant container on a single thread)
+    val enc = new ColumnarEngine.PartitionEncoder(0, dir, conf, chunkRowsCap = 50)
+    rows.foreach(enc.add)
+    val m = enc.finish()
+    assert(m.chunks === 8)
+    val decoded = ColumnarEngine.decode(spark, dir)
+    assert(decoded.rdd.getNumPartitions === 8,
+      "one giant container must decode across one task per chunk")
+    assert(decoded.count() === 400)
+    assert(decoded.collect().sortBy(_.path).toSeq === rows.toSeq)
+  }
+
   test("checkpoint-resume: completed partitions are skipped, missing ones re-encoded") {
     import spark.implicits._
     val dir = tempDir("resume")
