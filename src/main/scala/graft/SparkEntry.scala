@@ -473,6 +473,32 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // TEMPORAL schema (round 6): the events table — the repo's own
+    // timestamped log shape — written through the graft table with
+    // TIMESTAMP_NTZ (kind 3: int64 micros through the long codec path)
+    // and DATE (kind 4: int32 days through the narrow path) columns,
+    // clustered by ts via option("sortBy"), read back with a PUSHED
+    // ts-range filter pruning chunks against the micros zone maps, then
+    // day/hour-bucketed and aggregated under a DuckDB oracle (q12's
+    // shape, through graft instead of parquet).
+    "c8_temporal_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c8").toString
+      t(s, d, "events").select(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), to_date(col("ts")).as("day"),
+          cents(col("value")).as("value_cents"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "ts")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("day"), date_trunc("HOUR", col("ts")).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // the selector's SIZE ACCOUNTING under a DuckDB oracle: raw bytes per
     // column (8/row for longs, utf8 bytes for strings) computed through
     // the same chunked stats pass the codec selector prices against —
@@ -779,6 +805,15 @@ object SparkEntry {
          FROM orders
          WHERE o_orderstatus = 'F' AND CAST(round(o_totalprice * 100) AS BIGINT) > 10000000
          GROUP BY 1 ORDER BY 1""",
+
+    "c8_temporal_schema" ->
+      """SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         GROUP BY 1, 2, 3 ORDER BY 2, 3""",
 
     "c5_size_accounting" ->
       """SELECT * FROM (

@@ -25,13 +25,15 @@ final case class ColumnMetric(column: String, codec: String,
 
 /** One column of a graft table: kind 0 = long (int64), kind 1 = string
   * (UTF-8), kind 2 = int (i32, decoded through the overflow-checked
-  * narrow iterators — [[graft.codecs.IntCodecs]]). The container format
-  * stores (name, kind, block) per column per chunk, so any schema of
-  * these kinds round-trips; [[DerivedRow]] is simply the engine's own
-  * schema ([[ColumnarEngine.DefaultSchema]]).
+  * narrow iterators — [[graft.codecs.IntCodecs]]), kind 3 = timestamp
+  * (TIMESTAMP_NTZ micros, stored through the kind-0 long codec path),
+  * kind 4 = date (epoch days, stored through the kind-2 narrow path).
+  * The container format stores (name, kind, block) per column per chunk,
+  * so any schema of these kinds round-trips; [[DerivedRow]] is simply
+  * the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
   */
 final case class ColumnSpec(name: String, kind: Int) {
-  require(kind == 0 || kind == 1 || kind == 2, s"unknown column kind $kind")
+  require(kind >= 0 && kind <= 4, s"unknown column kind $kind")
   require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
     s"column name out of range: '$name'")
 }
@@ -358,17 +360,20 @@ object ColumnarEngine {
       while (ci < longNames.length) {
         val nm = longNames(ci)
         val vals = longBufs(ci)
-        if (numKinds(ci) == 2) {
-          // i32 column: zigzag-varint block behind the overflow-checked
-          // narrow decode ([[graft.codecs.IntCodecs]])
+        if (numKinds(ci) == 2 || numKinds(ci) == 4) {
+          // narrow i32 column (int / date days): zigzag-varint block
+          // behind the overflow-checked narrow decode
+          // ([[graft.codecs.IntCodecs]]); the block carries its true kind
           val st = LongCodecs.stats(vals, n)
-          writeCol(nm, 2, IntCodecs.encode(vals, n), "varint-i32", 4L * n,
-            st.min, st.max, hasRange = true)
+          writeCol(nm, numKinds(ci), IntCodecs.encode(vals, n), "varint-i32",
+            4L * n, st.min, st.max, hasRange = true)
         } else {
+          // wide int64 column (long / timestamp micros): stats-selected
+          // codec through the kind-0 machinery
           val st = LongCodecs.stats(vals, n)
           val codec = LongCodecs.select(st)
-          writeCol(nm, 0, codec.encode(vals, n), codec.name, 8L * n,
-            st.min, st.max, hasRange = true)
+          writeCol(nm, numKinds(ci), codec.encode(vals, n), codec.name,
+            8L * n, st.min, st.max, hasRange = true)
         }
         ci += 1
       }
@@ -460,8 +465,9 @@ object ColumnarEngine {
       }
       var j = 0
       while (j < longVals.length) {
-        require(numKinds(j) != 2 || longVals(j) == longVals(j).toInt.toLong,
-          s"value ${longVals(j)} out of i32 range for int column " +
+        require((numKinds(j) != 2 && numKinds(j) != 4) ||
+            longVals(j) == longVals(j).toInt.toLong,
+          s"value ${longVals(j)} out of i32 range for narrow column " +
             s"'${longNames(j)}' (partition $part)")
         longBufs(j)(bufN) = longVals(j)
         j += 1

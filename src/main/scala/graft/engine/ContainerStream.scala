@@ -190,7 +190,7 @@ private[graft] object ContainerFormat {
       val name = new String(ci.readFullyBytes(nameLen.toInt),
         java.nio.charset.StandardCharsets.UTF_8)
       val kind = ci.readByte()
-      require(kind == 0 || kind == 1 || kind == 2, s"unknown column kind $kind")
+      require(kind >= 0 && kind <= 4, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -204,8 +204,12 @@ private[graft] object ContainerFormat {
           require(Manifests.crc32c(block) == want,
             s"block CRC mismatch for column $name: container is corrupt")
         }
-        if (kind == 0) longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
-        else if (kind == 2)
+        // kind 3 (timestamp micros) decodes like kind 0; kind 4 (date
+        // days) decodes like kind 2 — temporal types are integer columns
+        // with a logical label
+        if (kind == 0 || kind == 3)
+          longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
+        else if (kind == 2 || kind == 4)
           ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, 0, block.length))
         else strs.put(name, StringCodecs.decodeSliceUtf8(block, 0, block.length))
       } else ci.skipBytes(blockLen.toLong)

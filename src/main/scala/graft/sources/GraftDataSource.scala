@@ -83,11 +83,17 @@ object GraftDataSource {
     StructType(specs.map(s => StructField(s.name, s.kind match {
       case 0 => LongType
       case 2 => IntegerType
+      case 3 => TimestampNTZType
+      case 4 => DateType
       case _ => StringType
     }, nullable = false)))
 
   /** Validate + translate a Spark write/table schema into column specs;
-    * rejects anything the container format can't hold.
+    * rejects anything the container format can't hold. Temporal types
+    * (round 6) ride the integer codec paths: TIMESTAMP_NTZ is kind 3 —
+    * int64 micros through the kind-0 machinery (zone maps, filters,
+    * aggregate pushdown apply unchanged); DATE is kind 4 — int32 days
+    * through the kind-2 narrow path.
     */
   private[sources] def specsOf(st: StructType): Seq[graft.engine.ColumnSpec] = {
     require(st.fields.nonEmpty, "graft table needs at least one column")
@@ -96,9 +102,11 @@ object GraftDataSource {
         case LongType => graft.engine.ColumnSpec(f.name, 0)
         case StringType => graft.engine.ColumnSpec(f.name, 1)
         case IntegerType => graft.engine.ColumnSpec(f.name, 2)
+        case TimestampNTZType => graft.engine.ColumnSpec(f.name, 3)
+        case DateType => graft.engine.ColumnSpec(f.name, 4)
         case other => throw new IllegalArgumentException(
-          s"graft supports only BIGINT, INT, and STRING columns; " +
-            s"column '${f.name}' is $other")
+          s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, and " +
+            s"DATE columns; column '${f.name}' is $other")
       }
     }
   }
@@ -128,12 +136,33 @@ object GraftDataSource {
   private[sources] val longCols = ColumnarEngine.longColumns.toSet
   private[sources] val strCols = ColumnarEngine.stringColumns.toSet
 
+  // classification is by PHYSICAL representation: TIMESTAMP_NTZ columns
+  // decode into the per-chunk long arrays (micros) and DATE columns into
+  // the int arrays (days), so they ride the long/int reader paths
   private[sources] def longColsOf(st: StructType): Set[String] =
-    st.fields.collect { case f if f.dataType == LongType => f.name }.toSet
+    st.fields.collect {
+      case f if f.dataType == LongType || f.dataType == TimestampNTZType => f.name
+    }.toSet
   private[sources] def strColsOf(st: StructType): Set[String] =
     st.fields.collect { case f if f.dataType == StringType => f.name }.toSet
   private[sources] def intColsOf(st: StructType): Set[String] =
-    st.fields.collect { case f if f.dataType == IntegerType => f.name }.toSet
+    st.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == DateType => f.name
+    }.toSet
+
+  /** Physical value of a pushed temporal filter constant: TIMESTAMP_NTZ
+    * constants arrive as [[java.time.LocalDateTime]] (micros since epoch
+    * is the stored long), DATE constants as [[java.sql.Date]] or
+    * [[java.time.LocalDate]] depending on the session's Java-8-API flag
+    * (epoch days is the stored int).
+    */
+  private[sources] def microsOf(x: java.time.LocalDateTime): Long =
+    x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L
+  private[sources] def daysOf(x: Any): Option[Int] = x match {
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case _ => None
+  }
 
   /** Default target split size (encoded bytes) when grouping admitted
     * chunks into input partitions.
@@ -173,7 +202,9 @@ object GraftDataSource {
     def num(x: Any): Option[Long] = x match {
       case v: java.lang.Long => Some(v.longValue())
       case v: java.lang.Integer => Some(v.longValue())
-      case _ => None
+      // temporal constants prune against the same physical zone maps
+      case v: java.time.LocalDateTime => Some(microsOf(v))
+      case _ => daysOf(x).map(_.toLong)
     }
     filters.forall {
       case EqualTo(c, x) if ranges.contains(c) && num(x).isDefined =>
@@ -218,6 +249,20 @@ object GraftDataSource {
     case LessThanOrEqual(c, _: Int) => intCols(c)
     case In(c, vs) if intCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Integer])
+    case EqualTo(c, _: java.time.LocalDateTime) => longCols(c)
+    case GreaterThan(c, _: java.time.LocalDateTime) => longCols(c)
+    case GreaterThanOrEqual(c, _: java.time.LocalDateTime) => longCols(c)
+    case LessThan(c, _: java.time.LocalDateTime) => longCols(c)
+    case LessThanOrEqual(c, _: java.time.LocalDateTime) => longCols(c)
+    case In(c, vs) if longCols(c) &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[java.time.LocalDateTime]) => true
+    case EqualTo(c, x) if daysOf(x).isDefined => intCols(c)
+    case GreaterThan(c, x) if daysOf(x).isDefined => intCols(c)
+    case GreaterThanOrEqual(c, x) if daysOf(x).isDefined => intCols(c)
+    case LessThan(c, x) if daysOf(x).isDefined => intCols(c)
+    case LessThanOrEqual(c, x) if daysOf(x).isDefined => intCols(c)
+    case In(c, vs) if intCols(c) &&
+        vs.nonEmpty && vs.forall(daysOf(_).isDefined) => true
     case EqualTo(c, _: String) => strCols(c)
     case In(c, vs) if strCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
@@ -248,6 +293,36 @@ object GraftDataSource {
       case GreaterThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) >= x
       case LessThan(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) < x
       case LessThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) <= x
+      // temporal constants compare against the stored physical values
+      // (micros in the long arrays, days in the int arrays)
+      case EqualTo(c, x: java.time.LocalDateTime) =>
+        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) == m
+      case GreaterThan(c, x: java.time.LocalDateTime) =>
+        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) > m
+      case GreaterThanOrEqual(c, x: java.time.LocalDateTime) =>
+        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) >= m
+      case LessThan(c, x: java.time.LocalDateTime) =>
+        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) < m
+      case LessThanOrEqual(c, x: java.time.LocalDateTime) =>
+        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) <= m
+      case EqualTo(c, x) if daysOf(x).isDefined =>
+        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) == d
+      case GreaterThan(c, x) if daysOf(x).isDefined =>
+        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) > d
+      case GreaterThanOrEqual(c, x) if daysOf(x).isDefined =>
+        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) >= d
+      case LessThan(c, x) if daysOf(x).isDefined =>
+        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) < d
+      case LessThanOrEqual(c, x) if daysOf(x).isDefined =>
+        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) <= d
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.time.LocalDateTime]) =>
+        val set = vs.map(x =>
+          microsOf(x.asInstanceOf[java.time.LocalDateTime])).toSet
+        (l, _, _, j) => set.contains(l.get(c)(j))
+      case In(c, vs) if vs.nonEmpty && vs.forall(daysOf(_).isDefined) =>
+        val set = vs.map(daysOf(_).get).toSet
+        (_, ia, _, j) => set.contains(ia.get(c)(j))
       case EqualTo(c, x: String) =>
         val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         (_, _, s, j) => s.get(c).equalsBytes(j, b)
@@ -334,16 +409,23 @@ class GraftTable(path: String, tableSchema: StructType)
 
 // ------------------------------------------------------------------- read
 
-/** One fully-pushed aggregate, answered from the manifests alone.
-  * `isInt` marks an IntegerType column (kind 2): its zone maps live in
-  * the same manifest ranges, but the result narrows back to i32.
+/** One fully-pushed aggregate, answered from the manifests alone. `dt`
+  * is the column's Spark type: every pushable type stores a physical
+  * long/int whose zone maps live in the same manifest ranges, and the
+  * result surfaces back as the column's own type (i32 for INT, micros
+  * long for TIMESTAMP_NTZ, days int for DATE).
   */
 private[sources] sealed trait GraftAgg
 private[sources] case object CountStarAgg extends GraftAgg
 private[sources] final case class MinAgg(col: String,
-                                         isInt: Boolean = false) extends GraftAgg
+                                         dt: DataType = LongType) extends GraftAgg
 private[sources] final case class MaxAgg(col: String,
-                                         isInt: Boolean = false) extends GraftAgg
+                                         dt: DataType = LongType) extends GraftAgg
+
+private[sources] object GraftAgg {
+  /** Does this pushed-aggregate type store its values as int32? */
+  def narrow(dt: DataType): Boolean = dt == IntegerType || dt == DateType
+}
 
 class GraftScanBuilder(path: String, tableSchema: StructType,
                        options: CaseInsensitiveStringMap)
@@ -376,16 +458,16 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     */
   private def translate(agg: Aggregation): Option[Seq[GraftAgg]] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
+    def pushableType(c: String): Option[DataType] =
+      tableSchema.fields.find(_.name == c).map(_.dataType).filter(dt =>
+        dt == LongType || dt == IntegerType ||
+          dt == TimestampNTZType || dt == DateType)
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarAgg)
-      case m: Min => fieldName(m.column).collect {
-        case c if longCols(c) => MinAgg(c)
-        case c if intCols(c) => MinAgg(c, isInt = true)
-      }
-      case m: Max => fieldName(m.column).collect {
-        case c if longCols(c) => MaxAgg(c)
-        case c if intCols(c) => MaxAgg(c, isInt = true)
-      }
+      case m: Min => fieldName(m.column)
+        .flatMap(c => pushableType(c).map(MinAgg(c, _)))
+      case m: Max => fieldName(m.column)
+        .flatMap(c => pushableType(c).map(MaxAgg(c, _)))
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
@@ -408,7 +490,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     required =
       if (requiredSchema.isEmpty)
         StructType(Seq(tableSchema.fields
-          .find(f => f.dataType == LongType || f.dataType == IntegerType)
+          .find(f => f.dataType != StringType)
           .getOrElse(tableSchema.fields.head)))
       else requiredSchema
 
@@ -443,10 +525,8 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
                    confKv: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(specs.map {
     case CountStarAgg => StructField("count_star", LongType, nullable = false)
-    case MinAgg(c, isInt) => StructField(s"min_$c",
-      if (isInt) IntegerType else LongType, nullable = true)
-    case MaxAgg(c, isInt) => StructField(s"max_$c",
-      if (isInt) IntegerType else LongType, nullable = true)
+    case MinAgg(c, dt) => StructField(s"min_$c", dt, nullable = true)
+    case MaxAgg(c, dt) => StructField(s"max_$c", dt, nullable = true)
   })
   override def toBatch: Batch = this
   override def description(): String =
@@ -466,11 +546,11 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     }
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
-      case MinAgg(c, isInt) => mins.get(c)
-        .map(v => if (isInt) java.lang.Integer.valueOf(v.toInt): Any
+      case MinAgg(c, dt) => mins.get(c)
+        .map(v => if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt): Any
                   else java.lang.Long.valueOf(v): Any).orNull
-      case MaxAgg(c, isInt) => maxs.get(c)
-        .map(v => if (isInt) java.lang.Integer.valueOf(v.toInt): Any
+      case MaxAgg(c, dt) => maxs.get(c)
+        .map(v => if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt): Any
                   else java.lang.Long.valueOf(v): Any).orNull
     }.toArray
     Array(GraftAggPartition(values.map {
@@ -762,11 +842,11 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
         while (i < fields.length) {
           val v = new OnHeapColumnVector(m, fields(i).dataType)
           fields(i).dataType match {
-            case LongType =>
+            case LongType | TimestampNTZType =>
               val src = chunk.longs.get(fields(i).name)
               var k = 0
               while (k < m) { v.putLong(k, src(sel(k))); k += 1 }
-            case IntegerType =>
+            case IntegerType | DateType =>
               val src = chunk.ints.get(fields(i).name)
               var k = 0
               while (k < m) { v.putInt(k, src(sel(k))); k += 1 }
@@ -835,8 +915,10 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
         var i = 0
         while (i < fields.length) {
           fields(i).dataType match {
-            case LongType => row.setLong(i, longs.get(fields(i).name)(j))
-            case IntegerType => row.setInt(i, ints.get(fields(i).name)(j))
+            case LongType | TimestampNTZType =>
+              row.setLong(i, longs.get(fields(i).name)(j))
+            case IntegerType | DateType =>
+              row.setInt(i, ints.get(fields(i).name)(j))
             case _ =>
               // zero-copy view over the decoded UTF-8 slice
               val u = strs.get(fields(i).name)
@@ -1255,15 +1337,18 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     schema = GraftDataSource.specsOf(writeSchema))
   // row positions of the string/numeric fields, in the encoder's
   // (strNames, longNames) order — both preserve writeSchema field order;
-  // IntegerType fields ride the numeric array widened to Long (the
-  // encoder writes them as kind-2 narrow blocks)
+  // narrow (INT/DATE) fields ride the numeric array widened to Long (the
+  // encoder writes them as kind-2/4 narrow blocks); TIMESTAMP_NTZ is
+  // already a micros long in the InternalRow
+  private def isNumeric(dt: DataType): Boolean = dt != StringType
+  private def isNarrow(dt: DataType): Boolean =
+    dt == IntegerType || dt == DateType
   private val strPos: Array[Int] = writeSchema.fields.zipWithIndex
     .collect { case (f, i) if f.dataType == StringType => i }
   private val longPos: Array[Int] = writeSchema.fields.zipWithIndex
-    .collect { case (f, i) if f.dataType == LongType || f.dataType == IntegerType => i }
+    .collect { case (f, i) if isNumeric(f.dataType) => i }
   private val longIsInt: Array[Boolean] = writeSchema.fields
-    .collect { case f if f.dataType == LongType || f.dataType == IntegerType =>
-      f.dataType == IntegerType }
+    .collect { case f if isNumeric(f.dataType) => isNarrow(f.dataType) }
   private var n = 0L
 
   private def checkNotNull(row: InternalRow, i: Int): Unit =

@@ -464,6 +464,55 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(r.getInt(0) === 0 && r.getInt(1) === 1197)
   }
 
+  test("temporal columns: TIMESTAMP_NTZ (kind 3) and DATE (kind 4) round-trip with pushdown") {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2-temporal").toString
+    // one row per hour from 2024-01-01T00:00 — ts is monotone, so the 4
+    // chunks' micros zone maps are disjoint and pruning is provable
+    val df = spark.range(400).select(
+      col("id"),
+      expr("timestampadd(HOUR, CAST(id AS INT), " +
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ))").as("ts"),
+      concat(lit("tag"), col("id") % 5).as("tag"))
+      .withColumn("day", to_date(col("ts")))
+    df.coalesce(1)
+      .write.format("graft").option("chunkRows", "100").mode("overwrite").save(d)
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema("ts").dataType === TimestampNTZType)
+    assert(back.schema("day").dataType === DateType)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // the manifest records the temporal kinds
+    val m = graft.engine.Manifests.readCommitted(
+      graft.engine.ContainerIO.localConf(), d).head
+    assert(m.schemaCols === Seq(("id", 0), ("ts", 3), ("tag", 1), ("day", 4)))
+    // ts range filters are PUSHED and prune chunks via the micros zone
+    // maps: hours 0-99 / 100-199 / 200-299 / 300-399 per chunk, so a
+    // >= hour-310 filter admits exactly the last chunk
+    val cut = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(310)
+    val filtered = spark.read.format("graft").load(d)
+      .filter(col("ts") >= lit(cut))
+    filtered.collect()
+    assert(graftScan(filtered).description().contains("GreaterThanOrEqual(ts"))
+    assert(filtered.count() === 90)
+    val admitted = graftScan(filtered).planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(admitted === 1, s"expected 1 of 4 chunks admitted, got $admitted")
+    // date filters push + prune through the days zone maps the same way
+    val dayFiltered = spark.read.format("graft").load(d)
+      .filter(col("day") > lit("2024-01-13").cast("date"))
+    dayFiltered.collect()
+    assert(graftScan(dayFiltered).description().contains("GreaterThan(day"))
+    assert(dayFiltered.count() ===
+      df.filter(col("day") > lit("2024-01-13").cast("date")).count())
+    val dayAdmitted = graftScan(dayFiltered).planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    assert(dayAdmitted === 1, s"day > Jan 13 spans hours 312+, got $dayAdmitted chunks")
+    // MIN/MAX over temporal columns are manifest-answered in their own type
+    val want = df.agg(min("ts"), max("ts"), min("day"), max("day")).collect()(0)
+    val got = back.agg(min("ts"), max("ts"), min("day"), max("day")).collect()(0)
+    assert(got === want)
+  }
+
   test("narrow decode is overflow-checked: out-of-i32 values raise DecodeError") {
     // block-codec level: a well-formed varint beyond i32 must raise
     // Overflow (the reference's narrow-wrapper contract), truncation Eob
