@@ -262,6 +262,12 @@ object Manifests {
     * `transform` call saw), so callers can delete generations their
     * commit replaced.
     */
+  /** Test seam: runs between the snapshot read and the version claim —
+    * the window the tombstone-retention envelope protects. Production
+    * value is a no-op.
+    */
+  private[engine] var beforeClaimHook: () => Unit = () => ()
+
   def commitIndex(conf: Configuration, tableDir: String,
                   transform: Seq[String] => Seq[String]): Seq[String] = {
     var attempts = 0
@@ -269,26 +275,43 @@ object Manifests {
       val snap = readIndexSnapshot(conf, tableDir)
       val (ver, cur) = snap.getOrElse((-1L, listedManifestJsons(conf, tableDir)))
       val next = ver + 1
+      beforeClaimHook()
       if (ContainerIO.createExclusive(conf,
           s"$tableDir/${versionedIndexName(next)}", indexBody(transform(cur)))) {
         val f = ContainerIO.fs(tableDir, conf)
-        versionedIndexes(conf, tableDir).foreach { case (v, n) =>
-          val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
-          if (v < ver - TombstoneRetention) f.delete(p, false)
-          else if (v < ver && v >= ver - 8) {
-            // tombstone: pin the claim, drop the payload. The EXISTENCE
-            // of the file is what blocks number re-claim — truncation
-            // only reclaims space, so the recent window suffices
-            // (anything older was tombstoned by an earlier commit, and
-            // a crash-skipped live straggler still pins its number).
-            // Concurrent readers of a just-truncated version retry.
-            try f.create(p, true).close()
-            catch { case _: java.io.IOException => () }
+        // LOST-CLAIM guard: tombstone GC frees version numbers more than
+        // TombstoneRetention behind the tip, so a committer whose
+        // read-snapshot→create window straddled that many commits can
+        // "successfully" create a version BELOW the live maximum — a
+        // snapshot no reader will ever take. Detect it: legitimately,
+        // versions above ours can only be committed by writers that read
+        // OUR snapshot, so the tip can only be ~attempts ahead of us;
+        // a tip a full retention window ahead proves our number was
+        // recycled. Withdraw the claim and retry on the true tip instead
+        // of silently losing the update.
+        val maxAfter = versionedIndexes(conf, tableDir).map(_._1).max
+        if (maxAfter >= next + TombstoneRetention) {
+          f.delete(new org.apache.hadoop.fs.Path(
+            s"$tableDir/${versionedIndexName(next)}"), false)
+        } else {
+          versionedIndexes(conf, tableDir).foreach { case (v, n) =>
+            val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
+            if (v < ver - TombstoneRetention) f.delete(p, false)
+            else if (v < ver && v >= ver - 8) {
+              // tombstone: pin the claim, drop the payload. The EXISTENCE
+              // of the file is what blocks number re-claim — truncation
+              // only reclaims space, so the recent window suffices
+              // (anything older was tombstoned by an earlier commit, and
+              // a crash-skipped live straggler still pins its number).
+              // Concurrent readers of a just-truncated version retry.
+              try f.create(p, true).close()
+              catch { case _: java.io.IOException => () }
+            }
           }
+          if (ver == -1L && snap.isDefined) // migrated off the legacy file
+            f.delete(new org.apache.hadoop.fs.Path(indexPath(tableDir)), false)
+          return cur
         }
-        if (ver == -1L && snap.isDefined) // migrated off the legacy file
-          f.delete(new org.apache.hadoop.fs.Path(indexPath(tableDir)), false)
-        return cur
       }
       attempts += 1
     }

@@ -18,6 +18,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Evaluate a builder argument that MUST be a literal (signature
+    * parameters like numHashes/planes/seed). A non-foldable or null
+    * argument raises a clear analysis-time IllegalArgumentException —
+    * the repo's controlled-failure convention — instead of the raw
+    * ClassCastException/unsupported-eval a bare `eval()` would throw.
+    */
+  private def litNum(fn: String, arg: String, e: Expression): Number = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a literal, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a non-null numeric literal")
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a numeric literal, " +
+          s"got ${other.getClass.getSimpleName}")
+    }
+  }
+
   /** name -> (description, builder) for every graft expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("prefix_varint_len", "encoded byte length of a u64 under prefix-varint",
@@ -36,8 +55,8 @@ object GraftFunctions {
       es => LangIdExpr(es.head)),
     ("minhash_sig", "minhash signature lanes of a shingle set",
       es => MinHashSig(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].longValue())),
+        litNum("minhash_sig", "numHashes", es(1)).intValue(),
+        litNum("minhash_sig", "seed", es(2)).longValue())),
     ("word_ngrams", "distinct sorted word k-shingles of a text",
       es => WordNGrams(es(0), es(1))),
     ("sorted_jaccard_ge", "exact Jaccard of sorted arrays with threshold early-exit",
@@ -46,11 +65,11 @@ object GraftFunctions {
       es => CosineSim(es(0), es(1))),
     ("lsh_probes", "multi-table sign-LSH buckets with margin-ranked multiprobe",
       es => LshProbes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue(),
-        es(3).eval().asInstanceOf[Number].intValue(),
-        es(4).eval().asInstanceOf[Number].intValue(),
-        es(5).eval().asInstanceOf[Number].longValue())))
+        litNum("lsh_probes", "dim", es(1)).intValue(),
+        litNum("lsh_probes", "planes", es(2)).intValue(),
+        litNum("lsh_probes", "tables", es(3)).intValue(),
+        litNum("lsh_probes", "probes", es(4)).intValue(),
+        litNum("lsh_probes", "seed", es(5)).longValue())))
 
   private lazy val byName: Map[String, Seq[Expression] => Expression] =
     all.map(t => (t._1, t._3)).toMap

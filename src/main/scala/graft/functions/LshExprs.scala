@@ -53,7 +53,10 @@ case class LshProbes(child: Expression, dim: Int, planes: Int, tables: Int,
       s"lsh_probes requires array<float> or array<double>, got $other")
   }
 
-  private val isFloat: Boolean = child.dataType match {
+  // lazy: Catalyst copies expression trees with UNRESOLVED children
+  // during analysis, where an eager child.dataType read would throw
+  // UnresolvedException (the convention for type-derived fields)
+  @transient private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }

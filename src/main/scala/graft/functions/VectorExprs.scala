@@ -41,8 +41,10 @@ case class CosineSim(left: Expression, right: Expression)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  private val leftFloat = floatSide(left.dataType)
-  private val rightFloat = floatSide(right.dataType)
+  // lazy: analyzer tree copies may construct this with unresolved
+  // children; reading child dataTypes eagerly would throw there
+  @transient private lazy val leftFloat = floatSide(left.dataType)
+  @transient private lazy val rightFloat = floatSide(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -768,8 +768,26 @@ private[sources] final class ChunkCursor(
   private val conf = ContainerIO.confFrom(confKv)
   private val hPath = new org.apache.hadoop.fs.Path(file)
   private val fs = ContainerIO.fs(file, conf)
-  private val fileLen = fs.getFileStatus(hPath).getLen
-  private val in = fs.open(hPath)
+
+  /** A scan planned from a prior index snapshot can race an overwrite,
+    * epoch replay, or compaction that deletes the old generation's block
+    * files after its new snapshot goes live. That is a CONTROLLED
+    * condition — the table is fine, this reader's snapshot is stale —
+    * so it must surface as a retriable snapshot-superseded error, never
+    * a raw FileNotFoundException (every other corruption path here is
+    * require-guarded the same way).
+    */
+  private def snapshotSuperseded(): Nothing =
+    throw new IllegalStateException(
+      s"graft snapshot superseded: $file was removed by a concurrent " +
+        "overwrite/compaction after this scan was planned — re-run the query")
+
+  private val fileLen =
+    try fs.getFileStatus(hPath).getLen
+    catch { case _: java.io.FileNotFoundException => snapshotSuperseded() }
+  private val in =
+    try fs.open(hPath)
+    catch { case _: java.io.FileNotFoundException => snapshotSuperseded() }
 
   val chunkIter: Iterator[DecodedChunk] = {
     val raw =
@@ -979,9 +997,17 @@ object GraftStreamOffset {
   * with the scan's pushed filters and pruned columns. Append-mostly
   * semantics: an epoch REPLAY or an overwrite re-commits new names,
   * which the tail emits as new data (the `FileStreamSource` contract on
-  * rewrites). Log entries are the seen-set memory and are never
-  * deleted; at extreme batch counts they would be compacted
-  * FileStreamSource-style.
+  * rewrites).
+  *
+  * Log GC (round 6): per-batch entries at or below a COMMITTED offset
+  * are only needed for their seen-set names (Spark never replays below
+  * its committed offset), so `commit(end)` folds them into one
+  * `<end>.compact.json` once [[GraftMicroBatchStream.CompactInterval]]
+  * of them accumulate and deletes the per-batch files — the
+  * `FileStreamSource` compaction shape. The log under the checkpoint
+  * stays bounded by the interval plus one compact file (whose size
+  * grows with the table's total manifest history, as
+  * FileStreamSource's does).
   */
 class GraftMicroBatchStream(path: String, checkpointLocation: String,
                             required: StructType,
@@ -996,10 +1022,17 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
   private val conf = ContainerIO.confFrom(confKv)
   private val logDir = s"$checkpointLocation/graft-seen"
   private val LogName = """(\d+)\.json""".r
+  private val CompactName = """(\d+)\.compact\.json""".r
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // batch id -> the manifest names that batch covers (mirror of the
-  // on-disk log; loaded lazily, appended as latestOffset assigns)
+  // on-disk log; loaded lazily, appended as latestOffset assigns).
+  // Batches folded into a compact file live in (compactedThrough,
+  // compactedNames) instead: their names still count as seen, but they
+  // are no longer per-batch resolvable (Spark never replays them).
   private val seenLog = scala.collection.mutable.Map.empty[Long, Seq[String]]
+  private var compactedThrough: Long = -1L
+  private var compactedNames: Set[String] = Set.empty
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -1009,21 +1042,33 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       case c => c.toString
     } + "\""
 
-  private def refreshLog(): Unit =
-    ContainerIO.listNames(conf, logDir).foreach {
+  private def readNames(file: String): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new String(ContainerIO.readAll(conf, file),
+      java.nio.charset.StandardCharsets.UTF_8))
+    require(root.isArray, s"corrupt graft stream seen-log entry $file")
+    root.elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def refreshLog(): Unit = {
+    val names = ContainerIO.listNames(conf, logDir)
+    // highest compact file wins; per-batch entries it folded are gone
+    names.collect { case n @ CompactName(b) => (b.toLong, n) }
+      .sortBy(_._1).lastOption.foreach { case (b, n) =>
+        if (b > compactedThrough) {
+          compactedNames = readNames(s"$logDir/$n").toSet
+          compactedThrough = b
+          seenLog.filterInPlace { case (id, _) => id > b }
+        }
+      }
+    names.foreach {
       case n @ LogName(b) =>
         val id = b.toLong
-        if (!seenLog.contains(id)) {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(new String(
-            ContainerIO.readAll(conf, s"$logDir/$n"),
-            java.nio.charset.StandardCharsets.UTF_8))
-          require(root.isArray,
-            s"corrupt graft stream seen-log entry $logDir/$n")
-          seenLog(id) = root.elements().asScala.map(_.asText()).toSeq
-        }
+        if (id > compactedThrough && !seenLog.contains(id))
+          seenLog(id) = readNames(s"$logDir/$n")
       case _ => ()
     }
+  }
 
   // one manifest-index read+parse per trigger: latestOffset refreshes,
   // the same trigger's planInputPartitions reuses (replaced manifests
@@ -1039,10 +1084,12 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L)
 
+  private def maxBatch: Long =
+    if (seenLog.isEmpty) compactedThrough else seenLog.keys.max
+
   override def latestOffset(): Offset = {
     refreshLog()
-    val maxBatch = if (seenLog.isEmpty) -1L else seenLog.keys.max
-    val seenAll = seenLog.values.flatten.toSet
+    val seenAll = compactedNames ++ seenLog.values.flatten
     val fresh = committed().map(_.name).filterNot(seenAll).sorted
     if (fresh.isEmpty) GraftStreamOffset(maxBatch)
     else {
@@ -1053,7 +1100,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       if (ContainerIO.createExclusive(conf, s"$logDir/$next.json", body))
         seenLog(next) = fresh
       else refreshLog() // lost a (restart) race; the log has the truth
-      GraftStreamOffset(seenLog.keys.max)
+      GraftStreamOffset(maxBatch)
     }
   }
 
@@ -1066,8 +1113,15 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     refreshLog()
     // a replayed range whose seen-log entries are GONE (checkpoint
     // restored without graft-seen/, deleted log files) must FAIL, not
-    // silently commit an empty batch and skip those rows forever
+    // silently commit an empty batch and skip those rows forever. A
+    // batch at or below compactedThrough was folded by commit(), which
+    // only ever runs on COMMITTED offsets Spark will not replay — if it
+    // shows up anyway, the checkpoint and the log disagree: fail.
     (s + 1) to e foreach { b =>
+      require(b > compactedThrough,
+        s"graft stream batch $b was compacted below the committed " +
+          s"offset under $logDir; a replay of offsets ($s, $e] should " +
+          "be impossible — the checkpoint and seen-log disagree")
       require(seenLog.contains(b),
         s"graft stream seen-log entry for batch $b is missing under " +
           s"$logDir — the checkpoint is incomplete; cannot replay " +
@@ -1080,6 +1134,13 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     // longer resolve; their replacements arrive as a later batch
     val ms = Option(lastCommitted).getOrElse(committed())
     val fresh = ms.filter(m => want.contains(m.name))
+    val unresolved = want -- fresh.map(_.name)
+    if (unresolved.nonEmpty) log.warn(
+      s"graft stream replay of ($s, $e] on $path: ${unresolved.size} " +
+        s"logged manifest(s) no longer resolve (replaced by an epoch " +
+        s"replay/overwrite since): ${unresolved.toSeq.sorted.take(8).mkString(", ")}" +
+        (if (unresolved.size > 8) ", …" else "") +
+        "; their replacement generations arrive as later batches")
     GraftDataSource.planPartitions(path, fresh, filters, maxSplitBytes)
   }
 
@@ -1087,8 +1148,49 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     new GraftReaderFactory(required, filters, confKv, Int.MaxValue,
       verifyContent, longCols, strCols, intCols)
 
-  override def commit(end: Offset): Unit = ()
+  /** Fold per-batch seen-log entries at or below the COMMITTED offset
+    * into one `<end>.compact.json` once [[GraftMicroBatchStream
+    * .CompactInterval]] of them accumulate (Spark replays only ranges
+    * above its committed offset, so per-batch resolution below it is
+    * dead weight — only the names' membership in the seen-set matters).
+    * Best-effort: a crash mid-compaction leaves either the old
+    * per-batch files, or the compact file plus some per-batch files it
+    * already covers — `refreshLog` handles both.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GraftStreamOffset].batch
+    refreshLog()
+    val foldable = seenLog.keys.filter(b => b <= e).toSeq.sorted
+    if (foldable.size < GraftMicroBatchStream.CompactInterval) return
+    val names = (compactedNames ++
+      foldable.flatMap(seenLog(_))).toSeq.sorted
+    val body = names.map(q).mkString("[", ",", "]")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val top = foldable.max
+    if (ContainerIO.createExclusive(conf, s"$logDir/$top.compact.json", body)) {
+      val f = ContainerIO.fs(logDir, conf)
+      // covered per-batch files and superseded compact files are GC'd
+      ContainerIO.listNames(conf, logDir).foreach {
+        case n @ LogName(b) if b.toLong <= top =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$logDir/$n"), false)
+        case n @ CompactName(b) if b.toLong < top =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$logDir/$n"), false)
+        case _ => ()
+      }
+      compactedNames = names.toSet
+      compactedThrough = top
+      seenLog.filterInPlace { case (id, _) => id > top }
+    }
+  }
+
   override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  /** Compact the seen-log once this many committed per-batch entries
+    * accumulate (FileStreamSource's compactInterval shape).
+    */
+  final val CompactInterval = 10
 }
 
 // ------------------------------------------------------------------ write
@@ -1241,8 +1343,13 @@ private[sources] object GraftCommits {
   def dropStaged(confKv: Map[String, String], path: String, epoch: String): Unit = {
     val conf = ContainerIO.confFrom(confKv)
     val f = ContainerIO.fs(path, conf)
+    // ANCHORED match (staged names are `part-<epoch>-<part>-a<task>`): a
+    // substring test could sweep another epoch whose name embeds this
+    // one; the prefix + leading-digit check can't
+    val prefix = s"part-$epoch-"
     ContainerIO.listNames(conf, s"$path/blocks")
-      .filter(n => n.contains(s"part-$epoch-"))
+      .filter(n => n.startsWith(prefix) && n.length > prefix.length &&
+        n.charAt(prefix.length).isDigit)
       .foreach(n => f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
   }
 }

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{ColumnarEngine, ColumnSpec, ContainerFormat, ContainerIO, ContainerInput, DecodedChunk, Manifests, ParsedManifest, PartManifest}
+
+/** Table maintenance for graft tables — the operational side a
+  * long-running streaming sink needs: every micro-batch epoch commits
+  * one container per task, so an always-on query accretes thousands of
+  * tiny containers and manifests that chunk-granular planning cannot
+  * help with (each file IS one small chunk). `compact` rewrites runs of
+  * small containers into full-size ones and swaps them into the table
+  * in one OCC index commit — the same shape as Iceberg's
+  * `rewrite_data_files` maintenance procedure, built on the machinery
+  * the write path already has ([[Manifests.commitIndex]] + the
+  * manifest-as-commit-marker discipline of [[GraftCommits.publish]]).
+  */
+object GraftMaintenance {
+
+  /** Raised when the containers selected for compaction were replaced
+    * or removed by a concurrent commit (epoch replay, overwrite,
+    * another compaction) between planning and the index commit: the
+    * rewritten data would resurrect superseded rows, so the compaction
+    * aborts — cleanly, with its staged output removed — and the table
+    * is left exactly as the concurrent writer published it.
+    */
+  final class CompactionConflict(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
+  /** Rewrite this table's small containers into ~`targetBytes` ones.
+    *
+    * Planning: committed containers whose encoded size is below
+    * `targetBytes` are greedily binned (by name order — the streaming
+    * sink's epoch order) into runs of up to `targetBytes`; every bin
+    * with at least `minContainers` members is rewritten by one Spark
+    * task that streams the bin's chunks through the shared container
+    * parse (CRC + content-digest verified) into a fresh
+    * [[ColumnarEngine.PartitionEncoder]] — chunk-bounded memory, codecs
+    * re-selected on the bigger chunks.
+    *
+    * Commit: new manifests are written first (commit markers), then ONE
+    * OCC index commit ([[Manifests.commitIndex]]) replaces exactly the
+    * consumed manifests with the compacted ones — a concurrent append
+    * or streaming epoch retries on top and is preserved; a concurrent
+    * commit that REPLACED one of the consumed containers aborts the
+    * compaction ([[CompactionConflict]]) instead of resurrecting its
+    * rows. Old-generation files are deleted only after the new snapshot
+    * is live; a reader that planned against the prior snapshot gets the
+    * controlled snapshot-superseded error, never a raw
+    * FileNotFoundException (see [[ChunkCursor]]).
+    *
+    * Returns (containers consumed, containers produced); (0, 0) when
+    * nothing qualifies.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              minContainers: Int = 2): (Int, Int) =
+    compactWithHook(spark, path, targetBytes, minContainers, () => ())
+
+  /** Test seam: `beforeCommit` runs after the rewritten containers are
+    * staged but before the index commit — the window a concurrent
+    * append/replace races into.
+    */
+  private[graft] def compactWithHook(spark: SparkSession, path: String,
+                                     targetBytes: Long, minContainers: Int,
+                                     beforeCommit: () => Unit): (Int, Int) = {
+    require(targetBytes > 0 && minContainers >= 2,
+      s"need targetBytes > 0 and minContainers >= 2, " +
+        s"got ($targetBytes, $minContainers)")
+    val confKv = ContainerIO.confSnapshot(spark)
+    val conf = ContainerIO.confFrom(confKv)
+    val committed = Manifests.readCommitted(conf, path).filter(_.rows > 0)
+    if (committed.isEmpty) return (0, 0)
+    // one compaction run handles one schema generation: all committed
+    // manifests of a table share it (appends enforce schema match)
+    val schemaCols = committed.head.schemaCols
+    val digestCol = committed.head.digestCol
+    val small = committed
+      .filter(m => m.encodedBytes < targetBytes &&
+        m.schemaCols == schemaCols && m.digestCol == digestCol)
+      .sortBy(_.name)
+    // greedy size-binning in name (epoch) order
+    val bins = Seq.newBuilder[Seq[ParsedManifest]]
+    var run = List.empty[ParsedManifest]
+    var runBytes = 0L
+    small.foreach { m =>
+      if (run.nonEmpty && runBytes + m.encodedBytes > targetBytes) {
+        bins += run.reverse; run = Nil; runBytes = 0L
+      }
+      run = m :: run
+      runBytes += m.encodedBytes
+    }
+    if (run.nonEmpty) bins += run.reverse
+    val work = bins.result().filter(_.size >= minContainers)
+    if (work.isEmpty) return (0, 0)
+
+    val schema =
+      if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
+      else schemaCols.map { case (n, k) => ColumnSpec(n, k) }
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // one task per bin; RDD because the payload is driver-planned
+    // manifest metadata, not table rows (genuine per-partition
+    // imperative rewrite)
+    val newManifests: Array[PartManifest] = spark.sparkContext
+      .parallelize(work.zipWithIndex, work.size)
+      .map { case (ms, bin) =>
+        rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
+          digestCol, s"compact-$runId-$bin", bin)
+      }
+      .collect()
+
+    beforeCommit()
+    val consumed = work.flatten.map(_.name).toSet
+    val newJsons = newManifests.map(Manifests.manifestJson).toSeq
+    // publish discipline of GraftCommits.publish: manifests (commit
+    // markers) first, then the OCC snapshot swap, then old-file deletes
+    newManifests.foreach(m => Manifests.writeManifest(conf, path, m, 0L))
+    try {
+      Manifests.commitIndex(conf, path, old => {
+        val live = old.map(Manifests.parseWithFallback(_).name).toSet
+        val gone = consumed.filterNot(live)
+        if (gone.nonEmpty) throw new CompactionConflict(
+          s"containers ${gone.toSeq.sorted.mkString(", ")} were replaced " +
+            s"by a concurrent commit during compaction of $path; aborting")
+        old.filterNot(j =>
+          consumed(Manifests.parseWithFallback(j).name)) ++ newJsons
+      })
+    } catch {
+      case e: CompactionConflict =>
+        // drop the staged generation; the table stays whatever the
+        // concurrent winner published
+        val f = ContainerIO.fs(path, conf)
+        newManifests.foreach { m =>
+          f.delete(new org.apache.hadoop.fs.Path(
+            s"$path/blocks/part-${m.name}.gblk"), false)
+          f.delete(new org.apache.hadoop.fs.Path(
+            Manifests.manifestPath(path, m.name)), false)
+        }
+        throw e
+    }
+    // new snapshot is live: delete the consumed generation
+    val f = ContainerIO.fs(path, conf)
+    consumed.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
+      f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
+    }
+    (consumed.size, newManifests.length)
+  }
+
+  /** Stream one bin's containers chunk-by-chunk (CRC + digest verified)
+    * into a fresh encoder under an unpublished manifest. Task memory is
+    * bounded by one decoded chunk plus one encoder chunk buffer.
+    */
+  private def rewriteBin(conf: org.apache.hadoop.conf.Configuration,
+                         path: String, ms: Seq[ParsedManifest],
+                         schema: Seq[ColumnSpec], digestCol: String,
+                         partName: String, bin: Int): PartManifest = {
+    val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
+      partName = partName, schema = schema)
+    val neededL = schema.collect { case s if s.kind == 0 || s.kind == 3 => s.name }.toSet
+    val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
+    val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet
+    val numNarrow: Array[Boolean] =
+      schema.filter(_.kind != 1).map(s => s.kind == 2 || s.kind == 4).toArray
+    val strNames = enc.strNames
+    val longNames = enc.longNames
+    ms.foreach { m =>
+      val file = m.blockFile(path)
+      val fs = ContainerIO.fs(file, conf)
+      val p = new org.apache.hadoop.fs.Path(file)
+      val fileLen = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      try {
+        val chunks: Iterator[DecodedChunk] =
+          if (m.chunkIndex.nonEmpty) m.chunkIndex.iterator.map { cs =>
+            val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
+            ContainerFormat.readChunk(ci, neededL, neededS, cs.blockCrcs, neededI)
+          } else {
+            val ci = new ContainerInput(in, 0L, fileLen)
+            ContainerFormat.readPrelude(ci)
+            new Iterator[DecodedChunk] {
+              override def hasNext: Boolean = !ci.atEnd
+              override def next(): DecodedChunk =
+                ContainerFormat.readChunk(ci, neededL, neededS, Map.empty, neededI)
+            }
+          }
+        chunks.foreach { chunk =>
+          if (digestCol.nonEmpty) ContainerFormat.verifyContentDigest(chunk, digestCol)
+          val strCols = strNames.map(n => chunk.strs.get(n).strings)
+          var j = 0
+          while (j < chunk.rows) {
+            val strs = new Array[String](strNames.length)
+            var i = 0
+            while (i < strNames.length) { strs(i) = strCols(i)(j); i += 1 }
+            val longs = new Array[Long](longNames.length)
+            i = 0
+            while (i < longNames.length) {
+              longs(i) =
+                if (numNarrow(i)) chunk.ints.get(longNames(i))(j).toLong
+                else chunk.longs.get(longNames(i))(j)
+              i += 1
+            }
+            enc.addRow(strs, longs)
+            j += 1
+          }
+        }
+      } finally in.close()
+    }
+    enc.finish(publishManifest = false)
+  }
+}

@@ -124,6 +124,39 @@ class EngineSpec extends AnyFunSuite {
     assert(decoded.except(derived).isEmpty)
   }
 
+  test("OCC lost-claim guard: a recycled version number is withdrawn and retried") {
+    val conf = ContainerIO.localConf()
+    val d = tempDir("occ-lost")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    def entry(n: String) = s"""{"name":"$n","part":0,"rows":1,"chunks":1}"""
+    Manifests.commitIndex(conf, d, _ => Seq(entry("a"))) // v0
+    // a committer reads v0 (claiming v1), then stalls while the world
+    // advances PAST the tombstone-retention envelope: the live tip is
+    // far ahead and v1's tombstone was GC'd, freeing the number — the
+    // exact silent-lost-update pathology the guard exists for
+    val tip = 1L + Manifests.TombstoneRetention + 5L
+    var fired = false
+    Manifests.beforeClaimHook = () => if (!fired) {
+      fired = true
+      ContainerIO.createExclusive(conf,
+        s"$d/${Manifests.versionedIndexName(tip)}",
+        s"""{"version":1,"manifests":[${entry("tip")}]}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(d, Manifests.versionedIndexName(0L)))
+    }
+    try Manifests.commitIndex(conf, d, old => old :+ entry("b"))
+    finally Manifests.beforeClaimHook = () => ()
+    val Some((ver, jsons)) = Manifests.readIndexSnapshot(conf, d)
+    assert(ver === tip + 1,
+      s"the withdrawn claim must retry ON TOP of the true tip, got v$ver")
+    val names = jsons.map(Manifests.parseWithFallback(_).name)
+    assert(names.contains("tip") && names.contains("b"),
+      s"retry must preserve the tip's content and land the update: $names")
+    assert(!ContainerIO.exists(conf, s"$d/${Manifests.versionedIndexName(1L)}"),
+      "the recycled below-tip claim must be withdrawn")
+  }
+
   test("dictionary codes are dense, deterministic, and order-agnostic") {
     import spark.implicits._
     val df = SourceTable.synthesize(spark, 800, 4).toDF()

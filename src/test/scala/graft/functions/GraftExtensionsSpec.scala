@@ -34,6 +34,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     spark.sql("DROP VIEW IF EXISTS gx")
   }
 
+  test("literal-only builder args fail with a clear analysis error, not a cast crash") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq((1L, "a b c", Array(1.0f, 2.0f))).toDF("v", "text", "a")
+      .createOrReplaceTempView("gx2")
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    // a column where a literal is required (numHashes / planes / seed)
+    for (q <- Seq(
+      "SELECT minhash_sig(word_ngrams(text, 2), CAST(v AS INT), 42) FROM gx2",
+      "SELECT lsh_probes(a, 2, CAST(v AS INT), 3, 2, 42) FROM gx2",
+      "SELECT minhash_sig(word_ngrams(text, 2), NULL, 42) FROM gx2")) {
+      val ex = intercept[Exception](spark.sql(q).collect())
+      assert(messages(ex).contains("must be a"), s"for $q got $ex")
+    }
+    spark.sql("DROP VIEW IF EXISTS gx2")
+  }
+
   test("GraftExtensions injects the whole surface into SparkSessionExtensions") {
     // the config path (`spark.sql.extensions=graft.functions
     // .GraftExtensions`) applies exactly this: instantiate by class name

@@ -1,0 +1,175 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{ContainerIO, Manifests, SparkTestSession}
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def gblks(d: String): Seq[String] =
+    ContainerIO.listNames(ContainerIO.localConf(), s"$d/blocks")
+      .filter(_.endsWith(".gblk"))
+
+  test("compact: 10 streaming epochs of tiny containers rewrite into one, rows identical") {
+    import spark.implicits._
+    val srcDir = tempDir("cmp-src")
+    val outDir = tempDir("cmp-out")
+    val ckpt = tempDir("cmp-ckpt")
+    // 10 waves through the graft streaming sink — each AvailableNow run
+    // commits (at least) one epoch of per-task containers
+    var expected = Seq.empty[(Long, String, Long)]
+    for (w <- 0 until 10) {
+      val wave = (0 until 40).map(i =>
+        ((w * 100 + i).toLong, s"cat${i % 3}", i * 7L))
+      expected ++= wave
+      wave.toDF("id", "category", "score")
+        .write.mode("append").parquet(s"$srcDir/data")
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("category",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .parquet(s"$srcDir/data")
+        .writeStream.format("graft")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val before = gblks(outDir)
+    assert(before.size >= 10, s"expected >=10 epoch containers, got ${before.size}")
+    val (consumed, produced) = GraftMaintenance.compact(spark, outDir)
+    assert(consumed === before.size && produced === 1,
+      s"expected all ${before.size} -> 1, got ($consumed, $produced)")
+    assert(gblks(outDir).size === 1, "old generation must be gone from blocks/")
+    assert(ContainerIO.listNames(ContainerIO.localConf(), s"$outDir/manifests")
+      .count(_.endsWith(".json")) === 1, "old manifests must be gone")
+    // full read (collect) re-verifies block CRCs and the content digest
+    val back = spark.read.format("graft").load(outDir)
+      .as[(Long, String, Long)].collect().sorted
+    assert(back.toSeq === expected.sorted)
+    // and the compacted manifest is the only committed one
+    val ms = Manifests.readCommitted(ContainerIO.localConf(), outDir)
+    assert(ms.size === 1 && ms.head.name.startsWith("compact-"))
+    assert(ms.head.rows === 400)
+  }
+
+  test("compact: a concurrent append between stage and commit is preserved (OCC)") {
+    import spark.implicits._
+    val d = tempDir("cmp-occ")
+    for (w <- 0 until 4)
+      (0 until 50).map(i => ((w * 50 + i).toLong, s"v$i"))
+        .toDF("id", "tag")
+        .write.format("graft").mode("append").save(d)
+    assert(gblks(d).size >= 4)
+    val appended = (1000 until 1050).map(i => (i.toLong, s"late$i"))
+    val (consumed, produced) = GraftMaintenance.compactWithHook(
+      spark, d, 128L << 20, 2,
+      () => appended.toDF("id", "tag")
+        .write.format("graft").mode("append").save(d))
+    assert(consumed >= 4 && produced === 1)
+    val back = spark.read.format("graft").load(d)
+      .as[(Long, String)].collect().sorted
+    val want = ((0 until 200).map(i => (i.toLong, s"v${i % 50}")) ++ appended).sorted
+    assert(back.toSeq === want, "compacted rows AND the racing append must both survive")
+  }
+
+  test("compact: a concurrent replace of a consumed container aborts cleanly") {
+    import spark.implicits._
+    val d = tempDir("cmp-conflict")
+    for (w <- 0 until 3)
+      (0 until 30).map(i => ((w * 30 + i).toLong, s"v$i"))
+        .toDF("id", "tag")
+        .write.format("graft").mode("append").save(d)
+    val winner = (0 until 10).map(i => (i.toLong, "winner"))
+    val ex = intercept[GraftMaintenance.CompactionConflict] {
+      GraftMaintenance.compactWithHook(spark, d, 128L << 20, 2,
+        // truncate replaces (and deletes) every consumed container
+        () => winner.toDF("id", "tag")
+          .write.format("graft").mode("overwrite").save(d))
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the table is exactly what the winner published; no staged leftovers
+    val back = spark.read.format("graft").load(d)
+      .as[(Long, String)].collect().sorted
+    assert(back.toSeq === winner.sorted)
+    assert(!gblks(d).exists(_.contains("compact-")),
+      "aborted compaction must remove its staged containers")
+    assert(!ContainerIO.listNames(ContainerIO.localConf(), s"$d/manifests")
+      .exists(_.contains("compact-")),
+      "aborted compaction must remove its staged manifests")
+  }
+
+  test("streaming source seen-log is compacted: 100 triggers leave a bounded log") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val d = tempDir("seen-gc")
+    val ckpt = tempDir("seen-gc-ckpt")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    def mkStream() = new GraftMicroBatchStream(d, ckpt, schema, Array.empty,
+      confKv, 128L << 20, true, Set("id"), Set("tag"), Set.empty)
+    val stream = mkStream()
+    var last = stream.initialOffset()
+    for (w <- 0 until 100) {
+      Seq(((w * 10).toLong, s"t$w"), ((w * 10 + 1).toLong, s"u$w"))
+        .toDF("id", "tag").coalesce(1)
+        .write.format("graft").mode("append").save(d)
+      val off = stream.latestOffset()
+      assert(stream.planInputPartitions(last, off).nonEmpty)
+      stream.commit(off)
+      last = off
+    }
+    val logFiles = ContainerIO.listNames(ContainerIO.localConf(), s"$ckpt/graft-seen")
+    assert(logFiles.size <= GraftMicroBatchStream.CompactInterval + 2,
+      s"100 triggers must leave a bounded seen-log, got ${logFiles.size}: " +
+        logFiles.sorted.mkString(", "))
+    assert(logFiles.exists(_.endsWith(".compact.json")),
+      "expected a compact file after 100 committed batches")
+    // restart: a fresh instance reads the compacted seen-set — only a NEW
+    // append is fresh, nothing already-seen is re-emitted
+    val s2 = mkStream()
+    Seq((9999L, "late")).toDF("id", "tag").coalesce(1)
+      .write.format("graft").mode("append").save(d)
+    val off2 = s2.latestOffset()
+    assert(off2.asInstanceOf[GraftStreamOffset].batch ===
+      last.asInstanceOf[GraftStreamOffset].batch + 1)
+    val parts2 = s2.planInputPartitions(last, off2)
+    assert(parts2.length === 1, s"restart must emit only the new append, " +
+      s"got ${parts2.length} partitions")
+  }
+
+  test("reads across overwrite fail controlled: snapshot superseded, never FileNotFound") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import spark.implicits._
+    val d = tempDir("cmp-stale")
+    (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .write.format("graft").mode("overwrite").save(d)
+    val df = spark.read.format("graft").load(d)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[GraftScan]
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    // overwrite lands AFTER this scan planned: old generation deleted
+    (0 until 10).map(i => (i.toLong, "new")).toDF("id", "tag")
+      .write.format("graft").mode("overwrite").save(d)
+    val ex = intercept[IllegalStateException] {
+      val r = scan.createReaderFactory().createReader(parts.head)
+      try while (r.next()) r.get()
+      finally r.close()
+    }
+    assert(ex.getMessage.contains("snapshot superseded"), s"got $ex")
+  }
+}
