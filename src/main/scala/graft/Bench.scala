@@ -77,7 +77,8 @@ object Bench {
     * 2-10x between multi-second windows). Keeps the best rep; prints
     * every rep's wall/GC/heap to stderr for the driver log.
     */
-  private def measureLeg(label: String, base: Int, extra: Int)
+  private def measureLeg(label: String, base: Int, extra: Int,
+                         betweenReps: () => Unit = () => ())
                         (body: => Unit): (Rep, Int, Double) = {
     var reps = List.empty[Rep]
     var r = 0
@@ -91,6 +92,7 @@ object Bench {
         f"[bench] $label rep$r ${rep.sec}%.1f s (gc ${rep.gcSec}%.1f s, " +
           f"heap ${rep.heapMb}%.0f/${heapMaxMb()}%.0f MB)")
       reps = rep :: reps
+      betweenReps() // untimed: per-rep cleanup stays out of the measurement
     }
     (reps.minBy(_.sec), r, reps.map(_.sec).max)
   }
@@ -119,19 +121,23 @@ object Bench {
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       var manifests: Array[graft.engine.PartManifest] = null
       val encDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+      // between reps (untimed): keep only the newest output dir, so N
+      // reps never hold N encoded copies of the table on disk at once
       val (encBest, encReps, encWorst) =
-        measureLeg(s"engine n=$cpus encode", reps, 2) {
+        measureLeg(s"engine n=$cpus encode", reps, 2, betweenReps = () =>
+          while (encDirs.size > 1) {
+            deleteRec(new java.io.File(encDirs.remove(0)))
+          }) {
           val d = java.nio.file.Files
             .createTempDirectory(s"graft-enc-$cpus-${encDirs.size}").toString
           encDirs += d
           manifests = ColumnarEngine.encode(derived, d, numParts = numParts)
         }
-      // the encode output is deterministic across reps: keep the last
-      // rep's dir as the decode input, drop the others
+      // the encode output is deterministic across reps: the surviving
+      // (last) rep's dir becomes the decode input
       deleteRec(new java.io.File(dir))
       java.nio.file.Files.move(java.nio.file.Paths.get(encDirs.last),
         java.nio.file.Paths.get(dir))
-      encDirs.dropRight(1).foreach(d => deleteRec(new java.io.File(d)))
       val rawBytes = manifests.map(_.rawBytes).sum.toDouble
       val encBytes = manifests.map(_.encodedBytes).sum.toDouble
       // decode_passes SEQUENTIAL timed passes per rep, NOT one 4-way

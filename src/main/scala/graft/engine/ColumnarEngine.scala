@@ -51,7 +51,8 @@ final case class PartManifest(part: Int, rows: Long, chunks: Int,
     rawBytes: Long, encodedBytes: Long, skipped: Boolean,
     digest: String, columns: Seq[ColumnMetric],
     name: String = "", chunkIndex: Seq[ChunkStats] = Nil,
-    schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content")
+    schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content",
+    ancestors: Seq[String] = Nil)
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *

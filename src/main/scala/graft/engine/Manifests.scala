@@ -46,7 +46,8 @@ final case class ParsedManifest(
     longRanges: Map[String, (Long, Long)],
     chunkIndex: Seq[ChunkStats],
     schemaCols: Seq[(String, Int)] = Nil,
-    digestCol: String = "content") {
+    digestCol: String = "content",
+    ancestors: Seq[String] = Nil) {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 }
 
@@ -130,9 +131,15 @@ object Manifests {
     val schema = m.schemaCols.map { case (n, k) =>
       s"""{"name":${q(n)},"kind":$k}"""
     }.mkString("[", ",", "]")
+    // ancestors: LOGICAL names of containers this one compacted away —
+    // publish() uses them to drop a replayed epoch whose rows already
+    // live inside a compacted generation (exactly-once across compact)
+    val anc =
+      if (m.ancestors.isEmpty) ""
+      else s""""ancestors":${m.ancestors.map(q).mkString("[", ",", "]")},"""
     s"""{"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
       s""""rawBytes":${m.rawBytes},"encodedBytes":${m.encodedBytes},""" +
-      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},""" +
+      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc""" +
       s""""columns":$cols,"chunkIndex":$chunks}"""
   }
 
@@ -289,12 +296,13 @@ object Manifests {
         // a tip a full retention window ahead proves our number was
         // recycled. Withdraw the claim and retry on the true tip instead
         // of silently losing the update.
-        val maxAfter = versionedIndexes(conf, tableDir).map(_._1).max
+        val listed = versionedIndexes(conf, tableDir) // includes our claim
+        val maxAfter = listed.map(_._1).max
         if (maxAfter >= next + TombstoneRetention) {
           f.delete(new org.apache.hadoop.fs.Path(
             s"$tableDir/${versionedIndexName(next)}"), false)
         } else {
-          versionedIndexes(conf, tableDir).foreach { case (v, n) =>
+          listed.foreach { case (v, n) =>
             val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
             if (v < ver - TombstoneRetention) f.delete(p, false)
             else if (v < ver && v >= ver - 8) {
@@ -395,12 +403,16 @@ object Manifests {
         (n.asText(), k.asInt())
       }.toSeq
     }.getOrElse(Nil)
+    val ancestors = Option(root.get("ancestors")).filter(_.isArray).map {
+      _.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Nil)
     ParsedManifest(name, jLong(root, "part").toInt, jLong(root, "rows"),
       jLong(root, "chunks").toInt, jLong(root, "rawBytes"),
       jLong(root, "encodedBytes"),
       Option(root.get("digest")).map(_.asText()).getOrElse(""),
       ranges, chunkIndex, schemaCols,
-      Option(root.get("digestCol")).map(_.asText()).getOrElse("content"))
+      Option(root.get("digestCol")).map(_.asText()).getOrElse("content"),
+      ancestors)
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

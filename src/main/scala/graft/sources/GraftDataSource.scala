@@ -42,9 +42,10 @@ import graft.engine.{ChunkStats, ColumnarEngine, ContainerFormat, ContainerInput
   * index, so a failed or killed job never exposes a partial table and an
   * overwrite destroys the old data only after the new table is live.
   *
-  * Schema: ANY mix of non-null BIGINT/STRING columns (round 5). A first
-  * write defines the table's schema; reads infer it from the committed
-  * manifests; appends must match it. The engine's own source-code shape
+  * Schema: ANY mix of non-null BIGINT/INT/STRING (round 5) plus
+  * TIMESTAMP_NTZ/DATE (round 6) columns. A first write defines the
+  * table's schema; reads infer it from the committed manifests; appends
+  * must match it. The engine's own source-code shape
   * ([[graft.engine.DerivedRow]]) is simply the default for tables that
   * don't exist yet.
   */
@@ -240,6 +241,13 @@ object GraftDataSource {
     case GreaterThanOrEqual(c, _: Long) => longCols(c)
     case LessThan(c, _: Long) => longCols(c)
     case LessThanOrEqual(c, _: Long) => longCols(c)
+    // temporal IN must precede the generic long/int IN cases: those
+    // guard only on the COLUMN set (which contains ts/date columns) and
+    // would match-and-reject a temporal value list before these fire
+    case In(c, vs) if longCols(c) &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[java.time.LocalDateTime]) => true
+    case In(c, vs) if intCols(c) &&
+        vs.nonEmpty && vs.forall(daysOf(_).isDefined) => true
     case In(c, vs) if longCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long])
     case EqualTo(c, _: Int) => intCols(c)
@@ -254,15 +262,11 @@ object GraftDataSource {
     case GreaterThanOrEqual(c, _: java.time.LocalDateTime) => longCols(c)
     case LessThan(c, _: java.time.LocalDateTime) => longCols(c)
     case LessThanOrEqual(c, _: java.time.LocalDateTime) => longCols(c)
-    case In(c, vs) if longCols(c) &&
-        vs.nonEmpty && vs.forall(_.isInstanceOf[java.time.LocalDateTime]) => true
     case EqualTo(c, x) if daysOf(x).isDefined => intCols(c)
     case GreaterThan(c, x) if daysOf(x).isDefined => intCols(c)
     case GreaterThanOrEqual(c, x) if daysOf(x).isDefined => intCols(c)
     case LessThan(c, x) if daysOf(x).isDefined => intCols(c)
     case LessThanOrEqual(c, x) if daysOf(x).isDefined => intCols(c)
-    case In(c, vs) if intCols(c) &&
-        vs.nonEmpty && vs.forall(daysOf(_).isDefined) => true
     case EqualTo(c, _: String) => strCols(c)
     case In(c, vs) if strCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
@@ -394,7 +398,8 @@ class GraftTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA: a write to a NEW table defines its schema (the
   // provider can't see the DataFrame at inferSchema time); the write
-  // builder enforces long/string-only columns and exact-match appends
+  // builder enforces the representable kinds (BIGINT/INT/STRING/
+  // TIMESTAMP_NTZ/DATE) and exact-match appends
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -1203,9 +1208,10 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val in = info.schema()
-    // any mix of BIGINT/STRING columns is writable (specsOf validates);
-    // a first write defines the table's schema, an APPEND must match the
-    // committed one exactly, and an overwrite may replace it
+    // any mix of BIGINT/INT/STRING/TIMESTAMP_NTZ/DATE columns is
+    // writable (specsOf validates); a first write defines the table's
+    // schema, an APPEND must match the committed one exactly, and an
+    // overwrite may replace it
     val specs = GraftDataSource.specsOf(in)
     if (!doTruncate) {
       GraftDataSource.inferFrom(path).foreach { existing =>
@@ -1297,7 +1303,12 @@ private[sources] object GraftCommits {
     * snapshot is live delete the generations this commit replaced
     * (everything on truncate; same-logical-name manifests on an epoch
     * replay). Re-publishing an epoch is idempotent BY LOGICAL NAME: the
-    * replay's attempt-qualified containers replace the originals.
+    * replay's attempt-qualified containers replace the originals —
+    * and when the original generation was COMPACTED away
+    * ([[GraftMaintenance.compact]] records the consumed logical names
+    * as the compacted manifest's `ancestors`), the replay is DROPPED
+    * instead of appended: its rows already live inside the compacted
+    * container, so re-adding them would double every row of the epoch.
     */
   def publish(confKv: Map[String, String], path: String, truncate: Boolean,
               messages: Array[WriterCommitMessage]): Unit = {
@@ -1312,26 +1323,44 @@ private[sources] object GraftCommits {
         Manifests.manifestPath(path, m.name),
         m.manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    val freshNames = fresh.map(_.name).toSet
-    val freshLogical = freshNames.map(logicalName)
-    def replaced(name: String): Boolean =
-      !freshNames.contains(name) &&
-        (truncate || freshLogical.contains(logicalName(name)))
+    // names among `fresh` whose logical identity was already folded into
+    // a live compacted container — decided against the snapshot the
+    // WINNING commit attempt saw (set by the last transform run)
+    @volatile var droppedReplays = Set.empty[String]
     // the snapshot the winning commit superseded — exactly the state this
     // commit's deletes must be judged against
     val prior = Manifests.commitIndex(conf, path, old => {
+      val parsedOld = old.map(Manifests.parseWithFallback)
+      val liveAncestors: Set[String] =
+        if (truncate) Set.empty else parsedOld.flatMap(_.ancestors).toSet
+      val (replays, active) =
+        fresh.partition(m => liveAncestors.contains(logicalName(m.name)))
+      droppedReplays = replays.map(_.name).toSet
+      val activeNames = active.map(_.name).toSet
+      val activeLogical = activeNames.map(logicalName)
       val kept =
         if (truncate) Nil
         else old.filterNot { j =>
           val n = Manifests.parseWithFallback(j).name
-          freshNames.contains(n) || freshLogical.contains(logicalName(n))
+          activeNames.contains(n) || activeLogical.contains(logicalName(n))
         }
-      kept ++ fresh.map(_.manifestJson)
+      kept ++ active.map(_.manifestJson)
     })
+    val activeNames = fresh.map(_.name).toSet -- droppedReplays
+    val activeLogical = activeNames.map(logicalName)
+    def replaced(name: String): Boolean =
+      !activeNames.contains(name) &&
+        (truncate || activeLogical.contains(logicalName(name)))
     val doomed = prior.map(Manifests.parseWithFallback)
       .map(_.name).filter(replaced)
     val f = ContainerIO.fs(path, conf)
     doomed.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
+      f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
+    }
+    // a dropped replay's staged container + just-written manifest file
+    // are dead weight (its rows live in the compacted generation)
+    droppedReplays.foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
       f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
     }

@@ -49,6 +49,19 @@ object GraftMaintenance {
     * controlled snapshot-superseded error, never a raw
     * FileNotFoundException (see [[ChunkCursor]]).
     *
+    * Exactly-once interplay: the compacted manifest records the consumed
+    * LOGICAL names as its `ancestors`, so a streaming-sink epoch that is
+    * REPLAYED after its containers were compacted away is dropped by
+    * [[GraftCommits.publish]] instead of re-appended (its rows already
+    * live in the compacted generation). Downstream CONSUMERS tailing
+    * this table via `readStream.format("graft")` follow the
+    * FileStreamSource rewrite contract: a compacted generation is a new
+    * manifest name, so a tailing query that already emitted the old
+    * containers will emit the compacted container's rows AGAIN —
+    * compact a streamed-FROM table only when downstream deduplicates or
+    * can tolerate replays, or pause consumers across the maintenance
+    * window.
+    *
     * Returns (containers consumed, containers produced); (0, 0) when
     * nothing qualifies.
     */
@@ -101,13 +114,38 @@ object GraftMaintenance {
     // one task per bin; RDD because the payload is driver-planned
     // manifest metadata, not table rows (genuine per-partition
     // imperative rewrite)
-    val newManifests: Array[PartManifest] = spark.sparkContext
-      .parallelize(work.zipWithIndex, work.size)
-      .map { case (ms, bin) =>
-        rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
-          digestCol, s"compact-$runId-$bin", bin)
+    val newManifests: Array[PartManifest] =
+      try spark.sparkContext
+        .parallelize(work.zipWithIndex, work.size)
+        .map { case (ms, bin) =>
+          rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
+            digestCol, s"compact-$runId-$bin", bin)
+        }
+        .collect()
+      catch {
+        case e: Throwable =>
+          // a task hit FileNotFound (a concurrent overwrite/compaction
+          // deleted a source container mid-read) or failed outright:
+          // sweep THIS run's staged containers so nothing leaks, then
+          // surface the controlled conflict shape for the FNF case
+          val f = ContainerIO.fs(path, conf)
+          ContainerIO.listNames(conf, s"$path/blocks")
+            .filter(_.startsWith(s"part-compact-$runId-"))
+            .foreach(n => f.delete(
+              new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
+          def hasFnf(t: Throwable): Boolean =
+            t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+              hasFnf(t.getCause))
+          if (hasFnf(e)) {
+            val c = new CompactionConflict(
+              s"a source container of $path vanished during the rewrite " +
+                "(concurrent overwrite/compaction); compaction aborted, " +
+                "staged output removed")
+            c.initCause(e)
+            throw c
+          }
+          throw e
       }
-      .collect()
 
     beforeCommit()
     val consumed = work.flatten.map(_.name).toSet
@@ -157,6 +195,11 @@ object GraftMaintenance {
                          partName: String, bin: Int): PartManifest = {
     val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
       partName = partName, schema = schema)
+    // logical identities folded into this container — with those the
+    // sources themselves carried (a compaction of compactions): lets
+    // publish() recognize a replayed epoch whose rows live here
+    val ancestors = (ms.map(m => GraftCommits.logicalName(m.name)) ++
+      ms.flatMap(_.ancestors)).distinct.sorted
     val neededL = schema.collect { case s if s.kind == 0 || s.kind == 3 => s.name }.toSet
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
     val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet
@@ -206,6 +249,6 @@ object GraftMaintenance {
         }
       } finally in.close()
     }
-    enc.finish(publishManifest = false)
+    enc.finish(publishManifest = false).copy(ancestors = ancestors)
   }
 }

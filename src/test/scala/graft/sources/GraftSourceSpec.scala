@@ -511,6 +511,26 @@ class GraftSourceSpec extends AnyFunSuite {
     val want = df.agg(min("ts"), max("ts"), min("day"), max("day")).collect()(0)
     val got = back.agg(min("ts"), max("ts"), min("day"), max("day")).collect()(0)
     assert(got === want)
+    // temporal IN is pushed and chunk-pruned (regression: the generic
+    // long/int IN guards matched the COLUMN first and rejected the
+    // temporal value list before the temporal cases could fire)
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val tsIn = spark.read.format("graft").load(d)
+      .filter(col("ts").isin(base.plusHours(5), base.plusHours(310)))
+    tsIn.collect()
+    assert(graftScan(tsIn).description().contains("In(ts"),
+      s"ts IN not pushed: ${graftScan(tsIn).description()}")
+    assert(tsIn.count() === 2)
+    assert(graftScan(tsIn).planInputPartitions()
+      .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum === 2,
+      "hour 5 and hour 310 live in 2 of the 4 chunks")
+    val dayIn = spark.read.format("graft").load(d)
+      .filter(col("day").isin(java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Date.valueOf("2024-01-14")))
+    dayIn.collect()
+    assert(graftScan(dayIn).description().contains("In(day"),
+      s"day IN not pushed: ${graftScan(dayIn).description()}")
+    assert(dayIn.count() === 48)
   }
 
   test("narrow decode is overflow-checked: out-of-i32 values raise DecodeError") {

@@ -63,6 +63,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ms.head.rows === 400)
   }
 
+  test("compact preserves a temporal schema (kind-3 ts, kind-4 date) exactly") {
+    import spark.implicits._
+    val d = tempDir("cmp-temporal")
+    val base = spark.range(300).select(
+      col("id"),
+      expr("timestampadd(MINUTE, CAST(id AS INT), " +
+        "CAST('2024-03-01 00:00:00' AS TIMESTAMP_NTZ))").as("ts"),
+      expr("CAST(CAST('2024-03-01' AS DATE) + CAST(id % 40 AS INT) AS DATE)").as("day"),
+      concat(lit("t"), col("id") % 7).as("tag"))
+    for (w <- 0 until 3)
+      base.withColumn("id", col("id") + lit(w * 1000L))
+        .coalesce(1).write.format("graft").mode("append").save(d)
+    val before = spark.read.format("graft").load(d)
+    val want = before.collect().sortBy(_.getLong(0))
+    val (c, p) = GraftMaintenance.compact(spark, d)
+    assert(c === 3 && p === 1)
+    val after = spark.read.format("graft").load(d)
+    assert(after.schema === before.schema, "temporal schema must survive compaction")
+    assert(after.collect().sortBy(_.getLong(0)).toSeq === want.toSeq)
+    // pushed ts filter still exact on the compacted table: minutes
+    // 120..299 of each of the 3 waves
+    val cut = java.time.LocalDateTime.of(2024, 3, 1, 2, 0)
+    assert(after.filter(col("ts") >= lit(cut)).count() === 3L * 180)
+  }
+
   test("compact: a concurrent append between stage and commit is preserved (OCC)") {
     import spark.implicits._
     val d = tempDir("cmp-occ")
@@ -81,6 +106,42 @@ class MaintenanceSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sorted
     val want = ((0 until 200).map(i => (i.toLong, s"v${i % 50}")) ++ appended).sorted
     assert(back.toSeq === want, "compacted rows AND the racing append must both survive")
+  }
+
+  test("epoch replay AFTER compaction is dropped, not re-appended (exactly-once)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = tempDir("cmp-replay")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    def publishEpoch(e: Int, taskId: Long, ids: Range): Unit = {
+      val w = new GraftDataWriter(d, 0, s"q-e$e", confKv, 64, taskId, schema)
+      ids.foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString(s"t$i")))))
+      GraftCommits.publish(confKv, d, truncate = false, Array(w.commit()))
+    }
+    for (e <- 1 to 4) publishEpoch(e, 10L + e, (e * 100) until (e * 100 + 25))
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 100)
+    val (c, p) = GraftMaintenance.compact(spark, d)
+    assert(c === 4 && p === 1)
+    // driver crash before Spark's sink commit log recorded epoch 3 →
+    // restart replays it; its containers were compacted away, so the
+    // replay must be DROPPED (its rows live inside the compacted
+    // generation), not appended as duplicates
+    publishEpoch(3, 99L, 300 until 325)
+    assert(count() === 100,
+      "a replayed epoch folded into a compacted generation must be dropped")
+    assert(!gblks(d).exists(_.startsWith("part-q-e3-")),
+      "the dropped replay's staged container must be cleaned up")
+    // a genuinely NEW epoch still appends
+    publishEpoch(5, 50L, 500 until 525)
+    assert(count() === 125)
   }
 
   test("compact: a concurrent replace of a consumed container aborts cleanly") {
