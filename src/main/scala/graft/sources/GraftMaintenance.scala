@@ -185,6 +185,53 @@ object GraftMaintenance {
     (consumed.size, newManifests.length)
   }
 
+  /** Remove UNREACHABLE files from a table directory: block containers
+    * no committed manifest references (staged output of crashed or
+    * zombie write attempts — invisible to every read path, but never
+    * deleted when the job dies before its `abort` hook runs) and
+    * leftover `.tmp-*` upload fragments. Only files older than
+    * `graceMs` are touched: an in-flight writer's staged container is
+    * younger than any sane grace window (default 1 h), so a running
+    * job can never lose its uncommitted output. Manifest files without
+    * an index entry are NOT removed — they are the commit markers that
+    * listing-fallback reads (mid-encode resume) depend on.
+    *
+    * Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             graceMs: Long = 60L * 60 * 1000): Int = {
+    require(graceMs >= 0, s"graceMs must be >= 0: $graceMs")
+    val conf = ContainerIO.confSnapshot(spark)
+    val c = ContainerIO.confFrom(conf)
+    // referenced = the index snapshot UNION the manifests/ listing: a
+    // mid-resume engine encode has per-partition manifests the (stale)
+    // index doesn't know yet — their blocks are committed data, not
+    // orphans
+    val committedNames = Manifests.readCommitted(c, path).map(_.name)
+    val listedNames = ContainerIO.listNames(c, s"$path/manifests")
+      .filter(n => n.startsWith("part-") && n.endsWith(".json"))
+      .map(_.stripPrefix("part-").stripSuffix(".json"))
+    val referenced =
+      (committedNames ++ listedNames).map(n => s"part-$n.gblk").toSet
+    val fs = ContainerIO.fs(path, c)
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    def sweep(dir: String, doomed: String => Boolean): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) return
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && st.getModificationTime < cutoff &&
+            (n.startsWith(".tmp-") || doomed(n))) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    }
+    sweep(s"$path/blocks", n => n.endsWith(".gblk") && !referenced(n))
+    sweep(s"$path/manifests", _ => false) // .tmp- fragments only
+    deleted
+  }
+
   /** Stream one bin's containers chunk-by-chunk (CRC + digest verified)
     * into a fresh encoder under an unpublished manifest. Task memory is
     * bounded by one decoded chunk plus one encoder chunk buffer.

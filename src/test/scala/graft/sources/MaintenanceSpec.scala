@@ -170,6 +170,47 @@ class MaintenanceSpec extends AnyFunSuite {
       "aborted compaction must remove its staged manifests")
   }
 
+  test("vacuum removes aged orphans and tmp fragments, never committed or fresh files") {
+    import spark.implicits._
+    val d = tempDir("vacuum")
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1).write.format("graft").mode("overwrite").save(d)
+    val conf = ContainerIO.localConf()
+    // a crashed attempt's orphan container (no manifest), an aged tmp
+    // fragment, and a FRESH orphan (a still-running writer's staging)
+    def touch(rel: String, ageMs: Long): Unit = {
+      val p = java.nio.file.Paths.get(d, rel)
+      java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+      p.toFile.setLastModified(System.currentTimeMillis() - ageMs)
+      ()
+    }
+    touch("blocks/part-dead-e9-0-a77.gblk", 2 * 3600 * 1000L)
+    touch("blocks/.tmp-part-dead-e9-1-a78", 2 * 3600 * 1000L)
+    touch("manifests/.tmp-part-dead-e9-0-commit", 2 * 3600 * 1000L)
+    touch("blocks/part-live-e1-0-a5.gblk", 1000L)
+    // a committed-but-unconsolidated partition manifest (mid-encode
+    // resume shape): its block must count as referenced
+    val committed = Manifests.readCommitted(conf, d)
+    touch("blocks/part-resume7.gblk", 2 * 3600 * 1000L)
+    val m = committed.head
+    ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-resume",
+      Manifests.manifestPath(d, "resume7"),
+      Manifests.manifestJson(graft.engine.PartManifest(7, 1L, 1, 3L, 3L,
+        skipped = false, "", Nil, name = "resume7"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val deleted = GraftMaintenance.vacuum(spark, d)
+    assert(deleted === 3, s"expected the 3 aged dead files gone, got $deleted")
+    val blocks = gblks(d)
+    assert(!blocks.contains("part-dead-e9-0-a77.gblk"))
+    assert(blocks.contains("part-live-e1-0-a5.gblk"),
+      "a fresh orphan inside the grace window must survive")
+    assert(blocks.contains("part-resume7.gblk"),
+      "a listed-but-unconsolidated manifest's block must survive")
+    assert(blocks.contains(s"part-${m.name}.gblk"))
+    // the table still reads
+    assert(spark.read.format("graft").load(d).count() === 100)
+  }
+
   test("streaming source seen-log is compacted: 100 triggers leave a bounded log") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
