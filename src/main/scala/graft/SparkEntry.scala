@@ -499,6 +499,26 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // COMPACTION under a DuckDB oracle (round 6): the documents table
+    // appended in 4 epoch-like slices through the graft sink shape,
+    // folded to one container by GraftMaintenance.compact (OCC swap,
+    // ancestors recorded), then filtered+aggregated — the oracle proves
+    // the maintenance op is row-and-value invisible.
+    "c9_compact_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c9").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      for (w <- 0 until 4)
+        docs.filter(pmod(col("doc_id"), lit(4)) === w)
+          .write.format("graft").mode("append").save(dir)
+      graft.sources.GraftMaintenance.compact(s, dir)
+      s.read.format("graft").load(dir)
+        .filter(col("n_chars") >= 100L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // the selector's SIZE ACCOUNTING under a DuckDB oracle: raw bytes per
     // column (8/row for longs, utf8 bytes for strings) computed through
     // the same chunked stats pass the codec selector prices against —
@@ -814,6 +834,12 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-20 00:00:00'
          GROUP BY 1, 2, 3 ORDER BY 2, 3""",
+
+    "c9_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars >= 100
+         GROUP BY 1 ORDER BY 1""",
 
     "c5_size_accounting" ->
       """SELECT * FROM (
