@@ -1330,6 +1330,9 @@ private[sources] object GraftCommits {
     // the snapshot the winning commit superseded — exactly the state this
     // commit's deletes must be judged against
     val prior = Manifests.commitIndex(conf, path, old => {
+      // parse each old manifest ONCE per attempt: this transform runs on
+      // the commit hot path of every write/epoch, over O(partitions)
+      // JSONs
       val parsedOld = old.map(Manifests.parseWithFallback)
       val liveAncestors: Set[String] =
         if (truncate) Set.empty else parsedOld.flatMap(_.ancestors).toSet
@@ -1340,10 +1343,10 @@ private[sources] object GraftCommits {
       val activeLogical = activeNames.map(logicalName)
       val kept =
         if (truncate) Nil
-        else old.filterNot { j =>
-          val n = Manifests.parseWithFallback(j).name
-          activeNames.contains(n) || activeLogical.contains(logicalName(n))
-        }
+        else old.lazyZip(parsedOld).collect {
+          case (j, pm) if !activeNames.contains(pm.name) &&
+            !activeLogical.contains(logicalName(pm.name)) => j
+        }.toSeq
       kept ++ active.map(_.manifestJson)
     })
     val activeNames = fresh.map(_.name).toSet -- droppedReplays
