@@ -68,8 +68,23 @@ object Bench {
     java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getMax / 1e6
 
+  /** Cumulative process CPU seconds (all threads). Printed per rep next
+    * to wall time: on this sandbox VM a slow window can be pure CPU
+    * starvation (wall >> cpu x threads would predict) with ZERO GC —
+    * the round-5 driver artifact had exactly that shape and nothing in
+    * the JSON to prove it. cpu/wall per rep makes the bounding resource
+    * visible either way.
+    */
+  private def processCpuSeconds(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        math.max(os.getProcessCpuTime, 0L) / 1e9
+      case _ => 0.0
+    }
+
   /** One rep's measurements for an engine leg. */
-  private final case class Rep(sec: Double, gcSec: Double, heapMb: Double)
+  private final case class Rep(sec: Double, gcSec: Double, heapMb: Double,
+                               cpuSec: Double)
 
   /** Run an engine leg with the same noise discipline the query suite
     * got in round 5: `base` reps always, then up to `extra` more while the
@@ -86,11 +101,13 @@ object Bench {
     while (r < base || (r < base + extra && noisy)) {
       r += 1
       val gc0 = gcSeconds()
+      val cpu0 = processCpuSeconds()
       val (_, s) = timeSec(body)
-      val rep = Rep(s, gcSeconds() - gc0, heapUsedMb())
+      val rep = Rep(s, gcSeconds() - gc0, heapUsedMb(),
+        processCpuSeconds() - cpu0)
       System.err.println(
-        f"[bench] $label rep$r ${rep.sec}%.1f s (gc ${rep.gcSec}%.1f s, " +
-          f"heap ${rep.heapMb}%.0f/${heapMaxMb()}%.0f MB)")
+        f"[bench] $label rep$r ${rep.sec}%.1f s (cpu ${rep.cpuSec}%.1f s, " +
+          f"gc ${rep.gcSec}%.1f s, heap ${rep.heapMb}%.0f/${heapMaxMb()}%.0f MB)")
       reps = rep :: reps
       betweenReps() // untimed: per-rep cleanup stays out of the measurement
     }
@@ -193,6 +210,8 @@ object Bench {
         // the artifact alone
         "encode_gc_sec" -> encBest.gcSec,
         "decode_gc_sec" -> decBest.gcSec,
+        "encode_cpu_sec" -> encBest.cpuSec,
+        "decode_cpu_sec" -> decBest.cpuSec,
         "encode_heap_mb" -> encBest.heapMb,
         "decode_heap_mb" -> decBest.heapMb,
         "heap_max_mb" -> heapMaxMb(),
@@ -419,7 +438,16 @@ object Bench {
       .count().collect()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double =
-        try timeSec(fn(spark, sfDir).count())._2
+        try {
+          val cpu0 = processCpuSeconds()
+          val s = timeSec(fn(spark, sfDir).count())._2
+          // attribution for slow windows in the driver log: a rep whose
+          // wall far exceeds its CPU share ran on a starved VM, not a
+          // bad plan (round-5's unexplained engine outlier shape)
+          if (s > 2.0) System.err.println(
+            f"[bench] $name rep ${s}%.1f s (cpu ${processCpuSeconds() - cpu0}%.1f s)")
+          s
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       val first = once()
