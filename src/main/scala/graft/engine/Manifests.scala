@@ -90,6 +90,67 @@ object Manifests {
 
   final val IndexFile = "_manifest-index.json"
 
+  /** Logical partition identity of a (staged) container name: the
+    * attempt-qualifying `-a<taskId>` suffix stripped (a replayed epoch
+    * or task retry re-stages the same logical name under a new attempt).
+    */
+  def logicalName(n: String): String = n.replaceFirst("-a\\d+$", "")
+
+  /** Epoch (job / micro-batch) identity of a logical name: the trailing
+    * partition ordinal stripped — `q-e5-3` and `q-e5-0` are the same
+    * epoch `q-e5`. Replay protection across compaction works at THIS
+    * granularity: a replay may re-partition differently, so matching
+    * per-container names would only drop part of it.
+    */
+  def epochKey(logical: String): String = logical.replaceFirst("-\\d+$", "")
+
+  /** Cap on recorded ancestor epoch keys per manifest. Replay depth is
+    * bounded by the sink's uncommitted window (one or two epochs), so
+    * trimming ancient ancestors can only re-open a replay that Spark
+    * can no longer issue; the cap just bounds manifest size over a
+    * table's lifetime.
+    */
+  final val MaxAncestors = 65536
+
+  private val EpochNumRe = """.*-e(\d+)$""".r
+
+  /** Sorted, deduplicated, capped ancestor list: when over the cap,
+    * the LOWEST-numbered `-e<N>` epochs are trimmed first (only recent
+    * epochs can still be replayed); non-numbered keys (batch job ids)
+    * are preferred for retention over trimming-order guesses.
+    */
+  def capAncestors(anc: Seq[String]): Seq[String] = {
+    val s = anc.distinct.sorted
+    if (s.size <= MaxAncestors) s
+    else {
+      val (numbered, rest) = s.partition {
+        case EpochNumRe(_) => true
+        case _ => false
+      }
+      val keepNumbered = numbered
+        .sortBy { case EpochNumRe(e) => e.toLong; case _ => 0L }
+        .takeRight(math.max(MaxAncestors - rest.size, 0))
+      (rest ++ keepNumbered).sorted.take(MaxAncestors)
+    }
+  }
+
+  /** Drop manifests superseded by a live compacted generation: any
+    * manifest whose epoch key appears in some OTHER manifest's
+    * `ancestors` holds rows that already live inside that compacted
+    * container. Such stale markers exist only in a crash window
+    * (publish dies between its index commit and its replay-cleanup
+    * deletes), but the listing-fallback read paths and `consolidate`
+    * must not resurrect them as duplicate rows.
+    */
+  private[engine] def dropCompactedReplays(jsons: Seq[String]): Seq[String] = {
+    val parsed = jsons.map(parseWithFallback)
+    val anc = parsed.flatMap(_.ancestors).toSet
+    if (anc.isEmpty) jsons
+    else jsons.lazyZip(parsed).collect {
+      case (j, pm) if !anc.contains(epochKey(logicalName(pm.name))) => j
+    }.toSeq
+  }
+
   def indexPath(tableDir: String): String = s"$tableDir/$IndexFile"
   def manifestPath(tableDir: String, name: String): String =
     s"$tableDir/manifests/part-$name.json"
@@ -155,7 +216,8 @@ object Manifests {
     * the index (end of an engine encode job, including resumed runs).
     */
   def consolidate(conf: Configuration, tableDir: String): Unit = {
-    commitIndex(conf, tableDir, _ => listedManifestJsons(conf, tableDir))
+    commitIndex(conf, tableDir,
+      _ => dropCompactedReplays(listedManifestJsons(conf, tableDir)))
     ()
   }
 
@@ -280,7 +342,8 @@ object Manifests {
     var attempts = 0
     while (attempts < 64) {
       val snap = readIndexSnapshot(conf, tableDir)
-      val (ver, cur) = snap.getOrElse((-1L, listedManifestJsons(conf, tableDir)))
+      val (ver, cur) = snap.getOrElse(
+        (-1L, dropCompactedReplays(listedManifestJsons(conf, tableDir))))
       val next = ver + 1
       beforeClaimHook()
       if (ContainerIO.createExclusive(conf,
@@ -445,7 +508,7 @@ object Manifests {
   def readCommittedJsons(conf: Configuration, tableDir: String): Seq[String] =
     readIndexSnapshot(conf, tableDir) match {
       case Some((_, jsons)) => jsons
-      case None => listedManifestJsons(conf, tableDir)
+      case None => dropCompactedReplays(listedManifestJsons(conf, tableDir))
     }
 
   def crc32c(bytes: Array[Byte], off: Int, len: Int): Long = {

@@ -1287,14 +1287,14 @@ case class GraftCommitMessage(name: String, rows: Long,
 
 private[sources] object GraftCommits {
 
-  /** Logical partition identity of a staged container name: the
-    * attempt-qualifying `-a<taskId>` suffix stripped. A replayed
-    * streaming epoch (or a task retry) re-stages the same logical name
-    * under a fresh attempt id; publish REPLACES any previous generation
-    * of the same logical name instead of appending a duplicate.
+  /** Logical partition identity of a staged container name (see
+    * [[Manifests.logicalName]]). A replayed streaming epoch (or a task
+    * retry) re-stages the same logical name under a fresh attempt id;
+    * publish REPLACES any previous generation of the same logical name
+    * instead of appending a duplicate.
     */
   private[sources] def logicalName(n: String): String =
-    n.replaceFirst("-a\\d+$", "")
+    Manifests.logicalName(n)
 
   /** Publish one job's (or micro-batch's) staged containers: write the
     * manifests (commit markers) first, then commit the new consolidated
@@ -1323,21 +1323,29 @@ private[sources] object GraftCommits {
         Manifests.manifestPath(path, m.name),
         m.manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    // names among `fresh` whose logical identity was already folded into
-    // a live compacted container — decided against the snapshot the
-    // WINNING commit attempt saw (set by the last transform run)
+    // names among `fresh` whose EPOCH was already folded into a live
+    // compacted container — decided against the snapshot the WINNING
+    // commit attempt saw (set by the last transform run). Matching is
+    // epoch-granular ([[Manifests.epochKey]]): a replay may run with a
+    // different partition count, so per-container matching would drop
+    // only the name-colliding part and append the rest as duplicates.
+    // Compaction consumes only WHOLE epochs (GraftMaintenance), so an
+    // ancestor epoch key always means "every row of that epoch lives in
+    // a compacted generation".
     @volatile var droppedReplays = Set.empty[String]
-    // the snapshot the winning commit superseded — exactly the state this
-    // commit's deletes must be judged against
-    val prior = Manifests.commitIndex(conf, path, old => {
+    @volatile var priorNames = Seq.empty[String]
+    // priorNames captures the snapshot the winning commit superseded —
+    // exactly the state this commit's deletes must be judged against
+    Manifests.commitIndex(conf, path, old => {
       // parse each old manifest ONCE per attempt: this transform runs on
       // the commit hot path of every write/epoch, over O(partitions)
       // JSONs
       val parsedOld = old.map(Manifests.parseWithFallback)
+      priorNames = parsedOld.map(_.name)
       val liveAncestors: Set[String] =
         if (truncate) Set.empty else parsedOld.flatMap(_.ancestors).toSet
-      val (replays, active) =
-        fresh.partition(m => liveAncestors.contains(logicalName(m.name)))
+      val (replays, active) = fresh.partition(m =>
+        liveAncestors.contains(Manifests.epochKey(logicalName(m.name))))
       droppedReplays = replays.map(_.name).toSet
       val activeNames = active.map(_.name).toSet
       val activeLogical = activeNames.map(logicalName)
@@ -1354,8 +1362,7 @@ private[sources] object GraftCommits {
     def replaced(name: String): Boolean =
       !activeNames.contains(name) &&
         (truncate || activeLogical.contains(logicalName(name)))
-    val doomed = prior.map(Manifests.parseWithFallback)
-      .map(_.name).filter(replaced)
+    val doomed = priorNames.filter(replaced)
     val f = ContainerIO.fs(path, conf)
     doomed.foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)

@@ -88,22 +88,34 @@ object GraftMaintenance {
     // manifests of a table share it (appends enforce schema match)
     val schemaCols = committed.head.schemaCols
     val digestCol = committed.head.digestCol
-    val small = committed
+    val smallNames = committed
       .filter(m => m.encodedBytes < targetBytes &&
         m.schemaCols == schemaCols && m.digestCol == digestCol)
-      .sortBy(_.name)
-    // greedy size-binning in name (epoch) order
+      .map(_.name).toSet
+    // WHOLE-epoch planning: an epoch (micro-batch / job) is consumable
+    // only if EVERY one of its committed containers qualifies — replay
+    // protection records ancestor EPOCHS, and "epoch is an ancestor"
+    // must mean "all of its rows live in compacted generations". An
+    // epoch with one over-size container is skipped entirely.
+    val groups = committed
+      .groupBy(m => Manifests.epochKey(Manifests.logicalName(m.name)))
+      .values.toSeq
+      .filter(_.forall(m => smallNames(m.name)))
+      .map(_.sortBy(_.name))
+      .sortBy(_.head.name)
+    // greedy size-binning over whole epoch groups, in epoch-name order
     val bins = Seq.newBuilder[Seq[ParsedManifest]]
-    var run = List.empty[ParsedManifest]
+    var run = List.empty[Seq[ParsedManifest]]
     var runBytes = 0L
-    small.foreach { m =>
-      if (run.nonEmpty && runBytes + m.encodedBytes > targetBytes) {
-        bins += run.reverse; run = Nil; runBytes = 0L
+    groups.foreach { g =>
+      val gBytes = g.map(_.encodedBytes).sum
+      if (run.nonEmpty && runBytes + gBytes > targetBytes) {
+        bins += run.reverse.flatten; run = Nil; runBytes = 0L
       }
-      run = m :: run
-      runBytes += m.encodedBytes
+      run = g :: run
+      runBytes += gBytes
     }
-    if (run.nonEmpty) bins += run.reverse
+    if (run.nonEmpty) bins += run.reverse.flatten
     val work = bins.result().filter(_.size >= minContainers)
     if (work.isEmpty) return (0, 0)
 
@@ -123,11 +135,13 @@ object GraftMaintenance {
         }
         .collect()
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           // a task hit FileNotFound (a concurrent overwrite/compaction
           // deleted a source container mid-read) or failed outright:
           // sweep THIS run's staged containers so nothing leaks, then
-          // surface the controlled conflict shape for the FNF case
+          // surface the controlled conflict shape for the FNF case.
+          // Fatal errors (OOM, interrupts) propagate untouched — their
+          // staged leftovers are vacuum's job
           val f = ContainerIO.fs(path, conf)
           ContainerIO.listNames(conf, s"$path/blocks")
             .filter(_.startsWith(s"part-compact-$runId-"))
@@ -190,16 +204,19 @@ object GraftMaintenance {
     * zombie write attempts — invisible to every read path, but never
     * deleted when the job dies before its `abort` hook runs) and
     * leftover `.tmp-*` upload fragments. Only files older than
-    * `graceMs` are touched: an in-flight writer's staged container is
-    * younger than any sane grace window (default 1 h), so a running
-    * job can never lose its uncommitted output. Manifest files without
-    * an index entry are NOT removed — they are the commit markers that
+    * `graceMs` are touched — and the grace window must EXCEED the
+    * longest write job this table can see: a large batch write's staged
+    * containers are unreferenced from staging until JOB commit, so a
+    * too-short grace deletes a slow job's output out from under its
+    * commit (Iceberg's orphan-file procedure defaults to 3 days for
+    * the same reason; so does this). Manifest files without an index
+    * entry are NOT removed — they are the commit markers that
     * listing-fallback reads (mid-encode resume) depend on.
     *
     * Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, path: String,
-             graceMs: Long = 60L * 60 * 1000): Int = {
+             graceMs: Long = 72L * 60 * 60 * 1000): Int = {
     require(graceMs >= 0, s"graceMs must be >= 0: $graceMs")
     val conf = ContainerIO.confSnapshot(spark)
     val c = ContainerIO.confFrom(conf)
@@ -242,11 +259,13 @@ object GraftMaintenance {
                          partName: String, bin: Int): PartManifest = {
     val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
       partName = partName, schema = schema)
-    // logical identities folded into this container — with those the
+    // EPOCH identities folded into this container — with those the
     // sources themselves carried (a compaction of compactions): lets
-    // publish() recognize a replayed epoch whose rows live here
-    val ancestors = (ms.map(m => GraftCommits.logicalName(m.name)) ++
-      ms.flatMap(_.ancestors)).distinct.sorted
+    // publish() drop a replayed epoch whose rows live here, regardless
+    // of the replay's partition count
+    val ancestors = Manifests.capAncestors(
+      ms.map(m => Manifests.epochKey(Manifests.logicalName(m.name))) ++
+        ms.flatMap(_.ancestors))
     val neededL = schema.collect { case s if s.kind == 0 || s.kind == 3 => s.name }.toSet
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
     val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet

@@ -144,6 +144,123 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(count() === 125)
   }
 
+  test("replay with a DIFFERENT partition count after compaction is still dropped whole") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = tempDir("cmp-replay-parts")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    def publishParts(e: Int, taskId: Long, parts: Seq[(Int, Range)]): Unit = {
+      val msgs = parts.map { case (p, ids) =>
+        val w = new GraftDataWriter(d, p, s"q-e$e", confKv, 64, taskId + p, schema)
+        ids.foreach(i => w.write(new GenericInternalRow(
+          Array[Any](i.toLong, UTF8String.fromString(s"t$i")))))
+        w.commit()
+      }
+      GraftCommits.publish(confKv, d, truncate = false,
+        msgs.toArray[org.apache.spark.sql.connector.write.WriterCommitMessage])
+    }
+    // epochs 1-3 as ONE container each, then compact them away
+    for (e <- 1 to 3) publishParts(e, 10L, Seq((0, (e * 100) until (e * 100 + 30))))
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 90)
+    val (c, p) = GraftMaintenance.compact(spark, d)
+    assert(c === 3 && p === 1)
+    // epoch 2 replays with TWO partitions (restart changed parallelism):
+    // per-container matching would drop only part 0's name and append
+    // part 1 as duplicates — epoch-granular matching drops the whole
+    // replay, because compaction consumed the whole epoch
+    publishParts(2, 90L, Seq((0, 200 until 215), (1, 215 until 230)))
+    assert(count() === 90,
+      "a re-partitioned replay of a compacted epoch must be dropped whole")
+    // an epoch with a genuinely NEW id still appends with any layout
+    publishParts(9, 70L, Seq((0, 900 until 910), (1, 910 until 920)))
+    assert(count() === 110)
+  }
+
+  test("crash-leftover replay manifests are not resurrected by listing fallback or consolidate") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = tempDir("cmp-resurrect")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    def stage(e: Int, taskId: Long, ids: Range): GraftCommitMessage = {
+      val w = new GraftDataWriter(d, 0, s"q-e$e", confKv, 64, taskId, schema)
+      ids.foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString(s"t$i")))))
+      w.commit().asInstanceOf[GraftCommitMessage]
+    }
+    for (e <- 1 to 3)
+      GraftCommits.publish(confKv, d, truncate = false,
+        Array(stage(e, 10L + e, (e * 100) until (e * 100 + 20))))
+    GraftMaintenance.compact(spark, d)
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 60)
+    // simulate a publish that died AFTER its index commit dropped the
+    // replay but BEFORE deleting the replay's staged files: the replay
+    // manifest of compacted epoch 2 lingers as a commit marker
+    val stale = stage(2, 99L, 200 until 220)
+    ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-stale",
+      Manifests.manifestPath(d, stale.name),
+      stale.manifestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the documented listing-fallback recovery: delete ALL index files —
+    // including the local-FS .crc sidecars, or a later re-created
+    // same-named version pairs with a stale sidecar (CLAUDE.md pitfall)
+    ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(d, n))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, s".$n.crc"))
+      }
+    assert(count() === 60,
+      "listing fallback must not resurrect a compacted epoch's stale replay")
+    // consolidate rebuilds the index from the listing: same rule applies
+    Manifests.consolidate(conf, d)
+    assert(count() === 60,
+      "consolidate must not fold the stale replay back into the index")
+  }
+
+  test("compact consumes only WHOLE epochs: a mixed-size epoch is left intact") {
+    import spark.implicits._
+    val d = tempDir("cmp-partial")
+    // epoch A: two small appends; epoch B: one big + one small container
+    // (a single batch write job = one epoch in the name structure)
+    (0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "tag")
+      .coalesce(2).write.format("graft").mode("append").save(d)
+    val big = (0 until 4000).map(i => ((10000 + i).toLong,
+      s"payload-$i-${"x" * 50}"))
+    val bigDf = big.toDF("id", "tag")
+    // one job with 2 partitions: partition 0 big, partition 1 small
+    bigDf.withColumn("p", (col("id") % 4000 < 3990).cast("int"))
+      .repartition(2, col("p")).drop("p")
+      .write.format("graft").mode("append").save(d)
+    val conf = ContainerIO.localConf()
+    val ms = Manifests.readCommitted(conf, d)
+    val sizes = ms.map(_.encodedBytes).sorted
+    // target between the largest small container and the big one: the
+    // big epoch has a member over target, so the WHOLE epoch is skipped
+    val target = (sizes.last + sizes(sizes.length - 2)) / 2
+    val bigEpoch = Manifests.epochKey(Manifests.logicalName(
+      ms.maxBy(_.encodedBytes).name))
+    val (c, p) = GraftMaintenance.compactWithHook(spark, d, target, 2, () => ())
+    val after = Manifests.readCommitted(conf, d)
+    assert(after.count(m => Manifests.epochKey(
+      Manifests.logicalName(m.name)) == bigEpoch) ===
+      ms.count(m => Manifests.epochKey(Manifests.logicalName(m.name)) == bigEpoch),
+      "no container of the mixed-size epoch may be consumed")
+    assert(c >= 2 && p === 1, s"the small epoch should still compact, got ($c, $p)")
+    assert(spark.read.format("graft").load(d).count() === 4040)
+  }
+
   test("compact: a concurrent replace of a consumed container aborts cleanly") {
     import spark.implicits._
     val d = tempDir("cmp-conflict")
@@ -198,7 +315,7 @@ class MaintenanceSpec extends AnyFunSuite {
       Manifests.manifestJson(graft.engine.PartManifest(7, 1L, 1, 3L, 3L,
         skipped = false, "", Nil, name = "resume7"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val deleted = GraftMaintenance.vacuum(spark, d)
+    val deleted = GraftMaintenance.vacuum(spark, d, graceMs = 3600 * 1000L)
     assert(deleted === 3, s"expected the 3 aged dead files gone, got $deleted")
     val blocks = gblks(d)
     assert(!blocks.contains("part-dead-e9-0-a77.gblk"))
