@@ -52,7 +52,7 @@ final case class PartManifest(part: Int, rows: Long, chunks: Int,
     digest: String, columns: Seq[ColumnMetric],
     name: String = "", chunkIndex: Seq[ChunkStats] = Nil,
     schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content",
-    ancestors: Seq[String] = Nil)
+    ancestors: Seq[String] = Nil, commitId: String = "")
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *

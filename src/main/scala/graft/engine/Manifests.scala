@@ -47,7 +47,8 @@ final case class ParsedManifest(
     chunkIndex: Seq[ChunkStats],
     schemaCols: Seq[(String, Int)] = Nil,
     digestCol: String = "content",
-    ancestors: Seq[String] = Nil) {
+    ancestors: Seq[String] = Nil,
+    commitId: String = "") {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 }
 
@@ -134,21 +135,72 @@ object Manifests {
     }
   }
 
-  /** Drop manifests superseded by a live compacted generation: any
-    * manifest whose epoch key appears in some OTHER manifest's
-    * `ancestors` holds rows that already live inside that compacted
-    * container. Such stale markers exist only in a crash window
-    * (publish dies between its index commit and its replay-cleanup
-    * deletes), but the listing-fallback read paths and `consolidate`
-    * must not resurrect them as duplicate rows.
+  /** Monotone commit-generation stamp (millis, zero-padded for lexical
+    * order, plus a uniquifier): every manifest landed by one
+    * `publish`/`compact` call carries the same id, so the fallback
+    * normalizer below can select WHOLE generations instead of mixing
+    * containers of two generations of the same epoch (which may
+    * partition the same rows differently).
     */
-  private[engine] def dropCompactedReplays(jsons: Seq[String]): Seq[String] = {
+  def newCommitId(): String =
+    f"${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Inject a commitId into a writer-produced manifest JSON (publish
+    * stamps at commit time; the writers that serialize the manifest
+    * can't know it).
+    */
+  def stampCommitId(json: String, id: String): String = {
+    require(json.startsWith("{"), "manifest JSON must be an object")
+    s"""{"commitId":${q(id)},""" + json.substring(1)
+  }
+
+  /** Normalize a `manifests/` LISTING into a consistent snapshot. The
+    * versioned index is the authority; the listing is the fallback
+    * (legacy tables, mid-encode resume, disaster recovery) and can
+    * contain stale commit markers from crash windows — a publish or
+    * compaction that died between its index commit and its cleanup
+    * deletes. Resurrecting those doubles rows, so:
+    *
+    *  1. among PLAIN manifests (no ancestors) sharing an epoch, only
+    *     the newest commit generation is kept — an epoch replay may
+    *     re-partition the same rows, so whole generations are selected,
+    *     never mixed;
+    *  2. COMPACTED manifests (non-empty `ancestors` = exactly the
+    *     epochs whose rows they hold) are taken newest-commit-first,
+    *     dropping any whose ancestors intersect epochs already covered
+    *     (a crashed compaction's stage, or the one it superseded);
+    *  3. plain manifests whose epoch is covered by a kept compacted
+    *     generation are dropped (their rows live in it).
+    */
+  private[engine] def normalizeFallback(jsons: Seq[String]): Seq[String] = {
     val parsed = jsons.map(parseWithFallback)
-    val anc = parsed.flatMap(_.ancestors).toSet
-    if (anc.isEmpty) jsons
-    else jsons.lazyZip(parsed).collect {
-      case (j, pm) if !anc.contains(epochKey(logicalName(pm.name))) => j
-    }.toSeq
+    if (parsed.forall(_.ancestors.isEmpty) &&
+        parsed.map(m => epochKey(logicalName(m.name))).distinct.size ==
+          parsed.size) return jsons // common shape: nothing to normalize
+    val pairs = jsons.lazyZip(parsed).toSeq
+    val (compacts, plain) = pairs.partition(_._2.ancestors.nonEmpty)
+    // newest generation per plain epoch
+    val keptPlain = plain.groupBy(p => epochKey(logicalName(p._2.name)))
+      .values.flatMap { group =>
+        val newest = group.map(_._2.commitId).max
+        group.filter(_._2.commitId == newest)
+      }.toSeq
+    // compacted generations, newest first, no overlapping coverage
+    var covered = Set.empty[String]
+    val keptCompacts = compacts
+      .sortBy(p => (p._2.commitId, p._2.name))(Ordering.Tuple2(
+        Ordering.String.reverse, Ordering.String.reverse))
+      .filter { p =>
+        val anc = p._2.ancestors.toSet
+        if ((anc & covered).nonEmpty) false
+        else { covered ++= anc; true }
+      }
+    val out = keptCompacts ++
+      keptPlain.filterNot(p => covered.contains(epochKey(logicalName(p._2.name))))
+    // preserve listing order for deterministic index bodies
+    val keep = out.map(_._2.name).toSet
+    pairs.collect { case (j, pm) if keep(pm.name) => j }
   }
 
   def indexPath(tableDir: String): String = s"$tableDir/$IndexFile"
@@ -192,13 +244,17 @@ object Manifests {
     val schema = m.schemaCols.map { case (n, k) =>
       s"""{"name":${q(n)},"kind":$k}"""
     }.mkString("[", ",", "]")
-    // ancestors: LOGICAL names of containers this one compacted away —
-    // publish() uses them to drop a replayed epoch whose rows already
-    // live inside a compacted generation (exactly-once across compact)
+    // ancestors: EPOCH keys this container compacted away (exactly the
+    // epochs whose rows it holds) — publish() uses them to drop a
+    // replayed epoch whole (exactly-once across compact), and the
+    // listing-fallback normalizer uses them as the coverage set
     val anc =
       if (m.ancestors.isEmpty) ""
       else s""""ancestors":${m.ancestors.map(q).mkString("[", ",", "]")},"""
-    s"""{"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
+    val cid =
+      if (m.commitId.isEmpty) ""
+      else s""""commitId":${q(m.commitId)},"""
+    s"""{$cid"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
       s""""rawBytes":${m.rawBytes},"encodedBytes":${m.encodedBytes},""" +
       s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc""" +
       s""""columns":$cols,"chunkIndex":$chunks}"""
@@ -216,9 +272,24 @@ object Manifests {
     * the index (end of an engine encode job, including resumed runs).
     */
   def consolidate(conf: Configuration, tableDir: String): Unit = {
-    commitIndex(conf, tableDir,
-      _ => dropCompactedReplays(listedManifestJsons(conf, tableDir)))
-    ()
+    val listed = listedManifestJsons(conf, tableDir)
+    val kept = normalizeFallback(listed)
+    commitIndex(conf, tableDir, _ => kept)
+    // stale generations the normalizer just proved superseded would
+    // otherwise leak forever (vacuum spares manifests/ and counts their
+    // blocks as referenced): delete the pairs now that the rebuilt
+    // index excludes them
+    if (kept.size < listed.size) {
+      val keptNames = kept.map(parseWithFallback(_).name).toSet
+      val fs = ContainerIO.fs(tableDir, conf)
+      listed.map(parseWithFallback).filterNot(m => keptNames(m.name))
+        .foreach { m =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            manifestPath(tableDir, m.name)), false)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$tableDir/blocks/part-${m.name}.gblk"), false)
+        }
+    }
   }
 
   private val VersionedIndexRe = """_manifest-index\.v(\d+)\.json""".r
@@ -343,7 +414,7 @@ object Manifests {
     while (attempts < 64) {
       val snap = readIndexSnapshot(conf, tableDir)
       val (ver, cur) = snap.getOrElse(
-        (-1L, dropCompactedReplays(listedManifestJsons(conf, tableDir))))
+        (-1L, normalizeFallback(listedManifestJsons(conf, tableDir))))
       val next = ver + 1
       beforeClaimHook()
       if (ContainerIO.createExclusive(conf,
@@ -475,7 +546,8 @@ object Manifests {
       Option(root.get("digest")).map(_.asText()).getOrElse(""),
       ranges, chunkIndex, schemaCols,
       Option(root.get("digestCol")).map(_.asText()).getOrElse("content"),
-      ancestors)
+      ancestors,
+      Option(root.get("commitId")).map(_.asText()).getOrElse(""))
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the
@@ -508,7 +580,7 @@ object Manifests {
   def readCommittedJsons(conf: Configuration, tableDir: String): Seq[String] =
     readIndexSnapshot(conf, tableDir) match {
       case Some((_, jsons)) => jsons
-      case None => dropCompactedReplays(listedManifestJsons(conf, tableDir))
+      case None => normalizeFallback(listedManifestJsons(conf, tableDir))
     }
 
   def crc32c(bytes: Array[Byte], off: Int, len: Int): Long = {

@@ -1301,9 +1301,10 @@ private[sources] object GraftCommits {
     * index snapshot via OCC ([[Manifests.commitIndex]] — safe against a
     * concurrent append or streaming epoch), and only AFTER the new
     * snapshot is live delete the generations this commit replaced
-    * (everything on truncate; same-logical-name manifests on an epoch
-    * replay). Re-publishing an epoch is idempotent BY LOGICAL NAME: the
-    * replay's attempt-qualified containers replace the originals —
+    * (everything on truncate; the previous generation of each published
+    * EPOCH otherwise). Re-publishing an epoch is idempotent BY EPOCH:
+    * the replay's containers replace the original generation WHOLE,
+    * regardless of how the replay re-partitioned the epoch's rows —
     * and when the original generation was COMPACTED away
     * ([[GraftMaintenance.compact]] records the consumed logical names
     * as the compacted manifest's `ancestors`), the replay is DROPPED
@@ -1313,8 +1314,13 @@ private[sources] object GraftCommits {
   def publish(confKv: Map[String, String], path: String, truncate: Boolean,
               messages: Array[WriterCommitMessage]): Unit = {
     val conf = ContainerIO.confFrom(confKv)
+    // one commit-generation stamp for everything this publish lands: the
+    // listing-fallback normalizer selects WHOLE generations by it when a
+    // crash window leaves two generations of an epoch on disk
+    val commitId = Manifests.newCommitId()
     val fresh = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 => m
+      case m: GraftCommitMessage if m.rows > 0 =>
+        m.copy(manifestJson = Manifests.stampCommitId(m.manifestJson, commitId))
     }.sortBy(_.name)
     if (fresh.isEmpty && !truncate) return
     fresh.foreach { m =>
@@ -1347,21 +1353,28 @@ private[sources] object GraftCommits {
       val (replays, active) = fresh.partition(m =>
         liveAncestors.contains(Manifests.epochKey(logicalName(m.name))))
       droppedReplays = replays.map(_.name).toSet
-      val activeNames = active.map(_.name).toSet
-      val activeLogical = activeNames.map(logicalName)
+      // replacement is EPOCH-granular too: a replayed epoch may
+      // re-partition the same rows, so per-logical-name replacement
+      // would leave the old generation's surplus partitions alongside
+      // the full replay — duplicates. Publishing an epoch replaces
+      // EVERY container of its previous generation.
+      val activeEpochs = active
+        .map(m => Manifests.epochKey(logicalName(m.name))).toSet
       val kept =
         if (truncate) Nil
         else old.lazyZip(parsedOld).collect {
-          case (j, pm) if !activeNames.contains(pm.name) &&
-            !activeLogical.contains(logicalName(pm.name)) => j
+          case (j, pm) if !activeEpochs.contains(
+            Manifests.epochKey(logicalName(pm.name))) => j
         }.toSeq
       kept ++ active.map(_.manifestJson)
     })
     val activeNames = fresh.map(_.name).toSet -- droppedReplays
-    val activeLogical = activeNames.map(logicalName)
+    val activeEpochs = (fresh.map(_.name).toSet -- droppedReplays)
+      .map(n => Manifests.epochKey(logicalName(n)))
     def replaced(name: String): Boolean =
       !activeNames.contains(name) &&
-        (truncate || activeLogical.contains(logicalName(name)))
+        (truncate ||
+          activeEpochs.contains(Manifests.epochKey(logicalName(name))))
     val doomed = priorNames.filter(replaced)
     val f = ContainerIO.fs(path, conf)
     doomed.foreach { n =>

@@ -50,10 +50,12 @@ object GraftMaintenance {
     * FileNotFoundException (see [[ChunkCursor]]).
     *
     * Exactly-once interplay: the compacted manifest records the consumed
-    * LOGICAL names as its `ancestors`, so a streaming-sink epoch that is
-    * REPLAYED after its containers were compacted away is dropped by
-    * [[GraftCommits.publish]] instead of re-appended (its rows already
-    * live in the compacted generation). Downstream CONSUMERS tailing
+    * EPOCH keys as its `ancestors` (compaction consumes only whole
+    * epochs, so an ancestor always means "every row of that epoch lives
+    * here"), and a streaming-sink epoch that is REPLAYED after its
+    * containers were compacted away is dropped WHOLE by
+    * [[GraftCommits.publish]] — even when the replay re-partitioned —
+    * instead of re-appended. Downstream CONSUMERS tailing
     * this table via `readStream.format("graft")` follow the
     * FileStreamSource rewrite contract: a compacted generation is a new
     * manifest name, so a tailing query that already emitted the old
@@ -163,10 +165,15 @@ object GraftMaintenance {
 
     beforeCommit()
     val consumed = work.flatten.map(_.name).toSet
-    val newJsons = newManifests.map(Manifests.manifestJson).toSeq
+    // one commit-generation stamp across the run's bins: a crashed
+    // compaction's stale stage and its committed retry are then
+    // distinguishable by the listing-fallback normalizer
+    val commitId = Manifests.newCommitId()
+    val stamped = newManifests.map(_.copy(commitId = commitId))
+    val newJsons = stamped.map(Manifests.manifestJson).toSeq
     // publish discipline of GraftCommits.publish: manifests (commit
     // markers) first, then the OCC snapshot swap, then old-file deletes
-    newManifests.foreach(m => Manifests.writeManifest(conf, path, m, 0L))
+    stamped.foreach(m => Manifests.writeManifest(conf, path, m, 0L))
     try {
       Manifests.commitIndex(conf, path, old => {
         val live = old.map(Manifests.parseWithFallback(_).name).toSet

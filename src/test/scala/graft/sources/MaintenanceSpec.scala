@@ -14,6 +14,28 @@ class MaintenanceSpec extends AnyFunSuite {
     ContainerIO.listNames(ContainerIO.localConf(), s"$d/blocks")
       .filter(_.endsWith(".gblk"))
 
+  /** Publish one epoch (`q-e<e>`) of an (id BIGINT, tag STRING) table as
+    * the given (partition, id-range) containers — the streaming-sink
+    * commit shape, driven directly for exact layout control.
+    */
+  private def publishEpochParts(d: String, e: Int, taskId: Long,
+                                parts: Seq[(Int, Range)]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    val msgs = parts.map { case (p, ids) =>
+      val w = new GraftDataWriter(d, p, s"q-e$e", confKv, 64, taskId + p, schema)
+      ids.foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i.toLong, UTF8String.fromString(s"t$i")))))
+      w.commit()
+    }
+    GraftCommits.publish(confKv, d, truncate = false,
+      msgs.toArray[org.apache.spark.sql.connector.write.WriterCommitMessage])
+  }
+
   test("compact: 10 streaming epochs of tiny containers rewrite into one, rows identical") {
     import spark.implicits._
     val srcDir = tempDir("cmp-src")
@@ -230,35 +252,138 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   test("compact consumes only WHOLE epochs: a mixed-size epoch is left intact") {
-    import spark.implicits._
     val d = tempDir("cmp-partial")
-    // epoch A: two small appends; epoch B: one big + one small container
-    // (a single batch write job = one epoch in the name structure)
-    (0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "tag")
-      .coalesce(2).write.format("graft").mode("append").save(d)
-    val big = (0 until 4000).map(i => ((10000 + i).toLong,
-      s"payload-$i-${"x" * 50}"))
-    val bigDf = big.toDF("id", "tag")
-    // one job with 2 partitions: partition 0 big, partition 1 small
-    bigDf.withColumn("p", (col("id") % 4000 < 3990).cast("int"))
-      .repartition(2, col("p")).drop("p")
-      .write.format("graft").mode("append").save(d)
     val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    // epoch A: two small containers; epoch B: one BIG + one small —
+    // built with direct writers so the per-epoch container layout is
+    // exact (a repartition-based layout silently collapsed under
+    // Spark's hash partitioning in an earlier version of this test)
+    publishEpochParts(d, 1, 10L, Seq((0, 0 until 20), (1, 20 until 40)))
+    publishEpochParts(d, 2, 20L,
+      Seq((0, 100 until 3000), (1, 3000 until 3020)))
     val ms = Manifests.readCommitted(conf, d)
+    assert(ms.size === 4)
     val sizes = ms.map(_.encodedBytes).sorted
-    // target between the largest small container and the big one: the
-    // big epoch has a member over target, so the WHOLE epoch is skipped
+    // target between the 3 small containers and the big one: epoch B
+    // has an over-target member, so the WHOLE epoch must be skipped
     val target = (sizes.last + sizes(sizes.length - 2)) / 2
-    val bigEpoch = Manifests.epochKey(Manifests.logicalName(
-      ms.maxBy(_.encodedBytes).name))
+    assert(ms.count(_.encodedBytes < target) === 3,
+      "layout precondition: exactly 3 of 4 containers are under target")
     val (c, p) = GraftMaintenance.compactWithHook(spark, d, target, 2, () => ())
+    assert(c === 2 && p === 1,
+      s"only epoch A (both containers small) may compact, got ($c, $p)")
     val after = Manifests.readCommitted(conf, d)
     assert(after.count(m => Manifests.epochKey(
-      Manifests.logicalName(m.name)) == bigEpoch) ===
-      ms.count(m => Manifests.epochKey(Manifests.logicalName(m.name)) == bigEpoch),
+      Manifests.logicalName(m.name)) == "q-e2") === 2,
       "no container of the mixed-size epoch may be consumed")
-    assert(c >= 2 && p === 1, s"the small epoch should still compact, got ($c, $p)")
-    assert(spark.read.format("graft").load(d).count() === 4040)
+    assert(spark.read.format("graft").load(d).count() === 2960)
+  }
+
+  test("re-partitioned replay of an UNCOMPACTED epoch replaces it whole (no duplicates)") {
+    val d = tempDir("replay-whole")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    // epoch 5 commits as THREE containers, then replays as TWO (restart
+    // with lower parallelism; same rows, re-partitioned): per-logical-
+    // name replacement would keep the original part 2 alongside the
+    // full replay and double its rows
+    publishEpochParts(d, 5, 10L,
+      Seq((0, 0 until 30), (1, 30 until 60), (2, 60 until 90)))
+    assert(spark.read.format("graft").load(d).count() === 90)
+    publishEpochParts(d, 5, 40L, Seq((0, 0 until 45), (1, 45 until 90)))
+    assert(spark.read.format("graft").load(d).count() === 90,
+      "an epoch replay must replace its previous generation WHOLE")
+    assert(gblks(d).size === 2, "only the replay generation's containers remain")
+    // other epochs are untouched by the replace
+    publishEpochParts(d, 6, 60L, Seq((0, 1000 until 1020)))
+    assert(spark.read.format("graft").load(d).count() === 110)
+  }
+
+  test("listing fallback selects whole commit generations, never mixes them") {
+    val d = tempDir("fallback-gen")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    publishEpochParts(d, 1, 10L, Seq((0, 0 until 25), (1, 25 until 50)))
+    // the replay replaces the epoch in the INDEX, but the publish
+    // "crashed" before deleting the old generation's files: re-create
+    // the old manifests afterwards to simulate the leftover markers
+    val oldJsons = Manifests.readCommitted(conf, d)
+    publishEpochParts(d, 1, 30L, Seq((0, 0 until 50)))
+    oldJsons.foreach { m =>
+      // the old generation's manifest comes back as a stale marker (its
+      // block file also survives in the crash window)
+      ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-stale-${m.name}",
+        Manifests.manifestPath(d, m.name),
+        // re-serialize with the ORIGINAL (older) commitId preserved
+        Manifests.stampCommitId(
+          Manifests.manifestJson(graft.engine.PartManifest(
+            m.part, m.rows, m.chunks, m.rawBytes, m.encodedBytes,
+            skipped = false, m.digest, Nil, name = m.name,
+            chunkIndex = m.chunkIndex, schemaCols = m.schemaCols,
+            digestCol = m.digestCol)), m.commitId)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // with the index live, reads are unaffected
+    assert(spark.read.format("graft").load(d).count() === 50)
+    // disaster recovery: index lost, listing fallback must keep ONE
+    // whole generation (the newest), not mix parts of both
+    ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(d, n))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, s".$n.crc"))
+      }
+    assert(spark.read.format("graft").load(d).count() === 50,
+      "fallback must keep exactly the newest generation of the epoch")
+    // consolidate rebuilds the index AND deletes the stale generation
+    Manifests.consolidate(conf, d)
+    assert(spark.read.format("graft").load(d).count() === 50)
+    assert(ContainerIO.listNames(conf, s"$d/manifests")
+      .count(_.endsWith(".json")) === 1,
+      "consolidate must delete the superseded generation's manifests")
+  }
+
+  test("a crashed compaction's stage does not double rows next to its committed retry") {
+    val d = tempDir("cmp-crashstage")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    for (e <- 1 to 3)
+      publishEpochParts(d, e, 10L + e, Seq((0, (e * 100) until (e * 100 + 20))))
+    // a first compaction run "crashes" after writing its manifests but
+    // before its index commit: craft its leftover stage with an OLDER
+    // commitId covering the same epochs
+    val staleStage = graft.engine.PartManifest(0, 60L, 1, 100L, 80L,
+      skipped = false, "", Nil, name = "compact-dead0-0",
+      ancestors = Seq("q-e1", "q-e2", "q-e3"),
+      commitId = "0000000000001-dead")
+    ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-deadstage",
+      Manifests.manifestPath(d, staleStage.name),
+      Manifests.manifestJson(staleStage)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the RETRY commits for real
+    val (c, p) = GraftMaintenance.compact(spark, d)
+    assert(c === 3 && p === 1)
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 60)
+    // disaster recovery via listing: the dead stage covers the same
+    // epochs as the committed retry — newest-commit-first coverage must
+    // keep exactly one of them
+    ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(d, n))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, s".$n.crc"))
+      }
+    assert(count() === 60,
+      "the crashed stage must not double the compacted epochs' rows")
+    Manifests.consolidate(conf, d)
+    assert(count() === 60)
+    assert(!ContainerIO.listNames(conf, s"$d/manifests")
+      .exists(_.contains("compact-dead0")),
+      "consolidate must delete the crashed stage's manifest")
   }
 
   test("compact: a concurrent replace of a consumed container aborts cleanly") {
