@@ -48,7 +48,8 @@ final case class ParsedManifest(
     schemaCols: Seq[(String, Int)] = Nil,
     digestCol: String = "content",
     ancestors: Seq[String] = Nil,
-    commitId: String = "") {
+    commitId: String = "",
+    commitParts: Int = 0) {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 }
 
@@ -128,10 +129,17 @@ object Manifests {
         case EpochNumRe(_) => true
         case _ => false
       }
-      val keepNumbered = numbered
-        .sortBy { case EpochNumRe(e) => e.toLong; case _ => 0L }
-        .takeRight(math.max(MaxAncestors - rest.size, 0))
-      (rest ++ keepNumbered).sorted.take(MaxAncestors)
+      if (rest.size >= MaxAncestors)
+        // no age order exists for job-id keys: the trim is lexical and
+        // best-effort (a replay of a trimmed ancient job re-appends) —
+        // reachable only past 65536 distinct compacted batch jobs
+        rest.sorted.takeRight(MaxAncestors)
+      else {
+        val keepNumbered = numbered
+          .sortBy { case EpochNumRe(e) => e.toLong; case _ => 0L }
+          .takeRight(MaxAncestors - rest.size)
+        (rest ++ keepNumbered).sorted
+      }
     }
   }
 
@@ -153,6 +161,17 @@ object Manifests {
   def stampCommitId(json: String, id: String): String = {
     require(json.startsWith("{"), "manifest JSON must be an object")
     s"""{"commitId":${q(id)},""" + json.substring(1)
+  }
+
+  /** As [[stampCommitId]], also recording how many containers this
+    * epoch's generation consists of — the fallback normalizer's
+    * COMPLETENESS check (a publish that crashed mid-way through its
+    * manifest-file writes leaves a partial newer generation, which must
+    * never beat the complete committed one).
+    */
+  def stampCommit(json: String, id: String, epochParts: Int): String = {
+    require(json.startsWith("{"), "manifest JSON must be an object")
+    s"""{"commitId":${q(id)},"commitParts":$epochParts,""" + json.substring(1)
   }
 
   /** Normalize a `manifests/` LISTING into a consistent snapshot. The
@@ -180,21 +199,34 @@ object Manifests {
           parsed.size) return jsons // common shape: nothing to normalize
     val pairs = jsons.lazyZip(parsed).toSeq
     val (compacts, plain) = pairs.partition(_._2.ancestors.nonEmpty)
-    // newest generation per plain epoch
+    // newest COMPLETE generation per plain epoch: a generation whose
+    // recorded commitParts exceeds the manifests present is a publish
+    // that crashed mid-stage — it must never beat the complete
+    // committed generation below it (commitParts 0 = legacy/unknown,
+    // treated as complete)
     val keptPlain = plain.groupBy(p => epochKey(logicalName(p._2.name)))
       .values.flatMap { group =>
-        val newest = group.map(_._2.commitId).max
-        group.filter(_._2.commitId == newest)
+        val gens = group.groupBy(_._2.commitId).toSeq
+          .sortBy(_._1)(Ordering.String.reverse)
+        def complete(g: Seq[(String, ParsedManifest)]): Boolean = {
+          val want = g.map(_._2.commitParts).max
+          want == 0 || g.size >= want
+        }
+        gens.find(g => complete(g._2)).getOrElse(gens.head)._2
       }.toSeq
-    // compacted generations, newest first, no overlapping coverage
+    // compacted generations, newest first, no overlapping coverage.
+    // Coverage keys include epochKey of each stored ancestor so
+    // manifests written when ancestors were per-container logical
+    // names (pre-commit-generation format) still match
     var covered = Set.empty[String]
     val keptCompacts = compacts
       .sortBy(p => (p._2.commitId, p._2.name))(Ordering.Tuple2(
         Ordering.String.reverse, Ordering.String.reverse))
       .filter { p =>
         val anc = p._2.ancestors.toSet
-        if ((anc & covered).nonEmpty) false
-        else { covered ++= anc; true }
+        val ancKeys = anc ++ anc.map(epochKey)
+        if ((ancKeys & covered).nonEmpty) false
+        else { covered ++= ancKeys; true }
       }
     val out = keptCompacts ++
       keptPlain.filterNot(p => covered.contains(epochKey(logicalName(p._2.name))))
@@ -272,24 +304,34 @@ object Manifests {
     * the index (end of an engine encode job, including resumed runs).
     */
   def consolidate(conf: Configuration, tableDir: String): Unit = {
+    // the listing MUST be taken inside the transform: each OCC retry
+    // re-lists, so a concurrent publish's just-committed manifests are
+    // in the snapshot this commit lands on top of (hoisting the listing
+    // out of the loop would re-commit a stale pre-race view and drop
+    // the concurrent writer's rows from the index)
+    commitIndex(conf, tableDir,
+      _ => normalizeFallback(listedManifestJsons(conf, tableDir)))
+    // cleanup pass: stale generations the normalizer proves superseded
+    // would otherwise leak forever (vacuum spares manifests/ and counts
+    // their blocks as referenced). Only generations OLDER than every
+    // kept commit are deleted — a NEWER partial generation may belong
+    // to an in-flight publish whose index commit is imminent (its rows
+    // are index-served either way; at worst it leaks until the next
+    // consolidate after a genuinely newer commit).
     val listed = listedManifestJsons(conf, tableDir)
-    val kept = normalizeFallback(listed)
-    commitIndex(conf, tableDir, _ => kept)
-    // stale generations the normalizer just proved superseded would
-    // otherwise leak forever (vacuum spares manifests/ and counts their
-    // blocks as referenced): delete the pairs now that the rebuilt
-    // index excludes them
-    if (kept.size < listed.size) {
-      val keptNames = kept.map(parseWithFallback(_).name).toSet
-      val fs = ContainerIO.fs(tableDir, conf)
-      listed.map(parseWithFallback).filterNot(m => keptNames(m.name))
-        .foreach { m =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            manifestPath(tableDir, m.name)), false)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$tableDir/blocks/part-${m.name}.gblk"), false)
-        }
-    }
+    val parsed = listed.map(parseWithFallback)
+    val keptNames = normalizeFallback(listed).map(parseWithFallback(_).name).toSet
+    val maxKept = parsed.filter(m => keptNames(m.name))
+      .map(_.commitId).maxOption.getOrElse("")
+    val fs = ContainerIO.fs(tableDir, conf)
+    parsed.filterNot(m => keptNames(m.name))
+      .filter(_.commitId < maxKept)
+      .foreach { m =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          manifestPath(tableDir, m.name)), false)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$tableDir/blocks/part-${m.name}.gblk"), false)
+      }
   }
 
   private val VersionedIndexRe = """_manifest-index\.v(\d+)\.json""".r
@@ -547,7 +589,8 @@ object Manifests {
       ranges, chunkIndex, schemaCols,
       Option(root.get("digestCol")).map(_.asText()).getOrElse("content"),
       ancestors,
-      Option(root.get("commitId")).map(_.asText()).getOrElse(""))
+      Option(root.get("commitId")).map(_.asText()).getOrElse(""),
+      jLong(root, "commitParts").toInt)
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

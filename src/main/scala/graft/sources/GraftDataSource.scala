@@ -1316,12 +1316,18 @@ private[sources] object GraftCommits {
     val conf = ContainerIO.confFrom(confKv)
     // one commit-generation stamp for everything this publish lands: the
     // listing-fallback normalizer selects WHOLE generations by it when a
-    // crash window leaves two generations of an epoch on disk
+    // crash window leaves two generations of an epoch on disk, and the
+    // per-epoch container count lets it tell a complete generation from
+    // a publish that crashed mid-way through its manifest writes
     val commitId = Manifests.newCommitId()
-    val fresh = messages.collect {
-      case m: GraftCommitMessage if m.rows > 0 =>
-        m.copy(manifestJson = Manifests.stampCommitId(m.manifestJson, commitId))
+    val raw = messages.collect {
+      case m: GraftCommitMessage if m.rows > 0 => m
     }.sortBy(_.name)
+    val epochParts = raw.groupBy(m =>
+      Manifests.epochKey(logicalName(m.name))).view.mapValues(_.length).toMap
+    val fresh = raw.map(m => m.copy(manifestJson = Manifests.stampCommit(
+      m.manifestJson, commitId,
+      epochParts(Manifests.epochKey(logicalName(m.name))))))
     if (fresh.isEmpty && !truncate) return
     fresh.foreach { m =>
       ContainerIO.writeAtomic(conf,
@@ -1348,8 +1354,15 @@ private[sources] object GraftCommits {
       // JSONs
       val parsedOld = old.map(Manifests.parseWithFallback)
       priorNames = parsedOld.map(_.name)
+      // ancestors written before the commit-generation format were
+      // per-container logical names: include their epochKey so legacy
+      // compacted tables keep their replay protection
       val liveAncestors: Set[String] =
-        if (truncate) Set.empty else parsedOld.flatMap(_.ancestors).toSet
+        if (truncate) Set.empty
+        else {
+          val anc = parsedOld.flatMap(_.ancestors).toSet
+          anc ++ anc.map(Manifests.epochKey)
+        }
       val (replays, active) = fresh.partition(m =>
         liveAncestors.contains(Manifests.epochKey(logicalName(m.name))))
       droppedReplays = replays.map(_.name).toSet
@@ -1369,8 +1382,7 @@ private[sources] object GraftCommits {
       kept ++ active.map(_.manifestJson)
     })
     val activeNames = fresh.map(_.name).toSet -- droppedReplays
-    val activeEpochs = (fresh.map(_.name).toSet -- droppedReplays)
-      .map(n => Manifests.epochKey(logicalName(n)))
+    val activeEpochs = activeNames.map(n => Manifests.epochKey(logicalName(n)))
     def replaced(name: String): Boolean =
       !activeNames.contains(name) &&
         (truncate ||

@@ -677,15 +677,21 @@ class GraftSourceSpec extends AnyFunSuite {
       .filter(_.startsWith("_manifest-index")).head
     val idxPath = java.nio.file.Paths.get(s"$d/$idxName")
     val origIdx = java.nio.file.Files.readAllBytes(idxPath)
+    // a mutated manifest NAME resolves to a nonexistent block file: the
+    // reader's controlled snapshot-superseded error is the right shape
+    // for "the file this (corrupt) snapshot references is gone"
+    def isControlled(t: Throwable): Boolean =
+      t.isInstanceOf[graft.core.DecodeError] ||
+        t.isInstanceOf[IllegalArgumentException] ||
+        (t.isInstanceOf[IllegalStateException] &&
+          Option(t.getMessage).exists(_.contains("snapshot superseded")))
     def controlled(ctx: String)(f: => Any): Unit =
       try { f; () }
       catch {
-        case _: graft.core.DecodeError => ()
-        case _: IllegalArgumentException => ()
+        case e: Throwable if isControlled(e) => ()
         case e: org.apache.spark.SparkException => // task failure wrapper
           def ok(t: Throwable): Boolean = t != null &&
-            (t.isInstanceOf[graft.core.DecodeError] ||
-             t.isInstanceOf[IllegalArgumentException] || ok(t.getCause))
+            (isControlled(t) || ok(t.getCause))
           assert(ok(e), s"uncontrolled failure on $ctx: $e")
         case e: Throwable =>
           fail(s"uncontrolled ${e.getClass.getName}: ${e.getMessage} on $ctx")

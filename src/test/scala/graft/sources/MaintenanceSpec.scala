@@ -167,28 +167,13 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   test("replay with a DIFFERENT partition count after compaction is still dropped whole") {
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import org.apache.spark.unsafe.types.UTF8String
     val d = tempDir("cmp-replay-parts")
     val conf = ContainerIO.localConf()
     ContainerIO.mkdirs(conf, s"$d/blocks")
     ContainerIO.mkdirs(conf, s"$d/manifests")
-    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
-      StructField("tag", StringType, nullable = false)))
-    val confKv = ContainerIO.confSnapshot(spark)
-    def publishParts(e: Int, taskId: Long, parts: Seq[(Int, Range)]): Unit = {
-      val msgs = parts.map { case (p, ids) =>
-        val w = new GraftDataWriter(d, p, s"q-e$e", confKv, 64, taskId + p, schema)
-        ids.foreach(i => w.write(new GenericInternalRow(
-          Array[Any](i.toLong, UTF8String.fromString(s"t$i")))))
-        w.commit()
-      }
-      GraftCommits.publish(confKv, d, truncate = false,
-        msgs.toArray[org.apache.spark.sql.connector.write.WriterCommitMessage])
-    }
     // epochs 1-3 as ONE container each, then compact them away
-    for (e <- 1 to 3) publishParts(e, 10L, Seq((0, (e * 100) until (e * 100 + 30))))
+    for (e <- 1 to 3)
+      publishEpochParts(d, e, 10L, Seq((0, (e * 100) until (e * 100 + 30))))
     def count() = spark.read.format("graft").load(d).count()
     assert(count() === 90)
     val (c, p) = GraftMaintenance.compact(spark, d)
@@ -197,12 +182,47 @@ class MaintenanceSpec extends AnyFunSuite {
     // per-container matching would drop only part 0's name and append
     // part 1 as duplicates — epoch-granular matching drops the whole
     // replay, because compaction consumed the whole epoch
-    publishParts(2, 90L, Seq((0, 200 until 215), (1, 215 until 230)))
+    publishEpochParts(d, 2, 90L, Seq((0, 200 until 215), (1, 215 until 230)))
     assert(count() === 90,
       "a re-partitioned replay of a compacted epoch must be dropped whole")
     // an epoch with a genuinely NEW id still appends with any layout
-    publishParts(9, 70L, Seq((0, 900 until 910), (1, 910 until 920)))
+    publishEpochParts(d, 9, 70L, Seq((0, 900 until 910), (1, 910 until 920)))
     assert(count() === 110)
+  }
+
+  test("a PARTIAL newer generation never beats the complete committed one") {
+    val d = tempDir("fallback-partial")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    publishEpochParts(d, 1, 10L, Seq((0, 0 until 30), (1, 30 until 60)))
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 60)
+    // a replay publish "crashed" mid-way through its manifest writes:
+    // only 1 of its 2 containers' manifests landed (commitParts = 2,
+    // NEWER commitId) — the fallback must keep the COMPLETE committed
+    // generation, not the newer partial
+    val partial = graft.engine.PartManifest(0, 30L, 1, 100L, 80L,
+      skipped = false, "", Nil, name = "q-e1-0-a77")
+    ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-partial",
+      Manifests.manifestPath(d, partial.name),
+      Manifests.stampCommit(Manifests.manifestJson(partial),
+        Manifests.newCommitId(), 2)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(d, n))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, s".$n.crc"))
+      }
+    assert(count() === 60,
+      "the complete committed generation must win over a newer partial one")
+    // consolidate must NOT delete the newer partial (it may belong to an
+    // in-flight publish) — and must not resurrect it either
+    Manifests.consolidate(conf, d)
+    assert(count() === 60)
+    assert(ContainerIO.listNames(conf, s"$d/manifests")
+      .exists(_.contains("q-e1-0-a77")),
+      "a newer-than-kept partial generation is left for a later sweep")
   }
 
   test("crash-leftover replay manifests are not resurrected by listing fallback or consolidate") {
