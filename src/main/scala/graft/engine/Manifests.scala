@@ -143,16 +143,31 @@ object Manifests {
     }
   }
 
-  /** Monotone commit-generation stamp (millis, zero-padded for lexical
-    * order, plus a uniquifier): every manifest landed by one
+  /** Monotone commit-generation stamp: every manifest landed by one
     * `publish`/`compact` call carries the same id, so the fallback
     * normalizer below can select WHOLE generations instead of mixing
     * containers of two generations of the same epoch (which may
     * partition the same rows differently).
+    *
+    * Monotonicity is PER TABLE, not per clock: the leading numeric field
+    * is `max(max committed predecessor's field + 1, currentTimeMillis)`,
+    * so a logically newer generation always orders lexically above every
+    * generation visible when it was created — even when the committing
+    * driver's wall clock runs BEHIND the previous committer's (streaming
+    * restart on another machine, maintenance run elsewhere). Pure wall
+    * clock (pre-round-7) let a skewed-back clock stamp a newer
+    * generation lexically older, and consolidate's `commitId < maxKept`
+    * cleanup would then permanently delete the newer generation in the
+    * crash-window case.
     */
-  def newCommitId(): String =
-    f"${System.currentTimeMillis()}%013d-" +
+  def newCommitId(conf: Configuration, tableDir: String): String = {
+    val prev = readCommitted(conf, tableDir).iterator
+      .map(_.commitId.takeWhile(_.isDigit))
+      .filter(f => f.nonEmpty && f.length <= 17)
+      .map(_.toLong).maxOption.getOrElse(0L)
+    f"${math.max(prev + 1, System.currentTimeMillis())}%013d-" +
       java.util.UUID.randomUUID().toString.take(8)
+  }
 
   /** Inject a commitId into a writer-produced manifest JSON (publish
     * stamps at commit time; the writers that serialize the manifest
@@ -212,7 +227,11 @@ object Manifests {
           val want = g.map(_._2.commitParts).max
           want == 0 || g.size >= want
         }
-        gens.find(g => complete(g._2)).getOrElse(gens.head)._2
+        // NO complete generation at all = every generation of this epoch
+        // is a publish that crashed mid-manifest-writes: surface NOTHING
+        // rather than promote a partial epoch into the authoritative
+        // index (a crashed publish is retried by its job/stream anyway)
+        gens.find(g => complete(g._2)).map(_._2).getOrElse(Nil)
       }.toSeq
     // compacted generations, newest first, no overlapping coverage.
     // Coverage keys include epochKey of each stored ancestor so

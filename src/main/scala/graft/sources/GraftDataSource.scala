@@ -1319,7 +1319,7 @@ private[sources] object GraftCommits {
     // crash window leaves two generations of an epoch on disk, and the
     // per-epoch container count lets it tell a complete generation from
     // a publish that crashed mid-way through its manifest writes
-    val commitId = Manifests.newCommitId()
+    val commitId = Manifests.newCommitId(conf, path)
     val raw = messages.collect {
       case m: GraftCommitMessage if m.rows > 0 => m
     }.sortBy(_.name)

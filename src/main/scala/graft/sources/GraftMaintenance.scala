@@ -72,13 +72,17 @@ object GraftMaintenance {
               minContainers: Int = 2): (Int, Int) =
     compactWithHook(spark, path, targetBytes, minContainers, () => ())
 
-  /** Test seam: `beforeCommit` runs after the rewritten containers are
-    * staged but before the index commit — the window a concurrent
-    * append/replace races into.
+  /** Test seams: `beforeCommit` runs after the rewritten containers are
+    * staged but before this run's manifests are written — the window a
+    * concurrent append/replace races into. `afterStage` runs after the
+    * manifests (commit markers) are on disk but before the index commit
+    * — the window a concurrent [[Manifests.consolidate]] (end of every
+    * engine encode) can ADOPT the staged generation in.
     */
   private[graft] def compactWithHook(spark: SparkSession, path: String,
                                      targetBytes: Long, minContainers: Int,
-                                     beforeCommit: () => Unit): (Int, Int) = {
+                                     beforeCommit: () => Unit,
+                                     afterStage: () => Unit = () => ()): (Int, Int) = {
     require(targetBytes > 0 && minContainers >= 2,
       s"need targetBytes > 0 and minContainers >= 2, " +
         s"got ($targetBytes, $minContainers)")
@@ -124,7 +128,12 @@ object GraftMaintenance {
     val schema =
       if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
       else schemaCols.map { case (n, k) => ColumnSpec(n, k) }
-    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // the leading letter keeps the run id non-numeric: epochKey strips a
+    // trailing all-digit segment, and an all-digit run id would let a
+    // double epochKey application collapse "compact-<runId>" to the
+    // constant "compact" — two such generations' coverage sets would
+    // falsely intersect in the listing-fallback normalizer
+    val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
     // one task per bin; RDD because the payload is driver-planned
     // manifest metadata, not table rows (genuine per-partition
     // imperative rewrite)
@@ -168,28 +177,51 @@ object GraftMaintenance {
     // one commit-generation stamp across the run's bins: a crashed
     // compaction's stale stage and its committed retry are then
     // distinguishable by the listing-fallback normalizer
-    val commitId = Manifests.newCommitId()
+    val commitId = Manifests.newCommitId(conf, path)
     val stamped = newManifests.map(_.copy(commitId = commitId))
     val newJsons = stamped.map(Manifests.manifestJson).toSeq
+    val newNames = stamped.map(_.name).toSet
     // publish discipline of GraftCommits.publish: manifests (commit
     // markers) first, then the OCC snapshot swap, then old-file deletes
     stamped.foreach(m => Manifests.writeManifest(conf, path, m, 0L))
+    afterStage()
     try {
       Manifests.commitIndex(conf, path, old => {
-        val live = old.map(Manifests.parseWithFallback(_).name).toSet
-        val gone = consumed.filterNot(live)
+        val parsedOld = old.map(Manifests.parseWithFallback)
+        val live = parsedOld.map(_.name).toSet
+        // A concurrent Manifests.consolidate (end of every engine encode)
+        // normalizes the LISTING — where this run's staged manifests
+        // already sit as commit markers — and may have ADOPTED some or
+        // all of this run's compacted generation into the index, deleting
+        // the consumed originals as superseded. Those bins are already
+        // committed: a consumed name missing from the snapshot is a
+        // genuine conflict only when no adopted bin of THIS run covers
+        // its epoch (pre-round-7 this path threw CompactionConflict and
+        // the handler deleted index-live compacted blocks — data loss).
+        val adopted = parsedOld.filter(m => newNames(m.name))
+        val adoptedCover = adopted
+          .flatMap(m => m.ancestors ++ m.ancestors.map(Manifests.epochKey))
+          .toSet
+        val gone = consumed.filterNot(live).filterNot(n =>
+          adoptedCover(Manifests.epochKey(Manifests.logicalName(n))))
         if (gone.nonEmpty) throw new CompactionConflict(
           s"containers ${gone.toSeq.sorted.mkString(", ")} were replaced " +
             s"by a concurrent commit during compaction of $path; aborting")
-        old.filterNot(j =>
-          consumed(Manifests.parseWithFallback(j).name)) ++ newJsons
+        val adoptedNames = adopted.map(_.name).toSet
+        old.lazyZip(parsedOld).collect {
+          case (j, pm) if !consumed(pm.name) => j
+        }.toSeq ++ newJsons.filter(j =>
+          !adoptedNames(Manifests.parseWithFallback(j).name))
       })
     } catch {
       case e: CompactionConflict =>
-        // drop the staged generation; the table stays whatever the
-        // concurrent winner published
+        // drop the staged generation — but ONLY the part the live index
+        // does not reference: a racing consolidate may have adopted some
+        // bins (see above), and deleting those would orphan index-live
+        // rows
+        val liveNow = Manifests.readCommitted(conf, path).map(_.name).toSet
         val f = ContainerIO.fs(path, conf)
-        newManifests.foreach { m =>
+        newManifests.filterNot(m => liveNow(m.name)).foreach { m =>
           f.delete(new org.apache.hadoop.fs.Path(
             s"$path/blocks/part-${m.name}.gblk"), false)
           f.delete(new org.apache.hadoop.fs.Path(

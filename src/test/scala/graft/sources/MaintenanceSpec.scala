@@ -207,7 +207,7 @@ class MaintenanceSpec extends AnyFunSuite {
     ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-partial",
       Manifests.manifestPath(d, partial.name),
       Manifests.stampCommit(Manifests.manifestJson(partial),
-        Manifests.newCommitId(), 2)
+        Manifests.newCommitId(conf, d), 2)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
       .foreach { n =>
@@ -535,5 +535,104 @@ class MaintenanceSpec extends AnyFunSuite {
       finally r.close()
     }
     assert(ex.getMessage.contains("snapshot superseded"), s"got $ex")
+  }
+
+  test("compact survives a racing consolidate that adopts its staged generation") {
+    import spark.implicits._
+    val d = tempDir("cmp-adopt")
+    for (w <- 0 until 4)
+      (0 until 40).map(i => ((w * 40 + i).toLong, s"v$i"))
+        .toDF("id", "tag")
+        .coalesce(1).write.format("graft").mode("append").save(d)
+    val conf = ContainerIO.localConf()
+    assert(gblks(d).size === 4)
+    // the race: compact has staged its manifests (commit markers on the
+    // listing) but not yet committed the index; a consolidate — which the
+    // engine runs at the end of EVERY encode — normalizes the listing,
+    // adopts the staged compacted generation (newest complete commitId)
+    // and deletes the consumed originals as superseded. Pre-round-7
+    // compact then saw its consumed names missing, declared a
+    // CompactionConflict, and its abort handler deleted the compacted
+    // blocks the live index now referenced — every row gone.
+    val (c, p) = GraftMaintenance.compactWithHook(spark, d, 128L << 20, 2,
+      () => (), afterStage = () => Manifests.consolidate(conf, d))
+    assert(c === 4 && p === 1, s"adoption must read as success, got ($c, $p)")
+    val back = spark.read.format("graft").load(d)
+      .as[(Long, String)].collect().sorted
+    assert(back.toSeq === (0 until 160).map(i => (i.toLong, s"v${i % 40}")).sorted,
+      "no rows may be lost to the compact x consolidate race")
+    val ms = Manifests.readCommitted(conf, d)
+    assert(ms.size === 1 && ms.head.name.startsWith("compact-r"),
+      s"the adopted compacted generation must be the committed one: " +
+        ms.map(_.name).mkString(", "))
+    assert(gblks(d).size === 1, "consumed originals must be gone exactly once")
+    // and a later consolidate changes nothing
+    Manifests.consolidate(conf, d)
+    assert(spark.read.format("graft").load(d).count() === 160)
+  }
+
+  test("commitIds stay monotone per table even when the wall clock runs behind") {
+    val d = tempDir("cmp-clock")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    // a committed generation stamped by a driver whose clock ran ~12 days
+    // AHEAD of this one (equivalently: our clock runs behind). Pure
+    // wall-clock ids would order every commit we make BELOW it, and
+    // consolidate's `commitId < maxKept` cleanup would treat our newer
+    // generations as superseded garbage.
+    val future = System.currentTimeMillis() + 1000000000L
+    val m = graft.engine.PartManifest(0, 10L, 1, 50L, 40L, skipped = false,
+      "", Nil, name = "skew-e1-0",
+      commitId = f"$future%013d-deadbeef")
+    Manifests.writeManifest(conf, d, m, 0L)
+    Manifests.commitIndex(conf, d, _ => Seq(Manifests.manifestJson(m)))
+    val id = Manifests.newCommitId(conf, d)
+    assert(id.takeWhile(_.isDigit).toLong > future,
+      s"newCommitId must order above every committed predecessor, got $id")
+  }
+
+  test("compaction run ids can never collapse under double epochKey") {
+    // epochKey strips ONE trailing all-digit segment; the run id's leading
+    // letter guarantees "compact-<runId>" is a fixed point, so two
+    // compacted generations' coverage keys can't falsely intersect when
+    // the normalizer applies epochKey to already-keyed ancestors
+    val k = Manifests.epochKey(Manifests.logicalName("compact-r12345ab-0"))
+    assert(k === "compact-r12345ab")
+    assert(Manifests.epochKey(k) === k, "epochKey must be idempotent here")
+    // the regression shape: an ALL-DIGIT run id would collapse
+    assert(Manifests.epochKey(Manifests.epochKey("compact-1234567-0")) === "compact",
+      "this is the trap the letter prefix exists to avoid")
+  }
+
+  test("an epoch whose every generation is partial surfaces nothing") {
+    val d = tempDir("fallback-partial-only")
+    val conf = ContainerIO.localConf()
+    ContainerIO.mkdirs(conf, s"$d/blocks")
+    ContainerIO.mkdirs(conf, s"$d/manifests")
+    publishEpochParts(d, 1, 10L, Seq((0, 0 until 30), (1, 30 until 60)))
+    def count() = spark.read.format("graft").load(d).count()
+    assert(count() === 60)
+    // epoch 7 exists ONLY as a publish that crashed mid-manifest-writes:
+    // 1 of its 2 manifests landed (commitParts = 2). The listing fallback
+    // must surface NOTHING for it — a partial epoch promoted into the
+    // index would be transient wrong rows; the crashed publish's
+    // job/stream retries it anyway
+    val partial = graft.engine.PartManifest(0, 30L, 1, 100L, 80L,
+      skipped = false, "", Nil, name = "q-e7-0-a91")
+    ContainerIO.writeAtomic(conf, s"$d/manifests/.tmp-partial7",
+      Manifests.manifestPath(d, partial.name),
+      Manifests.stampCommit(Manifests.manifestJson(partial),
+        Manifests.newCommitId(conf, d), 2)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ContainerIO.listNames(conf, d).filter(_.startsWith("_manifest-index"))
+      .foreach { n =>
+        java.nio.file.Files.delete(java.nio.file.Paths.get(d, n))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(d, s".$n.crc"))
+      }
+    assert(count() === 60,
+      "a sole partial generation must not surface a partial epoch")
+    Manifests.consolidate(conf, d)
+    assert(count() === 60)
   }
 }
