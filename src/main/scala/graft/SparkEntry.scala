@@ -483,10 +483,13 @@ object SparkEntry {
     // shape, through graft instead of parquet).
     "c8_temporal_schema" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-c8").toString
+      // round 7: `value` stays a DOUBLE through the graft table (kind 5,
+      // order-preserving sortable-long storage) — the round-6 version had
+      // to launder it through integer cents; cents are now computed AFTER
+      // the bit-exact double round-trip, so the oracle stays integral
       t(s, d, "events").select(
           col("event_id"), col("user_id"), col("event_type"),
-          col("ts"), to_date(col("ts")).as("day"),
-          cents(col("value")).as("value_cents"))
+          col("ts"), to_date(col("ts")).as("day"), col("value"))
         .write.format("graft").option("chunkRows", "1024")
         .option("sortBy", "ts")
         .mode("overwrite").save(dir)
@@ -495,8 +498,59 @@ object SparkEntry {
           col("ts") < lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("day"), date_trunc("HOUR", col("ts")).as("hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value_cents")).as("value_cents"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // NULLABLE schema (round 7): real ingest schemas admit NULL — the
+    // graft table stores per-chunk validity bitmaps (all-present chunks
+    // stay in the plain layout), IS NOT NULL is a real pushdown enforced
+    // against the bitmaps, and comparisons/aggregates follow SQL
+    // three-valued logic. Nulls are synthesized deterministically from
+    // event_id so DuckDB can reproduce them exactly.
+    "c10_nullable_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c10").toString
+      t(s, d, "events").select(
+          col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("user_id")).as("user_id"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+            .otherwise(col("event_type")).as("event_type"),
+          when(pmod(col("event_id"), lit(3)) === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("value")).as("n_valued"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // DOUBLE schema (round 7): `value` written as a kind-5 DOUBLE column
+    // clustered by value, read back with a PUSHED double comparison that
+    // prunes chunks against the sortable-long zone maps; MIN/MAX are
+    // exact order statistics (no float-summation nondeterminism), so the
+    // oracle hashes bit-identical doubles.
+    "c11_double_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c11").toString
+      t(s, d, "events").select(
+          col("event_id"), col("event_type"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "value")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("value") > 50.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
     }),
 
     // COMPACTION under a DuckDB oracle (round 6): the documents table
@@ -834,6 +888,26 @@ object SparkEntry {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-20 00:00:00'
          GROUP BY 1, 2, 3 ORDER BY 2, 3""",
+
+    "c10_nullable_schema" ->
+      """SELECT CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END
+           AS event_type,
+         count(*) AS n_events,
+         count(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END)
+           AS n_valued,
+         CAST(sum(CASE WHEN event_id % 3 = 0 THEN NULL
+           ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id
+         FROM events
+         WHERE NOT (event_id % 7 = 0)
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "c11_double_schema" ->
+      """SELECT event_type, count(*) AS n_events,
+         min(value) AS min_value, max(value) AS max_value
+         FROM events WHERE value > 50.0
+         GROUP BY 1 ORDER BY 1""",
 
     "c9_compact_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

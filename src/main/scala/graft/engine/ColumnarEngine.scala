@@ -27,15 +27,35 @@ final case class ColumnMetric(column: String, codec: String,
   * (UTF-8), kind 2 = int (i32, decoded through the overflow-checked
   * narrow iterators — [[graft.codecs.IntCodecs]]), kind 3 = timestamp
   * (TIMESTAMP_NTZ micros, stored through the kind-0 long codec path),
-  * kind 4 = date (epoch days, stored through the kind-2 narrow path).
+  * kind 4 = date (epoch days, stored through the kind-2 narrow path),
+  * kind 5 = double (order-preserving sortable-long bits —
+  * [[graft.codecs.DoubleBits]] — through the kind-0 path, so zone maps,
+  * comparison pushdown, and MIN/MAX pushdown work unchanged), kind 6 =
+  * binary (length-prefixed blob blocks), kind 7 = float array
+  * (per-row dims + packed little-endian floats — the embedding shape).
   * The container format stores (name, kind, block) per column per chunk,
   * so any schema of these kinds round-trips; [[DerivedRow]] is simply
   * the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
+  *
+  * `nullable` columns (round 7) store a per-chunk validity prefix on
+  * chunks that actually contain nulls (kind byte flagged with 0x80);
+  * all-present chunks of a nullable column stay in the plain layout.
+  * In the manifest's `schema` array the flag is packed into the kind
+  * int as bit 7 ([[ColumnSpec.packed]]) so legacy parsers' `(name,
+  * kind)` shape is preserved.
   */
-final case class ColumnSpec(name: String, kind: Int) {
-  require(kind >= 0 && kind <= 4, s"unknown column kind $kind")
+final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false) {
+  require(kind >= 0 && kind <= 7, s"unknown column kind $kind")
   require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
     s"column name out of range: '$name'")
+  /** Manifest-schema encoding: kind | 0x80 when nullable. */
+  def packed: Int = kind | (if (nullable) ColumnSpec.NullableFlag else 0)
+}
+
+object ColumnSpec {
+  final val NullableFlag = 0x80
+  def fromPacked(name: String, packed: Int): ColumnSpec =
+    ColumnSpec(name, packed & 0x7f, (packed & NullableFlag) != 0)
 }
 
 /** Per-partition manifest: lineage + metrics + integrity digest + the
@@ -278,6 +298,17 @@ object ColumnarEngine {
     val strNames: Array[String] = schema.filter(_.kind == 1).map(_.name).toArray
     val longNames: Array[String] = schema.filter(_.kind != 1).map(_.name).toArray
     private val numKinds: Array[Int] = schema.filter(_.kind != 1).map(_.kind).toArray
+    // nullable columns (round 7): per-chunk validity bitmaps, allocated
+    // lazily on the first null; all-present chunks write the plain layout
+    private val strNullable: Array[Boolean] =
+      schema.filter(_.kind == 1).map(_.nullable).toArray
+    private val longNullable: Array[Boolean] =
+      schema.filter(_.kind != 1).map(_.nullable).toArray
+    private val bmBytes = (chunkRowsCap + 7) >> 3
+    private val strNullBms: Array[Array[Byte]] = new Array(strNames.length)
+    private val longNullBms: Array[Array[Byte]] = new Array(longNames.length)
+    private val strNullCnt = new Array[Int](strNames.length)
+    private val longNullCnt = new Array[Int](longNames.length)
     private val digestCol = digestColumnOf(schema)
     private val digestIdx = strNames.indexOf(digestCol)
     private val w = new BlockWriter(1 << 20)
@@ -333,13 +364,26 @@ object ColumnarEngine {
           chunkSha.digest()
         }
 
-      def writeCol(name: String, kind: Int, block: Array[Byte],
+      def writeCol(name: String, kind: Int, block0: Array[Byte],
                    codecName: String, raw: Long,
-                   min: Long = 0L, max: Long = 0L, hasRange: Boolean = false): Unit = {
+                   min: Long = 0L, max: Long = 0L, hasRange: Boolean = false,
+                   nullBm: Array[Byte] = null): Unit = {
+        // chunks that carry nulls flag the kind byte (0x80) and prepend
+        // the ceil(n/8)-byte validity bitmap to the value block; the
+        // block CRC covers bitmap + values together
+        val block =
+          if (nullBm == null) block0
+          else {
+            val bmLen = (n + 7) >> 3
+            val out = new Array[Byte](bmLen + block0.length)
+            System.arraycopy(nullBm, 0, out, 0, bmLen)
+            System.arraycopy(block0, 0, out, bmLen, block0.length)
+            out
+          }
         val nb = name.getBytes(UTF_8)
         w.putVarint(nb.length.toLong)
         w.putBytes(nb)
-        w.putByte(kind)
+        w.putByte(if (nullBm == null) kind else kind | ColumnSpec.NullableFlag)
         w.putVarint(block.length.toLong)
         w.putBytes(block)
         chunkCrcs = chunkCrcs.updated(name, Manifests.crc32c(block))
@@ -361,20 +405,43 @@ object ColumnarEngine {
       while (ci < longNames.length) {
         val nm = longNames(ci)
         val vals = longBufs(ci)
+        val nc = longNullCnt(ci)
+        val bm = if (nc > 0) longNullBms(ci) else null
+        if (nc > 0) {
+          // rewrite null slots with the chunk's first non-null value:
+          // compression-friendly (RLE/FoR see a repeated real value) AND
+          // it keeps codec stats/zone ranges exactly the non-null range —
+          // placeholder values can never widen min/max past real data, so
+          // zone-map pruning and manifest-answered MIN/MAX stay exact
+          var fill = 0L
+          var f = 0
+          var found = false
+          while (!found && f < n) {
+            if ((bm(f >> 3) & (1 << (f & 7))) == 0) { fill = vals(f); found = true }
+            f += 1
+          }
+          var r = 0
+          while (r < n) {
+            if ((bm(r >> 3) & (1 << (r & 7))) != 0) vals(r) = fill
+            r += 1
+          }
+        }
+        // an all-null chunk has no real values: record no range at all
+        val hasRange = nc < n
         if (numKinds(ci) == 2 || numKinds(ci) == 4) {
           // narrow i32 column (int / date days): zigzag-varint block
           // behind the overflow-checked narrow decode
           // ([[graft.codecs.IntCodecs]]); the block carries its true kind
           val st = LongCodecs.stats(vals, n)
           writeCol(nm, numKinds(ci), IntCodecs.encode(vals, n), "varint-i32",
-            4L * n, st.min, st.max, hasRange = true)
+            4L * n, st.min, st.max, hasRange = hasRange, nullBm = bm)
         } else {
-          // wide int64 column (long / timestamp micros): stats-selected
-          // codec through the kind-0 machinery
+          // wide int64 column (long / timestamp micros / double sortable
+          // bits): stats-selected codec through the kind-0 machinery
           val st = LongCodecs.stats(vals, n)
           val codec = LongCodecs.select(st)
           writeCol(nm, numKinds(ci), codec.encode(vals, n), codec.name,
-            8L * n, st.min, st.max, hasRange = true)
+            8L * n, st.min, st.max, hasRange = hasRange, nullBm = bm)
         }
         ci += 1
       }
@@ -386,7 +453,11 @@ object ColumnarEngine {
         val st = StringCodecs.stats(strs, n)
         val (codec, block) = StringCodecs.encodeBest(strs, n, st,
           fsstStates.computeIfAbsent(nm, _ => new StringCodecs.FsstState))
-        writeCol(nm, 1, block, codec.name, st.totalBytes)
+        // null rows hold the "" placeholder in the block (the digest and
+        // string zone stats include it — "" can only widen a dict/range,
+        // never exclude a real value, so pruning stays sound)
+        writeCol(nm, 1, block, codec.name, st.totalBytes,
+          nullBm = if (strNullCnt(ci) > 0) strNullBms(ci) else null)
         val (dict, range) = strZoneStats(strs, n)
         dict.foreach(d => chunkStrDicts = chunkStrDicts.updated(nm, d))
         range.foreach(r => chunkStrRanges = chunkStrRanges.updated(nm, r))
@@ -397,6 +468,18 @@ object ColumnarEngine {
       chunkIndex += ChunkStats(chunkStart, w.size.toLong - chunkStart, n,
         chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs)
       strBufs.foreach(_.clear())
+      var z = 0
+      while (z < strNullBms.length) {
+        if (strNullCnt(z) > 0) java.util.Arrays.fill(strNullBms(z), 0.toByte)
+        strNullCnt(z) = 0
+        z += 1
+      }
+      z = 0
+      while (z < longNullBms.length) {
+        if (longNullCnt(z) > 0) java.util.Arrays.fill(longNullBms(z), 0.toByte)
+        longNullCnt(z) = 0
+        z += 1
+      }
       bufN = 0
       bufBytes = 0L
     }
@@ -443,21 +526,38 @@ object ColumnarEngine {
     }
 
     /** One row, positionally: `strs` in [[strNames]] order, `longs` in
-      * [[longNames]] order.
+      * [[longNames]] order. Kind-5 (double) columns take the
+      * order-preserving sortable-long representation
+      * ([[graft.codecs.DoubleBits.toSortableLong]]).
       */
-    def addRow(strVals: Array[String], longVals: Array[Long]): Unit = {
+    def addRow(strVals: Array[String], longVals: Array[Long]): Unit =
+      addRow(strVals, longVals, null, null)
+
+    /** Nullable-aware variant: `strNullMask`/`longNullMask` flag NULL
+      * positions (either may be null = no nulls in that group). A flagged
+      * position must be a declared-nullable column; its value slot is
+      * ignored (placeholders are substituted internally). The masks are
+      * read synchronously — callers may reuse one array across rows.
+      */
+    def addRow(strVals: Array[String], longVals: Array[Long],
+               strNullMask: Array[Boolean], longNullMask: Array[Boolean]): Unit = {
       require(strVals.length == strNames.length && longVals.length == longNames.length,
         s"addRow arity (${strVals.length} strs, ${longVals.length} longs) != schema " +
           s"(${strNames.length} strs, ${longNames.length} longs)")
       var bytes = 0L
       var i = 0
       while (i < strVals.length) {
-        val v = strVals(i)
-        require(v != null, s"null value in column '${strNames(i)}' (partition $part)")
-        require(v.length <= MaxValueChars,
-          s"string value exceeds MaxValueChars ($MaxValueChars) in column " +
-            s"'${strNames(i)}' of partition $part")
-        bytes += v.length
+        if (strNullMask != null && strNullMask(i)) {
+          require(strNullable(i),
+            s"null value in non-nullable column '${strNames(i)}' (partition $part)")
+        } else {
+          val v = strVals(i)
+          require(v != null, s"null value in column '${strNames(i)}' (partition $part)")
+          require(v.length <= MaxValueChars,
+            s"string value exceeds MaxValueChars ($MaxValueChars) in column " +
+              s"'${strNames(i)}' of partition $part")
+          bytes += v.length
+        }
         i += 1
       }
       if (bufN == longCap && longNames.length > 0) {
@@ -466,15 +566,34 @@ object ColumnarEngine {
       }
       var j = 0
       while (j < longVals.length) {
-        require((numKinds(j) != 2 && numKinds(j) != 4) ||
-            longVals(j) == longVals(j).toInt.toLong,
-          s"value ${longVals(j)} out of i32 range for narrow column " +
-            s"'${longNames(j)}' (partition $part)")
-        longBufs(j)(bufN) = longVals(j)
+        if (longNullMask != null && longNullMask(j)) {
+          require(longNullable(j),
+            s"null value in non-nullable column '${longNames(j)}' (partition $part)")
+          var bm = longNullBms(j)
+          if (bm == null) { bm = new Array[Byte](bmBytes); longNullBms(j) = bm }
+          bm(bufN >> 3) = (bm(bufN >> 3) | (1 << (bufN & 7))).toByte
+          longNullCnt(j) += 1
+          longBufs(j)(bufN) = 0L // placeholder; flushChunk re-fills
+        } else {
+          require((numKinds(j) != 2 && numKinds(j) != 4) ||
+              longVals(j) == longVals(j).toInt.toLong,
+            s"value ${longVals(j)} out of i32 range for narrow column " +
+              s"'${longNames(j)}' (partition $part)")
+          longBufs(j)(bufN) = longVals(j)
+        }
         j += 1
       }
       i = 0
-      while (i < strVals.length) { strBufs(i) += strVals(i); i += 1 }
+      while (i < strVals.length) {
+        if (strNullMask != null && strNullMask(i)) {
+          var bm = strNullBms(i)
+          if (bm == null) { bm = new Array[Byte](bmBytes); strNullBms(i) = bm }
+          bm(bufN >> 3) = (bm(bufN >> 3) | (1 << (bufN & 7))).toByte
+          strNullCnt(i) += 1
+          strBufs(i) += "" // placeholder (digest + zone stats include it)
+        } else strBufs(i) += strVals(i)
+        i += 1
+      }
       bufN += 1
       // ALL string bytes count toward the flush threshold (not just
       // content): that is what bounds every encoded block under
@@ -526,7 +645,7 @@ object ColumnarEngine {
       val encTotal = cols.map(_.encodedBytes).sum
       val manifest = PartManifest(part, rows, chunks, rawTotal, encTotal,
         skipped = false, digestHex, cols, name, chunkIndex.result(),
-        schemaCols = schema.map(s => (s.name, s.kind)), digestCol = digestCol)
+        schemaCols = schema.map(s => (s.name, s.packed)), digestCol = digestCol)
       if (publishManifest) Manifests.writeManifest(conf, outDir, manifest, attemptId)
       manifest
     }

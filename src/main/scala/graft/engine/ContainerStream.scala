@@ -127,7 +127,11 @@ private[graft] final class ContainerInput(
 
 /** One decoded chunk: only the `needed` columns are materialized.
   * String columns are UTF-8 slices ([[graft.codecs.Utf8Column]]) — Java
-  * Strings are materialized only by consumers that need them.
+  * Strings are materialized only by consumers that need them. `doubles`
+  * holds kind-5 columns un-mapped back from their sortable-long storage
+  * form. `nulls` holds the validity bitmaps of columns whose chunk
+  * carried nulls (bit j set = row j is NULL; a column absent from the
+  * map has no nulls in this chunk).
   */
 private[graft] final case class DecodedChunk(
     rows: Int,
@@ -135,7 +139,20 @@ private[graft] final case class DecodedChunk(
     strs: java.util.HashMap[String, graft.codecs.Utf8Column],
     storedDigest: Array[Byte],
     ints: java.util.HashMap[String, Array[Int]] =
-      new java.util.HashMap[String, Array[Int]]())
+      new java.util.HashMap[String, Array[Int]](),
+    doubles: java.util.HashMap[String, Array[Double]] =
+      new java.util.HashMap[String, Array[Double]](),
+    nulls: java.util.HashMap[String, Array[Byte]] =
+      new java.util.HashMap[String, Array[Byte]]()) {
+
+  /** Is row j of column c non-null? (Columns without a bitmap are all
+    * non-null.)
+    */
+  def validAt(c: String, j: Int): Boolean = {
+    val b = nulls.get(c)
+    b == null || (b(j >> 3) & (1 << (j & 7))) == 0
+  }
+}
 
 /** Shared streaming parse of the container format (prelude + chunks),
   * used by the row and columnar DSv2 readers. Mirrors the validation caps
@@ -167,9 +184,11 @@ private[graft] object ContainerFormat {
     */
   def readChunk(ci: ContainerInput, neededLongs: Set[String],
                 neededStrs: Set[String], crcs: Map[String, Long],
-                neededInts: Set[String] = Set.empty): DecodedChunk = {
+                neededInts: Set[String] = Set.empty,
+                neededDbls: Set[String] = Set.empty): DecodedChunk = {
     val needed = (name: String) =>
-      neededLongs(name) || neededStrs(name) || neededInts(name)
+      neededLongs(name) || neededStrs(name) || neededInts(name) ||
+        neededDbls(name)
     val n = {
       val l = ci.readVarint()
       require(l >= 1 && l <= LongCodecs.MaxDecodeRows, s"implausible chunk rows $l")
@@ -183,14 +202,20 @@ private[graft] object ContainerFormat {
     val longs = new java.util.HashMap[String, Array[Long]]()
     val strs = new java.util.HashMap[String, graft.codecs.Utf8Column]()
     val ints = new java.util.HashMap[String, Array[Int]]()
+    val dbls = new java.util.HashMap[String, Array[Double]]()
+    val nulls = new java.util.HashMap[String, Array[Byte]]()
     var c = 0
     while (c < nCols) {
       val nameLen = ci.readVarint()
       require(nameLen >= 0 && nameLen <= 1024, s"implausible name length $nameLen")
       val name = new String(ci.readFullyBytes(nameLen.toInt),
         java.nio.charset.StandardCharsets.UTF_8)
-      val kind = ci.readByte()
-      require(kind >= 0 && kind <= 4, s"unknown column kind $kind")
+      val rawKind = ci.readByte()
+      // bit 7 = this chunk's column carries a validity-bitmap prefix
+      // (nullable columns write it only on chunks that contain nulls)
+      val kind = rawKind & 0x7f
+      val hasNulls = (rawKind & 0x80) != 0
+      require(kind >= 0 && kind <= 5, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -204,14 +229,30 @@ private[graft] object ContainerFormat {
           require(Manifests.crc32c(block) == want,
             s"block CRC mismatch for column $name: container is corrupt")
         }
+        // validity prefix: ceil(n/8) bytes ahead of the plain value
+        // block (null rows hold placeholder values the codecs compress
+        // away); the CRC above covers bitmap + values together
+        val off =
+          if (!hasNulls) 0
+          else {
+            val bm = (n + 7) >> 3
+            require(blockLen >= bm,
+              s"column $name block shorter than its validity bitmap")
+            nulls.put(name, java.util.Arrays.copyOfRange(block, 0, bm))
+            bm
+          }
         // kind 3 (timestamp micros) decodes like kind 0; kind 4 (date
         // days) decodes like kind 2 — temporal types are integer columns
-        // with a logical label
+        // with a logical label; kind 5 (double) is kind-0 storage behind
+        // the order-preserving bit mapping
         if (kind == 0 || kind == 3)
-          longs.put(name, LongCodecs.decodeSlice(block, 0, block.length))
+          longs.put(name, LongCodecs.decodeSlice(block, off, block.length))
         else if (kind == 2 || kind == 4)
-          ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, 0, block.length))
-        else strs.put(name, StringCodecs.decodeSliceUtf8(block, 0, block.length))
+          ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, off, block.length))
+        else if (kind == 5)
+          dbls.put(name, graft.codecs.DoubleBits.toDoubles(
+            LongCodecs.decodeSlice(block, off, block.length)))
+        else strs.put(name, StringCodecs.decodeSliceUtf8(block, off, block.length))
       } else ci.skipBytes(blockLen.toLong)
       c += 1
     }
@@ -228,7 +269,11 @@ private[graft] object ContainerFormat {
       val a = ints.get(col)
       require(a != null && a.length == n, s"container missing/short int column $col")
     }
-    DecodedChunk(n, longs, strs, digest, ints)
+    for (col <- neededDbls) {
+      val a = dbls.get(col)
+      require(a != null && a.length == n, s"container missing/short double column $col")
+    }
+    DecodedChunk(n, longs, strs, digest, ints, dbls, nulls)
   }
 
   /** Recompute the chunk's per-row digest-column sha256 digest and

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, T
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,29 +86,36 @@ object GraftDataSource {
       case 2 => IntegerType
       case 3 => TimestampNTZType
       case 4 => DateType
+      case 5 => DoubleType
       case _ => StringType
-    }, nullable = false)))
+    }, nullable = s.nullable)))
 
   /** Validate + translate a Spark write/table schema into column specs;
     * rejects anything the container format can't hold. Temporal types
     * (round 6) ride the integer codec paths: TIMESTAMP_NTZ is kind 3 —
     * int64 micros through the kind-0 machinery (zone maps, filters,
     * aggregate pushdown apply unchanged); DATE is kind 4 — int32 days
-    * through the kind-2 narrow path.
+    * through the kind-2 narrow path. DOUBLE (round 7) is kind 5 —
+    * order-preserving sortable-long bits ([[graft.codecs.DoubleBits]])
+    * through the kind-0 machinery, same inheritance. Field nullability
+    * is recorded per column: nullable columns store per-chunk validity
+    * bitmaps and support IS NULL / IS NOT NULL pushdown.
     */
   private[sources] def specsOf(st: StructType): Seq[graft.engine.ColumnSpec] = {
     require(st.fields.nonEmpty, "graft table needs at least one column")
     st.fields.toSeq.map { f =>
-      f.dataType match {
-        case LongType => graft.engine.ColumnSpec(f.name, 0)
-        case StringType => graft.engine.ColumnSpec(f.name, 1)
-        case IntegerType => graft.engine.ColumnSpec(f.name, 2)
-        case TimestampNTZType => graft.engine.ColumnSpec(f.name, 3)
-        case DateType => graft.engine.ColumnSpec(f.name, 4)
+      val kind = f.dataType match {
+        case LongType => 0
+        case StringType => 1
+        case IntegerType => 2
+        case TimestampNTZType => 3
+        case DateType => 4
+        case DoubleType => 5
         case other => throw new IllegalArgumentException(
-          s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, and " +
-            s"DATE columns; column '${f.name}' is $other")
+          s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, " +
+            s"DATE, and DOUBLE columns; column '${f.name}' is $other")
       }
+      graft.engine.ColumnSpec(f.name, kind, f.nullable)
     }
   }
 
@@ -125,7 +132,8 @@ object GraftDataSource {
     try
       Manifests.readCommitted(c, path).headOption.map { m =>
         if (m.schemaCols.isEmpty) schema
-        else schemaOf(m.schemaCols.map { case (n, k) => graft.engine.ColumnSpec(n, k) })
+        else schemaOf(m.schemaCols.map { case (n, k) =>
+          graft.engine.ColumnSpec.fromPacked(n, k) })
       }
     catch {
       case e: IllegalArgumentException => throw e
@@ -150,6 +158,10 @@ object GraftDataSource {
     st.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == DateType => f.name
     }.toSet
+  private[sources] def dblColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == DoubleType => f.name }.toSet
+  private[sources] def nullableColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.nullable => f.name }.toSet
 
   /** Physical value of a pushed temporal filter constant: TIMESTAMP_NTZ
     * constants arrive as [[java.time.LocalDateTime]] (micros since epoch
@@ -196,32 +208,46 @@ object GraftDataSource {
   /** Container/partition-level numeric zone-map admission (legacy
     * manifests without a chunk index plan at this granularity). Int
     * (kind 2) columns record their ranges in the same map; their filter
-    * constants arrive as Integer.
+    * constants arrive as Integer. Double (kind 5) columns record ranges
+    * over their order-preserving sortable-long mapping; a constant maps
+    * to a [lo, hi] PAIR because ±0.0 are two storage values SQL calls
+    * equal (NaN constants are never pushed — [[pushable]] excludes
+    * them — so an unmapped constant just admits).
     */
   private[sources] def admit(ranges: Map[String, (Long, Long)],
                              filters: Seq[Filter]): Boolean = {
-    def num(x: Any): Option[Long] = x match {
-      case v: java.lang.Long => Some(v.longValue())
-      case v: java.lang.Integer => Some(v.longValue())
+    // (vLo, vHi): the inclusive sortable range of storage values SQL
+    // considers EQUAL to the constant — a single point for everything
+    // except double ±0.0
+    def num(x: Any): Option[(Long, Long)] = x match {
+      case v: java.lang.Long => val l = v.longValue(); Some((l, l))
+      case v: java.lang.Integer => val l = v.longValue(); Some((l, l))
       // temporal constants prune against the same physical zone maps
-      case v: java.time.LocalDateTime => Some(microsOf(v))
-      case _ => daysOf(x).map(_.toLong)
+      case v: java.time.LocalDateTime => val m = microsOf(v); Some((m, m))
+      case v: java.lang.Double =>
+        val d = v.doubleValue()
+        if (d.isNaN) None
+        else Some((
+          graft.codecs.DoubleBits.toSortableLong(if (d == 0.0) -0.0 else d),
+          graft.codecs.DoubleBits.toSortableLong(if (d == 0.0) 0.0 else d)))
+      case _ => daysOf(x).map(d => (d.toLong, d.toLong))
     }
     filters.forall {
       case EqualTo(c, x) if ranges.contains(c) && num(x).isDefined =>
-        val (lo, hi) = ranges(c); val v = num(x).get; v >= lo && v <= hi
+        val (lo, hi) = ranges(c); val (vLo, vHi) = num(x).get
+        vHi >= lo && vLo <= hi
       case GreaterThan(c, x) if ranges.contains(c) && num(x).isDefined =>
-        ranges(c)._2 > num(x).get
+        ranges(c)._2 > num(x).get._2
       case GreaterThanOrEqual(c, x) if ranges.contains(c) && num(x).isDefined =>
-        ranges(c)._2 >= num(x).get
+        ranges(c)._2 >= num(x).get._1
       case LessThan(c, x) if ranges.contains(c) && num(x).isDefined =>
-        ranges(c)._1 < num(x).get
+        ranges(c)._1 < num(x).get._1
       case LessThanOrEqual(c, x) if ranges.contains(c) && num(x).isDefined =>
-        ranges(c)._1 <= num(x).get
+        ranges(c)._1 <= num(x).get._2
       case In(c, vs) if ranges.contains(c) && vs.nonEmpty &&
           vs.forall(num(_).isDefined) =>
         val (lo, hi) = ranges(c)
-        vs.exists(x => { val v = num(x).get; v >= lo && v <= hi })
+        vs.exists(x => { val (vLo, vHi) = num(x).get; vHi >= lo && vLo <= hi })
       case _ => true
     }
   }
@@ -230,12 +256,25 @@ object GraftDataSource {
     * row-level re-check). Long comparisons and IN; string equality and
     * IN (`lang = 'en'`, `repo IN (...)` — inequality on strings stays in
     * Spark: collation-safe range proofs only hold for the ASCII-recorded
-    * stats, not arbitrary row values). IsNotNull is vacuous on this
-    * non-null schema.
+    * stats, not arbitrary row values). Double comparisons and IN push
+    * against the sortable-long zone maps — except NaN constants, whose
+    * Spark ordering (greater than everything, equal to itself) diverges
+    * from both IEEE and the sortable mapping's tail; they stay in Spark.
+    * IsNotNull/IsNull prune whole chunks via per-chunk null counts and
+    * re-check against the validity bitmaps.
     */
   private[sources] def pushable(f: Filter, longCols: Set[String],
                                 strCols: Set[String],
-                                intCols: Set[String] = Set.empty): Boolean = f match {
+                                intCols: Set[String] = Set.empty,
+                                dblCols: Set[String] = Set.empty): Boolean = f match {
+    case EqualTo(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
+    case GreaterThan(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
+    case GreaterThanOrEqual(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
+    case LessThan(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
+    case LessThanOrEqual(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
+    case In(c, vs) if dblCols(c) =>
+      vs.nonEmpty && vs.forall(v => v.isInstanceOf[java.lang.Double] &&
+        !v.asInstanceOf[java.lang.Double].isNaN)
     case EqualTo(c, _: Long) => longCols(c)
     case GreaterThan(c, _: Long) => longCols(c)
     case GreaterThanOrEqual(c, _: Long) => longCols(c)
@@ -270,77 +309,104 @@ object GraftDataSource {
     case EqualTo(c, _: String) => strCols(c)
     case In(c, vs) if strCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-    case IsNotNull(c) => longCols(c) || strCols(c) || intCols(c)
+    case IsNotNull(c) => longCols(c) || strCols(c) || intCols(c) || dblCols(c)
+    case IsNull(c) => longCols(c) || strCols(c) || intCols(c) || dblCols(c)
     case _ => false
   }
 
-  /** Compiled row-level predicate over decoded chunk columns: the reader
+  /** Compiled row-level predicate over a decoded chunk: the reader
     * enforces exactly what pushFilters claimed. String constants are
     * pre-encoded to UTF-8 ONCE and compared against the decoded slices —
-    * no per-row String materialization.
+    * no per-row String materialization. SQL null semantics: every
+    * comparison/IN on a NULL row is not-true (the chunk's validity
+    * bitmap gates each predicate), IsNull/IsNotNull test the bitmap
+    * itself.
     */
-  private[sources] type RowPred =
-    (java.util.HashMap[String, Array[Long]],
-     java.util.HashMap[String, Array[Int]],
-     java.util.HashMap[String, graft.codecs.Utf8Column], Int) => Boolean
+  private[sources] type RowPred = (DecodedChunk, Int) => Boolean
+
+  /** Wrap a value predicate so NULL rows of column `c` never pass. */
+  @inline private def nn(c: String, p: RowPred): RowPred =
+    (ch, j) => ch.validAt(c, j) && p(ch, j)
 
   private[sources] def compileFilters(filters: Array[Filter],
                                       longCols: Set[String]): Array[RowPred] =
     filters.map[RowPred] {
-      case EqualTo(c, x: Long) => (l, _, _, j) => l.get(c)(j) == x
-      case GreaterThan(c, x: Long) => (l, _, _, j) => l.get(c)(j) > x
-      case GreaterThanOrEqual(c, x: Long) => (l, _, _, j) => l.get(c)(j) >= x
-      case LessThan(c, x: Long) => (l, _, _, j) => l.get(c)(j) < x
-      case LessThanOrEqual(c, x: Long) => (l, _, _, j) => l.get(c)(j) <= x
-      case EqualTo(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) == x
-      case GreaterThan(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) > x
-      case GreaterThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) >= x
-      case LessThan(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) < x
-      case LessThanOrEqual(c, x: Int) => (_, ia, _, j) => ia.get(c)(j) <= x
+      case EqualTo(c, x: Long) => nn(c, (ch, j) => ch.longs.get(c)(j) == x)
+      case GreaterThan(c, x: Long) => nn(c, (ch, j) => ch.longs.get(c)(j) > x)
+      case GreaterThanOrEqual(c, x: Long) => nn(c, (ch, j) => ch.longs.get(c)(j) >= x)
+      case LessThan(c, x: Long) => nn(c, (ch, j) => ch.longs.get(c)(j) < x)
+      case LessThanOrEqual(c, x: Long) => nn(c, (ch, j) => ch.longs.get(c)(j) <= x)
+      case EqualTo(c, x: Int) => nn(c, (ch, j) => ch.ints.get(c)(j) == x)
+      case GreaterThan(c, x: Int) => nn(c, (ch, j) => ch.ints.get(c)(j) > x)
+      case GreaterThanOrEqual(c, x: Int) => nn(c, (ch, j) => ch.ints.get(c)(j) >= x)
+      case LessThan(c, x: Int) => nn(c, (ch, j) => ch.ints.get(c)(j) < x)
+      case LessThanOrEqual(c, x: Int) => nn(c, (ch, j) => ch.ints.get(c)(j) <= x)
+      // doubles: IEEE comparisons except that a NaN ROW ranks above
+      // every constant (Spark's total order); NaN CONSTANTS are never
+      // pushed. IEEE == makes -0.0 = 0.0, matching SQL equality.
+      case EqualTo(c, x: Double) => nn(c, (ch, j) => ch.doubles.get(c)(j) == x)
+      case GreaterThan(c, x: Double) =>
+        nn(c, (ch, j) => { val a = ch.doubles.get(c)(j); a > x || a.isNaN })
+      case GreaterThanOrEqual(c, x: Double) =>
+        nn(c, (ch, j) => { val a = ch.doubles.get(c)(j); a >= x || a.isNaN })
+      case LessThan(c, x: Double) => nn(c, (ch, j) => ch.doubles.get(c)(j) < x)
+      case LessThanOrEqual(c, x: Double) => nn(c, (ch, j) => ch.doubles.get(c)(j) <= x)
       // temporal constants compare against the stored physical values
       // (micros in the long arrays, days in the int arrays)
       case EqualTo(c, x: java.time.LocalDateTime) =>
-        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) == m
+        val m = microsOf(x); nn(c, (ch, j) => ch.longs.get(c)(j) == m)
       case GreaterThan(c, x: java.time.LocalDateTime) =>
-        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) > m
+        val m = microsOf(x); nn(c, (ch, j) => ch.longs.get(c)(j) > m)
       case GreaterThanOrEqual(c, x: java.time.LocalDateTime) =>
-        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) >= m
+        val m = microsOf(x); nn(c, (ch, j) => ch.longs.get(c)(j) >= m)
       case LessThan(c, x: java.time.LocalDateTime) =>
-        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) < m
+        val m = microsOf(x); nn(c, (ch, j) => ch.longs.get(c)(j) < m)
       case LessThanOrEqual(c, x: java.time.LocalDateTime) =>
-        val m = microsOf(x); (l, _, _, j) => l.get(c)(j) <= m
+        val m = microsOf(x); nn(c, (ch, j) => ch.longs.get(c)(j) <= m)
       case EqualTo(c, x) if daysOf(x).isDefined =>
-        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) == d
+        val d = daysOf(x).get; nn(c, (ch, j) => ch.ints.get(c)(j) == d)
       case GreaterThan(c, x) if daysOf(x).isDefined =>
-        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) > d
+        val d = daysOf(x).get; nn(c, (ch, j) => ch.ints.get(c)(j) > d)
       case GreaterThanOrEqual(c, x) if daysOf(x).isDefined =>
-        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) >= d
+        val d = daysOf(x).get; nn(c, (ch, j) => ch.ints.get(c)(j) >= d)
       case LessThan(c, x) if daysOf(x).isDefined =>
-        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) < d
+        val d = daysOf(x).get; nn(c, (ch, j) => ch.ints.get(c)(j) < d)
       case LessThanOrEqual(c, x) if daysOf(x).isDefined =>
-        val d = daysOf(x).get; (_, ia, _, j) => ia.get(c)(j) <= d
+        val d = daysOf(x).get; nn(c, (ch, j) => ch.ints.get(c)(j) <= d)
       case In(c, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[java.time.LocalDateTime]) =>
         val set = vs.map(x =>
           microsOf(x.asInstanceOf[java.time.LocalDateTime])).toSet
-        (l, _, _, j) => set.contains(l.get(c)(j))
+        nn(c, (ch, j) => set.contains(ch.longs.get(c)(j)))
       case In(c, vs) if vs.nonEmpty && vs.forall(daysOf(_).isDefined) =>
         val set = vs.map(daysOf(_).get).toSet
-        (_, ia, _, j) => set.contains(ia.get(c)(j))
+        nn(c, (ch, j) => set.contains(ch.ints.get(c)(j)))
       case EqualTo(c, x: String) =>
         val b = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (_, _, s, j) => s.get(c).equalsBytes(j, b)
+        nn(c, (ch, j) => ch.strs.get(c).equalsBytes(j, b))
       case In(c, vs) if longCols(c) =>
         val set = vs.map(_.asInstanceOf[java.lang.Long].longValue()).toSet
-        (l, _, _, j) => set.contains(l.get(c)(j))
+        nn(c, (ch, j) => set.contains(ch.longs.get(c)(j)))
       case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Integer]) =>
         val set = vs.map(_.asInstanceOf[java.lang.Integer].intValue()).toSet
-        (_, ia, _, j) => set.contains(ia.get(c)(j))
+        nn(c, (ch, j) => set.contains(ch.ints.get(c)(j)))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Double]) =>
+        // an ARRAY scan with IEEE ==, not a Set: boxed-Double set
+        // membership would miss -0.0 vs 0.0 (SQL calls them equal)
+        val arr = vs.map(_.asInstanceOf[java.lang.Double].doubleValue())
+        nn(c, (ch, j) => {
+          val a = ch.doubles.get(c)(j)
+          var i = 0
+          var hit = false
+          while (!hit && i < arr.length) { hit = a == arr(i); i += 1 }
+          hit
+        })
       case In(c, vs) =>
         val bs = vs.map(_.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        (_, _, s, j) => bs.exists(b => s.get(c).equalsBytes(j, b))
-      case IsNotNull(_) => (_, _, _, _) => true
+        nn(c, (ch, j) => bs.exists(b => ch.strs.get(c).equalsBytes(j, b)))
+      case IsNotNull(c) => (ch, j) => ch.validAt(c, j)
+      case IsNull(c) => (ch, j) => !ch.validAt(c, j)
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
 
@@ -379,13 +445,10 @@ object GraftDataSource {
   }
 
   private[sources] def rowPasses(preds: Array[RowPred],
-      longs: java.util.HashMap[String, Array[Long]],
-      ints: java.util.HashMap[String, Array[Int]],
-      strs: java.util.HashMap[String, graft.codecs.Utf8Column],
-      j: Int): Boolean = {
+      chunk: DecodedChunk, j: Int): Boolean = {
     var i = 0
     while (i < preds.length) {
-      if (!preds(i)(longs, ints, strs, j)) return false
+      if (!preds(i)(chunk, j)) return false
       i += 1
     }
     true
@@ -441,6 +504,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   private val longCols = GraftDataSource.longColsOf(tableSchema)
   private val strCols = GraftDataSource.strColsOf(tableSchema)
   private val intCols = GraftDataSource.intColsOf(tableSchema)
+  private val dblCols = GraftDataSource.dblColsOf(tableSchema)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[GraftAgg]] = None
@@ -466,7 +530,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     def pushableType(c: String): Option[DataType] =
       tableSchema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == LongType || dt == IntegerType ||
-          dt == TimestampNTZType || dt == DateType)
+          dt == TimestampNTZType || dt == DateType || dt == DoubleType)
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarAgg)
       case m: Min => fieldName(m.column)
@@ -501,7 +565,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, residual) = filters.partition(
-      GraftDataSource.pushable(_, longCols, strCols, intCols))
+      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols))
     pushed = take
     residual // fully enforced below: chunk zone-map skip + row-level check
   }
@@ -517,7 +581,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
       case None => new GraftScan(path, required, pushed, confKv, limit,
-        maxSplit, verify, longCols, strCols, intCols)
+        maxSplit, verify, longCols, strCols, intCols, dblCols)
     }
   }
 }
@@ -549,19 +613,23 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
         maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
       }
     }
+    // double zone maps store the order-preserving sortable-long mapping;
+    // surface the aggregate back as the double it encodes
+    def surface(v: Long, dt: DataType): Any =
+      if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt)
+      else if (dt == DoubleType)
+        java.lang.Double.valueOf(graft.codecs.DoubleBits.fromSortableLong(v))
+      else java.lang.Long.valueOf(v)
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
-      case MinAgg(c, dt) => mins.get(c)
-        .map(v => if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt): Any
-                  else java.lang.Long.valueOf(v): Any).orNull
-      case MaxAgg(c, dt) => maxs.get(c)
-        .map(v => if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt): Any
-                  else java.lang.Long.valueOf(v): Any).orNull
+      case MinAgg(c, dt) => mins.get(c).map(surface(_, dt)).orNull
+      case MaxAgg(c, dt) => maxs.get(c).map(surface(_, dt)).orNull
     }.toArray
     Array(GraftAggPartition(values.map {
       case null => null
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.longValue()
+      case d: java.lang.Double => d.doubleValue()
     }))
   }
 
@@ -581,6 +649,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
                 case null => row.setNullAt(i)
                 case l: Long => row.setLong(i, l)
                 case n: Int => row.setInt(i, n)
+                case d: Double => row.setDouble(i, d)
                 case other => row.update(i, other)
               }
               i += 1
@@ -614,7 +683,8 @@ class GraftScan(path: String, required: StructType,
                 verifyContent: Boolean = true,
                 longCols: Set[String] = GraftDataSource.longCols,
                 strCols: Set[String] = GraftDataSource.strCols,
-                intCols: Set[String] = Set.empty)
+                intCols: Set[String] = Set.empty,
+                dblCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -640,7 +710,7 @@ class GraftScan(path: String, required: StructType,
 
   override def filter(runtime: Array[Filter]): Unit = {
     val accepted = runtime.filter(
-      GraftDataSource.pushable(_, longCols, strCols, intCols))
+      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols))
     filters = filters ++ accepted
   }
 
@@ -704,7 +774,7 @@ class GraftScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
-      longCols, strCols, intCols)
+      longCols, strCols, intCols, dblCols)
 
   /** `readStream.format("graft")` — micro-batch TAILING of this table:
     * each trigger reads exactly the manifests committed since the last
@@ -715,7 +785,8 @@ class GraftScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, checkpointLocation, required, filters,
-      confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols)
+      confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols,
+      dblCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
@@ -723,12 +794,13 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
                          verifyContent: Boolean,
                          longCols: Set[String] = GraftDataSource.longCols,
                          strCols: Set[String] = GraftDataSource.strCols,
-                         intCols: Set[String] = Set.empty)
+                         intCols: Set[String] = Set.empty,
+                         dblCols: Set[String] = Set.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol, intCols)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -742,7 +814,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol, intCols)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols)
   }
 }
 
@@ -758,7 +830,8 @@ private[sources] final class ChunkCursor(
     longCols: Set[String] = GraftDataSource.longCols,
     strCols: Set[String] = GraftDataSource.strCols,
     digestCol: String = "content",
-    intCols: Set[String] = Set.empty) {
+    intCols: Set[String] = Set.empty,
+    dblCols: Set[String] = Set.empty) {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
   val neededLongs: Set[String] =
@@ -767,6 +840,8 @@ private[sources] final class ChunkCursor(
     (required.fieldNames.toSet ++ filterCols).intersect(strCols)
   val neededInts: Set[String] =
     (required.fieldNames.toSet ++ filterCols).intersect(intCols)
+  val neededDbls: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(dblCols)
   private val verify =
     verifyContent && digestCol.nonEmpty && neededStrs.contains(digestCol)
 
@@ -801,7 +876,7 @@ private[sources] final class ChunkCursor(
           s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
         val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
         val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs,
-          cs.crcs, neededInts)
+          cs.crcs, neededInts, neededDbls)
         require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
         require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
         chunk
@@ -812,7 +887,7 @@ private[sources] final class ChunkCursor(
           override def hasNext: Boolean = !ci.atEnd
           override def next(): DecodedChunk =
             ContainerFormat.readChunk(ci, neededLongs, neededStrs,
-              Map.empty, neededInts)
+              Map.empty, neededInts, neededDbls)
         }
       }
     if (!verify) raw
@@ -832,13 +907,14 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           longCols: Set[String] = GraftDataSource.longCols,
                           strCols: Set[String] = GraftDataSource.strCols,
                           digestCol: String = "content",
-                          intCols: Set[String] = Set.empty)
+                          intCols: Set[String] = Set.empty,
+                          dblCols: Set[String] = Set.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
   private val fields = required.fields
   private var batch: ColumnarBatch = _
@@ -853,8 +929,7 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
       var m = 0
       var j = 0
       while (j < chunk.rows && emitted + m < limit) {
-        if (GraftDataSource.rowPasses(preds, chunk.longs, chunk.ints,
-            chunk.strs, j)) {
+        if (GraftDataSource.rowPasses(preds, chunk, j)) {
           sel(m) = j; m += 1
         }
         j += 1
@@ -863,24 +938,48 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
         val vecs = new Array[ColumnVector](fields.length)
         var i = 0
         while (i < fields.length) {
+          val name = fields(i).name
           val v = new OnHeapColumnVector(m, fields(i).dataType)
+          // per-chunk validity bitmap (nullable columns only); selected
+          // NULL rows become vector nulls, their placeholder values are
+          // never surfaced
+          val nullBm = chunk.nulls.get(name)
+          @inline def isNullRow(r: Int): Boolean =
+            nullBm != null && (nullBm(r >> 3) & (1 << (r & 7))) != 0
           fields(i).dataType match {
             case LongType | TimestampNTZType =>
-              val src = chunk.longs.get(fields(i).name)
-              var k = 0
-              while (k < m) { v.putLong(k, src(sel(k))); k += 1 }
-            case IntegerType | DateType =>
-              val src = chunk.ints.get(fields(i).name)
-              var k = 0
-              while (k < m) { v.putInt(k, src(sel(k))); k += 1 }
-            case _ =>
-              // straight from the decoded UTF-8 slices: no String
-              // materialization, no re-encode
-              val u = chunk.strs.get(fields(i).name)
+              val src = chunk.longs.get(name)
               var k = 0
               while (k < m) {
                 val r = sel(k)
-                v.putByteArray(k, u.pool, u.offsets(r), u.lens(r))
+                if (isNullRow(r)) v.putNull(k) else v.putLong(k, src(r))
+                k += 1
+              }
+            case IntegerType | DateType =>
+              val src = chunk.ints.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k) else v.putInt(k, src(r))
+                k += 1
+              }
+            case DoubleType =>
+              val src = chunk.doubles.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k) else v.putDouble(k, src(r))
+                k += 1
+              }
+            case _ =>
+              // straight from the decoded UTF-8 slices: no String
+              // materialization, no re-encode
+              val u = chunk.strs.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k)
+                else v.putByteArray(k, u.pool, u.offsets(r), u.lens(r))
                 k += 1
               }
           }
@@ -914,7 +1013,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            longCols: Set[String] = GraftDataSource.longCols,
                            strCols: Set[String] = GraftDataSource.strCols,
                            digestCol: String = "content",
-                           intCols: Set[String] = Set.empty)
+                           intCols: Set[String] = Set.empty,
+                           dblCols: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -923,28 +1023,29 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
 
   private val fields = required.fields
   private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
-    val longs = chunk.longs
-    val strs = chunk.strs
-    val ints = chunk.ints
     (0 until chunk.rows).iterator.flatMap { j =>
-      if (!GraftDataSource.rowPasses(preds, longs, ints, strs, j)) None
+      if (!GraftDataSource.rowPasses(preds, chunk, j)) None
       else {
         val row = new GenericInternalRow(fields.length)
         var i = 0
         while (i < fields.length) {
-          fields(i).dataType match {
+          val name = fields(i).name
+          if (!chunk.validAt(name, j)) row.setNullAt(i)
+          else fields(i).dataType match {
             case LongType | TimestampNTZType =>
-              row.setLong(i, longs.get(fields(i).name)(j))
+              row.setLong(i, chunk.longs.get(name)(j))
             case IntegerType | DateType =>
-              row.setInt(i, ints.get(fields(i).name)(j))
+              row.setInt(i, chunk.ints.get(name)(j))
+            case DoubleType =>
+              row.setDouble(i, chunk.doubles.get(name)(j))
             case _ =>
               // zero-copy view over the decoded UTF-8 slice
-              val u = strs.get(fields(i).name)
+              val u = chunk.strs.get(name)
               row.update(i, UTF8String.fromBytes(u.pool, u.offsets(j), u.lens(j)))
           }
           i += 1
@@ -1020,7 +1121,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
                             confKv: Map[String, String],
                             maxSplitBytes: Long, verifyContent: Boolean,
                             longCols: Set[String], strCols: Set[String],
-                            intCols: Set[String])
+                            intCols: Set[String],
+                            dblCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1151,7 +1253,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, Int.MaxValue,
-      verifyContent, longCols, strCols, intCols)
+      verifyContent, longCols, strCols, intCols, dblCols)
 
   /** Fold per-batch seen-log entries at or below the COMMITTED offset
     * into one `<end>.compact.json` once [[GraftMicroBatchStream
@@ -1207,19 +1309,28 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = {
-    val in = info.schema()
-    // any mix of BIGINT/INT/STRING/TIMESTAMP_NTZ/DATE columns is
+    val in0 = info.schema()
+    // any mix of BIGINT/INT/STRING/TIMESTAMP_NTZ/DATE/DOUBLE columns is
     // writable (specsOf validates); a first write defines the table's
-    // schema, an APPEND must match the committed one exactly, and an
-    // overwrite may replace it
-    val specs = GraftDataSource.specsOf(in)
-    if (!doTruncate) {
-      GraftDataSource.inferFrom(path).foreach { existing =>
-        require(GraftDataSource.specsOf(existing) == specs,
+    // schema, an APPEND must match the committed one on (name, kind) in
+    // order, and an overwrite may replace it. NULLABILITY is the
+    // table's, not the incoming DataFrame's: Spark schemas routinely
+    // carry nullable=true for columns that hold no nulls (every toDF
+    // string field does), so appends adopt the committed nullability —
+    // an actual null aimed at a non-nullable table column still fails
+    // per value in the writer, exactly as before
+    val specs0 = GraftDataSource.specsOf(in0)
+    val in =
+      if (doTruncate) in0
+      else GraftDataSource.inferFrom(path).map { existing =>
+        val tableSpecs = GraftDataSource.specsOf(existing)
+        require(tableSpecs.map(s => (s.name, s.kind)) ==
+            specs0.map(s => (s.name, s.kind)),
           s"graft append schema mismatch: table has ${existing.simpleString}, " +
-            s"write is ${in.simpleString}")
-      }
-    }
+            s"write is ${in0.simpleString}")
+        StructType(in0.fields.lazyZip(tableSpecs).map((f, s) =>
+          f.copy(nullable = s.nullable)))
+      }.getOrElse(in0)
     val chunkRows = Option(info.options().get("chunkRows")).map(_.toInt)
       .getOrElse(ColumnarEngine.ChunkRows)
     val sortBy = Option(info.options().get("sortBy")).toSeq
@@ -1520,31 +1631,58 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     .collect { case (f, i) if isNumeric(f.dataType) => i }
   private val longIsInt: Array[Boolean] = writeSchema.fields
     .collect { case f if isNumeric(f.dataType) => isNarrow(f.dataType) }
+  private val longIsDbl: Array[Boolean] = writeSchema.fields
+    .collect { case f if isNumeric(f.dataType) => f.dataType == DoubleType }
+  private val strNullable: Array[Boolean] = writeSchema.fields
+    .collect { case f if f.dataType == StringType => f.nullable }
+  private val longNullable: Array[Boolean] = writeSchema.fields
+    .collect { case f if isNumeric(f.dataType) => f.nullable }
+  // value/mask arrays reused across rows (the encoder copies synchronously);
+  // masks exist only when the schema declares any nullable column of that
+  // group, so non-nullable tables keep the round-6 fast path
+  private val strs = new Array[String](strPos.length)
+  private val longs = new Array[Long](longPos.length)
+  private val strNulls: Array[Boolean] =
+    if (strNullable.exists(identity)) new Array[Boolean](strPos.length) else null
+  private val longNulls: Array[Boolean] =
+    if (longNullable.exists(identity)) new Array[Boolean](longPos.length) else null
   private var n = 0L
 
-  private def checkNotNull(row: InternalRow, i: Int): Unit =
-    if (row.isNullAt(i)) throw new IllegalArgumentException(
-      s"graft write: null value in non-nullable column " +
-        s"'${writeSchema.fields(i).name}' (row ${n + 1} of task $part)")
+  private def nullError(i: Int): Nothing = throw new IllegalArgumentException(
+    s"graft write: null value in non-nullable column " +
+      s"'${writeSchema.fields(i).name}' (row ${n + 1} of task $part)")
 
   override def write(row: InternalRow): Unit = {
-    val strs = new Array[String](strPos.length)
     var i = 0
     while (i < strPos.length) {
-      checkNotNull(row, strPos(i))
-      strs(i) = row.getUTF8String(strPos(i)).toString
+      if (row.isNullAt(strPos(i))) {
+        if (strNulls == null || !strNullable(i)) nullError(strPos(i))
+        strNulls(i) = true
+        strs(i) = null
+      } else {
+        if (strNulls != null) strNulls(i) = false
+        strs(i) = row.getUTF8String(strPos(i)).toString
+      }
       i += 1
     }
-    val longs = new Array[Long](longPos.length)
     i = 0
     while (i < longPos.length) {
-      checkNotNull(row, longPos(i))
-      longs(i) =
-        if (longIsInt(i)) row.getInt(longPos(i)).toLong
-        else row.getLong(longPos(i))
+      if (row.isNullAt(longPos(i))) {
+        if (longNulls == null || !longNullable(i)) nullError(longPos(i))
+        longNulls(i) = true
+        longs(i) = 0L
+      } else {
+        if (longNulls != null) longNulls(i) = false
+        longs(i) =
+          if (longIsInt(i)) row.getInt(longPos(i)).toLong
+          else if (longIsDbl(i))
+            // kind 5: order-preserving sortable-long storage form
+            graft.codecs.DoubleBits.toSortableLong(row.getDouble(longPos(i)))
+          else row.getLong(longPos(i))
+      }
       i += 1
     }
-    enc.addRow(strs, longs)
+    enc.addRow(strs, longs, strNulls, longNulls)
     n += 1
   }
 

@@ -127,7 +127,7 @@ object GraftMaintenance {
 
     val schema =
       if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
-      else schemaCols.map { case (n, k) => ColumnSpec(n, k) }
+      else schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
     // the leading letter keeps the run id non-numeric: epochKey strips a
     // trailing all-digit segment, and an all-digit run id would let a
     // double epochKey application collapse "compact-<runId>" to the
@@ -308,10 +308,16 @@ object GraftMaintenance {
     val neededL = schema.collect { case s if s.kind == 0 || s.kind == 3 => s.name }.toSet
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
     val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet
-    val numNarrow: Array[Boolean] =
-      schema.filter(_.kind != 1).map(s => s.kind == 2 || s.kind == 4).toArray
+    val neededD = schema.collect { case s if s.kind == 5 => s.name }.toSet
+    val numKind: Array[Int] = schema.filter(_.kind != 1).map(_.kind).toArray
     val strNames = enc.strNames
     val longNames = enc.longNames
+    // null masks reused per row (addRow reads them synchronously); only
+    // nullable schemas pay for them — and they must be PROPAGATED here or
+    // compaction would silently turn NULLs into their stored placeholders
+    val anyNullable = schema.exists(_.nullable)
+    val strNulls = if (anyNullable) new Array[Boolean](strNames.length) else null
+    val longNulls = if (anyNullable) new Array[Boolean](longNames.length) else null
     ms.foreach { m =>
       val file = m.blockFile(path)
       val fs = ContainerIO.fs(file, conf)
@@ -322,14 +328,16 @@ object GraftMaintenance {
         val chunks: Iterator[DecodedChunk] =
           if (m.chunkIndex.nonEmpty) m.chunkIndex.iterator.map { cs =>
             val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
-            ContainerFormat.readChunk(ci, neededL, neededS, cs.blockCrcs, neededI)
+            ContainerFormat.readChunk(ci, neededL, neededS, cs.blockCrcs,
+              neededI, neededD)
           } else {
             val ci = new ContainerInput(in, 0L, fileLen)
             ContainerFormat.readPrelude(ci)
             new Iterator[DecodedChunk] {
               override def hasNext: Boolean = !ci.atEnd
               override def next(): DecodedChunk =
-                ContainerFormat.readChunk(ci, neededL, neededS, Map.empty, neededI)
+                ContainerFormat.readChunk(ci, neededL, neededS, Map.empty,
+                  neededI, neededD)
             }
           }
         chunks.foreach { chunk =>
@@ -339,16 +347,26 @@ object GraftMaintenance {
           while (j < chunk.rows) {
             val strs = new Array[String](strNames.length)
             var i = 0
-            while (i < strNames.length) { strs(i) = strCols(i)(j); i += 1 }
+            while (i < strNames.length) {
+              if (anyNullable) strNulls(i) = !chunk.validAt(strNames(i), j)
+              strs(i) = strCols(i)(j)
+              i += 1
+            }
             val longs = new Array[Long](longNames.length)
             i = 0
             while (i < longNames.length) {
-              longs(i) =
-                if (numNarrow(i)) chunk.ints.get(longNames(i))(j).toLong
-                else chunk.longs.get(longNames(i))(j)
+              if (anyNullable) longNulls(i) = !chunk.validAt(longNames(i), j)
+              longs(i) = numKind(i) match {
+                case 2 | 4 => chunk.ints.get(longNames(i))(j).toLong
+                // back to the sortable-long storage form (bijective on
+                // stored values: the writer already canonicalized NaN)
+                case 5 => graft.codecs.DoubleBits.toSortableLong(
+                  chunk.doubles.get(longNames(i))(j))
+                case _ => chunk.longs.get(longNames(i))(j)
+              }
               i += 1
             }
-            enc.addRow(strs, longs)
+            enc.addRow(strs, longs, strNulls, longNulls)
             j += 1
           }
         }

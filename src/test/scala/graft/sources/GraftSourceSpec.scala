@@ -346,11 +346,12 @@ class GraftSourceSpec extends AnyFunSuite {
     df.limit(10).write.format("graft").mode("append").save(d)
     assert(spark.read.format("graft").load(d).count() === 510)
     // a non-representable type is rejected with a named column
+    // (DOUBLE became kind 5 in round 7, so boolean is the probe now)
     val ex2 = intercept[Exception] {
-      Seq((1L, 2.5)).toDF("id", "weight")
+      Seq((1L, true)).toDF("id", "flag")
         .write.format("graft").mode("overwrite").save(d)
     }
-    assert(messages(ex2).contains("weight"), s"got $ex2")
+    assert(messages(ex2).contains("flag"), s"got $ex2")
     // an overwrite may REPLACE the schema
     Seq((1L, 9L)).toDF("a", "b").write.format("graft").mode("overwrite").save(d)
     assert(spark.read.format("graft").load(d).schema.fieldNames.toSeq === Seq("a", "b"))
@@ -458,7 +459,10 @@ class GraftSourceSpec extends AnyFunSuite {
     // the manifest records the narrow kind
     val m = graft.engine.Manifests.readCommitted(
       graft.engine.ContainerIO.localConf(), d).head
-    assert(m.schemaCols === Seq(("id", 0), ("n", 2), ("tag", 1)))
+    // kinds are packed with the nullable flag (bit 7) since round 7;
+    // compare the unpacked kind
+    assert(m.schemaCols.map { case (n, k) => (n, k & 0x7f) } ===
+      Seq(("id", 0), ("n", 2), ("tag", 1)))
     // MIN/MAX over the int column are manifest-answered, result stays i32
     val r = spark.read.format("graft").load(d).agg(min("n"), max("n")).collect()(0)
     assert(r.getInt(0) === 0 && r.getInt(1) === 1197)
@@ -484,7 +488,8 @@ class GraftSourceSpec extends AnyFunSuite {
     // the manifest records the temporal kinds
     val m = graft.engine.Manifests.readCommitted(
       graft.engine.ContainerIO.localConf(), d).head
-    assert(m.schemaCols === Seq(("id", 0), ("ts", 3), ("tag", 1), ("day", 4)))
+    assert(m.schemaCols.map { case (n, k) => (n, k & 0x7f) } ===
+      Seq(("id", 0), ("ts", 3), ("tag", 1), ("day", 4)))
     // ts range filters are PUSHED and prune chunks via the micros zone
     // maps: hours 0-99 / 100-199 / 200-299 / 300-399 per chunk, so a
     // >= hour-310 filter admits exactly the last chunk
