@@ -532,6 +532,39 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    // BINARY schema (round 7): the multimodal payloads — opaque media
+    // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
+    // BINARY column in the graft table, read back, and metadata-extracted
+    // under m1's oracle: the byte-walk parsers only succeed if every
+    // payload round-trips bit-exact.
+    "c12_binary_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c12").toString
+      Multimodal.payloadsFromText(t(s, d, "documents"), "doc_id", "text")
+        .write.format("graft").option("chunkRows", "256")
+        .mode("overwrite").save(dir)
+      Multimodal.extractMetadata(s.read.format("graft").load(dir)).toDF()
+        .select(col("doc_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"), col("frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ARRAY<FLOAT> schema (round 7): the embeddings corpus stored as a
+    // kind-7 float-array column (per-row dims + packed little-endian
+    // floats), read back, and brute-force ANN'd under e1's oracle —
+    // cosine top-k only matches DuckDB if every float round-trips
+    // bit-exact through the graft table.
+    "c13_floatarray_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c13").toString
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .write.format("graft").option("chunkRows", "4096")
+        .mode("overwrite").save(dir)
+      val emb = s.read.format("graft").load(dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // DOUBLE schema (round 7): `value` written as a kind-5 DOUBLE column
     // clustered by value, read back with a PUSHED double comparison that
     // prunes chunks against the sortable-long zone maps; MIN/MAX are
@@ -908,6 +941,30 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value
          FROM events WHERE value > 50.0
          GROUP BY 1 ORDER BY 1""",
+
+    // same oracle as m1 — the payloads now round-trip through a graft
+    // BINARY column before extraction
+    "c12_binary_schema" ->
+      """SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 33 + b WHEN 1 THEN 44 + b ELSE 52 + b END AS BIGINT) AS byte_len,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + b % 640 WHEN 1 THEN 1 + b % 2 ELSE 0 END AS BIGINT) AS width,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (b // 640) % 480 WHEN 1 THEN 8000 ELSE 0 END AS BIGINT) AS height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN b // (2 * (1 + b % 2)) ELSE 1 + b % 7 END AS BIGINT) AS frames
+         FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS b FROM documents)
+         ORDER BY doc_id""",
+
+    // same oracle as e1 — the embeddings now round-trip through a graft
+    // ARRAY<FLOAT> column before the brute-force search
+    "c13_floatarray_schema" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       scored AS (SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+         FROM q, c WHERE query_id <> neighbor_id),
+       ranked AS (SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "c9_compact_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -296,19 +296,37 @@ object ColumnarEngine {
       * Long) in schema order.
       */
     val strNames: Array[String] = schema.filter(_.kind == 1).map(_.name).toArray
-    val longNames: Array[String] = schema.filter(_.kind != 1).map(_.name).toArray
-    private val numKinds: Array[Int] = schema.filter(_.kind != 1).map(_.kind).toArray
+    val longNames: Array[String] =
+      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+        .map(_.name).toArray
+    /** Kind-6 (binary) and kind-7 (float array) columns, each its own
+      * positional group of the extended [[addRow]] (round 7).
+      */
+    val binNames: Array[String] = schema.filter(_.kind == 6).map(_.name).toArray
+    val fltNames: Array[String] = schema.filter(_.kind == 7).map(_.name).toArray
+    private val numKinds: Array[Int] =
+      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+        .map(_.kind).toArray
     // nullable columns (round 7): per-chunk validity bitmaps, allocated
     // lazily on the first null; all-present chunks write the plain layout
     private val strNullable: Array[Boolean] =
       schema.filter(_.kind == 1).map(_.nullable).toArray
     private val longNullable: Array[Boolean] =
-      schema.filter(_.kind != 1).map(_.nullable).toArray
+      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+        .map(_.nullable).toArray
+    private val binNullable: Array[Boolean] =
+      schema.filter(_.kind == 6).map(_.nullable).toArray
+    private val fltNullable: Array[Boolean] =
+      schema.filter(_.kind == 7).map(_.nullable).toArray
     private val bmBytes = (chunkRowsCap + 7) >> 3
     private val strNullBms: Array[Array[Byte]] = new Array(strNames.length)
     private val longNullBms: Array[Array[Byte]] = new Array(longNames.length)
+    private val binNullBms: Array[Array[Byte]] = new Array(binNames.length)
+    private val fltNullBms: Array[Array[Byte]] = new Array(fltNames.length)
     private val strNullCnt = new Array[Int](strNames.length)
     private val longNullCnt = new Array[Int](longNames.length)
+    private val binNullCnt = new Array[Int](binNames.length)
+    private val fltNullCnt = new Array[Int](fltNames.length)
     private val digestCol = digestColumnOf(schema)
     private val digestIdx = strNames.indexOf(digestCol)
     private val w = new BlockWriter(1 << 20)
@@ -330,6 +348,10 @@ object ColumnarEngine {
     private var bufN = 0
     private val strBufs = Array.fill(strNames.length)(
       new scala.collection.mutable.ArrayBuffer[String](1024))
+    private val binBufs = Array.fill(binNames.length)(
+      new scala.collection.mutable.ArrayBuffer[Array[Byte]](1024))
+    private val fltBufs = Array.fill(fltNames.length)(
+      new scala.collection.mutable.ArrayBuffer[Array[Float]](1024))
     private var longCap = math.min(chunkRowsCap, 1024)
     private var longBufs = Array.fill(longNames.length)(new Array[Long](longCap))
     private var bufBytes = 0L
@@ -347,7 +369,8 @@ object ColumnarEngine {
       var chunkStrRanges = Map.empty[String, (String, String)]
       var chunkCrcs = Map.empty[String, Long]
       w.putVarint(n.toLong)
-      w.putVarint((longNames.length + strNames.length).toLong)
+      w.putVarint((longNames.length + strNames.length +
+        binNames.length + fltNames.length).toLong)
       // per-row digest-column sha256 -> chunk digest (all-zero when the
       // schema has no string column: block CRCs still cover every block)
       val digest =
@@ -463,23 +486,52 @@ object ColumnarEngine {
         range.foreach(r => chunkStrRanges = chunkStrRanges.updated(nm, r))
         ci += 1
       }
+      // kind 6 (binary): raw length-prefixed payloads — no zone stats
+      // (blob equality/range pruning has no sound proof shape here)
+      ci = 0
+      while (ci < binNames.length) {
+        val vals = new Array[Array[Byte]](n)
+        binBufs(ci).copyToArray(vals, 0, n)
+        var raw = 0L
+        var i = 0
+        while (i < n) { raw += vals(i).length; i += 1 }
+        writeCol(binNames(ci), 6, graft.codecs.BytesCodecs.encodeBinary(vals, n),
+          "bin-raw", raw,
+          nullBm = if (binNullCnt(ci) > 0) binNullBms(ci) else null)
+        ci += 1
+      }
+      // kind 7 (float array): packed little-endian IEEE-754
+      ci = 0
+      while (ci < fltNames.length) {
+        val vals = new Array[Array[Float]](n)
+        fltBufs(ci).copyToArray(vals, 0, n)
+        var raw = 0L
+        var i = 0
+        while (i < n) { raw += 4L * vals(i).length; i += 1 }
+        writeCol(fltNames(ci), 7, graft.codecs.BytesCodecs.encodeFloats(vals, n),
+          "f32-raw", raw,
+          nullBm = if (fltNullCnt(ci) > 0) fltNullBms(ci) else null)
+        ci += 1
+      }
       w.putBytes(digest)
       partDigest.update(digest)
       chunkIndex += ChunkStats(chunkStart, w.size.toLong - chunkStart, n,
         chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs)
       strBufs.foreach(_.clear())
-      var z = 0
-      while (z < strNullBms.length) {
-        if (strNullCnt(z) > 0) java.util.Arrays.fill(strNullBms(z), 0.toByte)
-        strNullCnt(z) = 0
-        z += 1
+      binBufs.foreach(_.clear())
+      fltBufs.foreach(_.clear())
+      def resetBms(bms: Array[Array[Byte]], cnts: Array[Int]): Unit = {
+        var z = 0
+        while (z < bms.length) {
+          if (cnts(z) > 0) java.util.Arrays.fill(bms(z), 0.toByte)
+          cnts(z) = 0
+          z += 1
+        }
       }
-      z = 0
-      while (z < longNullBms.length) {
-        if (longNullCnt(z) > 0) java.util.Arrays.fill(longNullBms(z), 0.toByte)
-        longNullCnt(z) = 0
-        z += 1
-      }
+      resetBms(strNullBms, strNullCnt)
+      resetBms(longNullBms, longNullCnt)
+      resetBms(binNullBms, binNullCnt)
+      resetBms(fltNullBms, fltNullCnt)
       bufN = 0
       bufBytes = 0L
     }
@@ -541,9 +593,27 @@ object ColumnarEngine {
       */
     def addRow(strVals: Array[String], longVals: Array[Long],
                strNullMask: Array[Boolean], longNullMask: Array[Boolean]): Unit = {
-      require(strVals.length == strNames.length && longVals.length == longNames.length,
-        s"addRow arity (${strVals.length} strs, ${longVals.length} longs) != schema " +
-          s"(${strNames.length} strs, ${longNames.length} longs)")
+      require(binNames.isEmpty && fltNames.isEmpty,
+        "schema has binary/float-array columns: use the full addRow overload")
+      addRow(strVals, longVals, PartitionEncoder.NoBins, PartitionEncoder.NoFlts,
+        strNullMask, longNullMask, null, null)
+    }
+
+    /** Full positional contract (round 7): strings, numerics (kinds
+      * 0/2/3/4/5 widened to Long), binaries (kind 6), float arrays
+      * (kind 7), each in schema order, with optional per-group null
+      * masks (see the 4-arg overload).
+      */
+    def addRow(strVals: Array[String], longVals: Array[Long],
+               binVals: Array[Array[Byte]], fltVals: Array[Array[Float]],
+               strNullMask: Array[Boolean], longNullMask: Array[Boolean],
+               binNullMask: Array[Boolean], fltNullMask: Array[Boolean]): Unit = {
+      require(strVals.length == strNames.length && longVals.length == longNames.length &&
+          binVals.length == binNames.length && fltVals.length == fltNames.length,
+        s"addRow arity (${strVals.length} strs, ${longVals.length} longs, " +
+          s"${binVals.length} bins, ${fltVals.length} flts) != schema " +
+          s"(${strNames.length} strs, ${longNames.length} longs, " +
+          s"${binNames.length} bins, ${fltNames.length} flts)")
       var bytes = 0L
       var i = 0
       while (i < strVals.length) {
@@ -592,6 +662,46 @@ object ColumnarEngine {
           strNullCnt(i) += 1
           strBufs(i) += "" // placeholder (digest + zone stats include it)
         } else strBufs(i) += strVals(i)
+        i += 1
+      }
+      i = 0
+      while (i < binVals.length) {
+        if (binNullMask != null && binNullMask(i)) {
+          require(binNullable(i),
+            s"null value in non-nullable column '${binNames(i)}' (partition $part)")
+          var bm = binNullBms(i)
+          if (bm == null) { bm = new Array[Byte](bmBytes); binNullBms(i) = bm }
+          bm(bufN >> 3) = (bm(bufN >> 3) | (1 << (bufN & 7))).toByte
+          binNullCnt(i) += 1
+          binBufs(i) += PartitionEncoder.EmptyBytes
+        } else {
+          val v = binVals(i)
+          require(v != null, s"null value in column '${binNames(i)}' (partition $part)")
+          require(v.length <= graft.codecs.BytesCodecs.MaxBinaryBytes,
+            s"binary value exceeds MaxBinaryBytes in column '${binNames(i)}'")
+          bytes += v.length
+          binBufs(i) += v
+        }
+        i += 1
+      }
+      i = 0
+      while (i < fltVals.length) {
+        if (fltNullMask != null && fltNullMask(i)) {
+          require(fltNullable(i),
+            s"null value in non-nullable column '${fltNames(i)}' (partition $part)")
+          var bm = fltNullBms(i)
+          if (bm == null) { bm = new Array[Byte](bmBytes); fltNullBms(i) = bm }
+          bm(bufN >> 3) = (bm(bufN >> 3) | (1 << (bufN & 7))).toByte
+          fltNullCnt(i) += 1
+          fltBufs(i) += PartitionEncoder.EmptyFloats
+        } else {
+          val v = fltVals(i)
+          require(v != null, s"null value in column '${fltNames(i)}' (partition $part)")
+          require(v.length <= graft.codecs.BytesCodecs.MaxFloatDim,
+            s"float array exceeds MaxFloatDim in column '${fltNames(i)}'")
+          bytes += 4L * v.length
+          fltBufs(i) += v
+        }
         i += 1
       }
       bufN += 1
@@ -649,6 +759,13 @@ object ColumnarEngine {
       if (publishManifest) Manifests.writeManifest(conf, outDir, manifest, attemptId)
       manifest
     }
+  }
+
+  private[graft] object PartitionEncoder {
+    val NoBins = new Array[Array[Byte]](0)
+    val NoFlts = new Array[Array[Float]](0)
+    val EmptyBytes = new Array[Byte](0)
+    val EmptyFloats = new Array[Float](0)
   }
 
   /** Manifests as a DataFrame (metrics/lineage query surface). */

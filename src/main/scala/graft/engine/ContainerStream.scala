@@ -143,7 +143,9 @@ private[graft] final case class DecodedChunk(
     doubles: java.util.HashMap[String, Array[Double]] =
       new java.util.HashMap[String, Array[Double]](),
     nulls: java.util.HashMap[String, Array[Byte]] =
-      new java.util.HashMap[String, Array[Byte]]()) {
+      new java.util.HashMap[String, Array[Byte]](),
+    flts: java.util.HashMap[String, graft.codecs.FloatsColumn] =
+      new java.util.HashMap[String, graft.codecs.FloatsColumn]()) {
 
   /** Is row j of column c non-null? (Columns without a bitmap are all
     * non-null.)
@@ -185,10 +187,11 @@ private[graft] object ContainerFormat {
   def readChunk(ci: ContainerInput, neededLongs: Set[String],
                 neededStrs: Set[String], crcs: Map[String, Long],
                 neededInts: Set[String] = Set.empty,
-                neededDbls: Set[String] = Set.empty): DecodedChunk = {
+                neededDbls: Set[String] = Set.empty,
+                neededFlts: Set[String] = Set.empty): DecodedChunk = {
     val needed = (name: String) =>
       neededLongs(name) || neededStrs(name) || neededInts(name) ||
-        neededDbls(name)
+        neededDbls(name) || neededFlts(name)
     val n = {
       val l = ci.readVarint()
       require(l >= 1 && l <= LongCodecs.MaxDecodeRows, s"implausible chunk rows $l")
@@ -204,6 +207,7 @@ private[graft] object ContainerFormat {
     val ints = new java.util.HashMap[String, Array[Int]]()
     val dbls = new java.util.HashMap[String, Array[Double]]()
     val nulls = new java.util.HashMap[String, Array[Byte]]()
+    val flts = new java.util.HashMap[String, graft.codecs.FloatsColumn]()
     var c = 0
     while (c < nCols) {
       val nameLen = ci.readVarint()
@@ -215,7 +219,7 @@ private[graft] object ContainerFormat {
       // (nullable columns write it only on chunks that contain nulls)
       val kind = rawKind & 0x7f
       val hasNulls = (rawKind & 0x80) != 0
-      require(kind >= 0 && kind <= 5, s"unknown column kind $kind")
+      require(kind >= 0 && kind <= 7, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -252,6 +256,15 @@ private[graft] object ContainerFormat {
         else if (kind == 5)
           dbls.put(name, graft.codecs.DoubleBits.toDoubles(
             LongCodecs.decodeSlice(block, off, block.length)))
+        // kind 6 (binary) decodes zero-copy into the same byte-slice
+        // column shape strings use — readers pick Binary vs UTF8String
+        // materialization by the Spark field type
+        else if (kind == 6)
+          strs.put(name, graft.codecs.BytesCodecs.decodeBinary(
+            block, off, block.length))
+        else if (kind == 7)
+          flts.put(name, graft.codecs.BytesCodecs.decodeFloats(
+            block, off, block.length))
         else strs.put(name, StringCodecs.decodeSliceUtf8(block, off, block.length))
       } else ci.skipBytes(blockLen.toLong)
       c += 1
@@ -273,7 +286,11 @@ private[graft] object ContainerFormat {
       val a = dbls.get(col)
       require(a != null && a.length == n, s"container missing/short double column $col")
     }
-    DecodedChunk(n, longs, strs, digest, ints, dbls, nulls)
+    for (col <- neededFlts) {
+      val a = flts.get(col)
+      require(a != null && a.n == n, s"container missing/short float-array column $col")
+    }
+    DecodedChunk(n, longs, strs, digest, ints, dbls, nulls, flts)
   }
 
   /** Recompute the chunk's per-row digest-column sha256 digest and

@@ -87,6 +87,8 @@ object GraftDataSource {
       case 3 => TimestampNTZType
       case 4 => DateType
       case 5 => DoubleType
+      case 6 => BinaryType
+      case 7 => ArrayType(FloatType, containsNull = false)
       case _ => StringType
     }, nullable = s.nullable)))
 
@@ -111,9 +113,14 @@ object GraftDataSource {
         case TimestampNTZType => 3
         case DateType => 4
         case DoubleType => 5
+        // the LLM-pipeline shapes (round 7): opaque media payloads and
+        // embeddings live in the engine's own table
+        case BinaryType => 6
+        case ArrayType(FloatType, _) => 7
         case other => throw new IllegalArgumentException(
           s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, " +
-            s"DATE, and DOUBLE columns; column '${f.name}' is $other")
+            s"DATE, DOUBLE, BINARY, and ARRAY<FLOAT> columns; " +
+            s"column '${f.name}' is $other")
       }
       graft.engine.ColumnSpec(f.name, kind, f.nullable)
     }
@@ -152,8 +159,20 @@ object GraftDataSource {
     st.fields.collect {
       case f if f.dataType == LongType || f.dataType == TimestampNTZType => f.name
     }.toSet
+  /** String AND binary columns: kind 6 decodes into the same byte-slice
+    * column shape (a pushed string constant can never reach a binary
+    * column — Spark types the filters — so sharing the needed-set is
+    * safe and saves a fourth plumbing lane).
+    */
   private[sources] def strColsOf(st: StructType): Set[String] =
-    st.fields.collect { case f if f.dataType == StringType => f.name }.toSet
+    st.fields.collect {
+      case f if f.dataType == StringType || f.dataType == BinaryType => f.name
+    }.toSet
+  private[sources] def fltColsOf(st: StructType): Set[String] =
+    st.fields.collect {
+      case f if f.dataType == ArrayType(FloatType, containsNull = false) ||
+        f.dataType == ArrayType(FloatType, containsNull = true) => f.name
+    }.toSet
   private[sources] def intColsOf(st: StructType): Set[String] =
     st.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == DateType => f.name
@@ -266,7 +285,8 @@ object GraftDataSource {
   private[sources] def pushable(f: Filter, longCols: Set[String],
                                 strCols: Set[String],
                                 intCols: Set[String] = Set.empty,
-                                dblCols: Set[String] = Set.empty): Boolean = f match {
+                                dblCols: Set[String] = Set.empty,
+                                fltCols: Set[String] = Set.empty): Boolean = f match {
     case EqualTo(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
     case GreaterThan(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
     case GreaterThanOrEqual(c, x: java.lang.Double) => dblCols(c) && !x.isNaN
@@ -309,8 +329,10 @@ object GraftDataSource {
     case EqualTo(c, _: String) => strCols(c)
     case In(c, vs) if strCols(c) =>
       vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-    case IsNotNull(c) => longCols(c) || strCols(c) || intCols(c) || dblCols(c)
-    case IsNull(c) => longCols(c) || strCols(c) || intCols(c) || dblCols(c)
+    case IsNotNull(c) =>
+      longCols(c) || strCols(c) || intCols(c) || dblCols(c) || fltCols(c)
+    case IsNull(c) =>
+      longCols(c) || strCols(c) || intCols(c) || dblCols(c) || fltCols(c)
     case _ => false
   }
 
@@ -505,6 +527,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   private val strCols = GraftDataSource.strColsOf(tableSchema)
   private val intCols = GraftDataSource.intColsOf(tableSchema)
   private val dblCols = GraftDataSource.dblColsOf(tableSchema)
+  private val fltCols = GraftDataSource.fltColsOf(tableSchema)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Option[Seq[GraftAgg]] = None
@@ -565,7 +588,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, residual) = filters.partition(
-      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols))
+      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols, fltCols))
     pushed = take
     residual // fully enforced below: chunk zone-map skip + row-level check
   }
@@ -581,7 +604,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv)
       case None => new GraftScan(path, required, pushed, confKv, limit,
-        maxSplit, verify, longCols, strCols, intCols, dblCols)
+        maxSplit, verify, longCols, strCols, intCols, dblCols, fltCols)
     }
   }
 }
@@ -684,7 +707,8 @@ class GraftScan(path: String, required: StructType,
                 longCols: Set[String] = GraftDataSource.longCols,
                 strCols: Set[String] = GraftDataSource.strCols,
                 intCols: Set[String] = Set.empty,
-                dblCols: Set[String] = Set.empty)
+                dblCols: Set[String] = Set.empty,
+                fltCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -710,7 +734,7 @@ class GraftScan(path: String, required: StructType,
 
   override def filter(runtime: Array[Filter]): Unit = {
     val accepted = runtime.filter(
-      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols))
+      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols, fltCols))
     filters = filters ++ accepted
   }
 
@@ -774,7 +798,7 @@ class GraftScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
-      longCols, strCols, intCols, dblCols)
+      longCols, strCols, intCols, dblCols, fltCols)
 
   /** `readStream.format("graft")` — micro-batch TAILING of this table:
     * each trigger reads exactly the manifests committed since the last
@@ -786,7 +810,7 @@ class GraftScan(path: String, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(path, checkpointLocation, required, filters,
       confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols,
-      dblCols)
+      dblCols, fltCols)
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],
@@ -795,12 +819,14 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
                          longCols: Set[String] = GraftDataSource.longCols,
                          strCols: Set[String] = GraftDataSource.strCols,
                          intCols: Set[String] = Set.empty,
-                         dblCols: Set[String] = Set.empty)
+                         dblCols: Set[String] = Set.empty,
+                         fltCols: Set[String] = Set.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
+      fltCols)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -808,13 +834,18 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     * `GenericInternalRow` per row; `ColumnarToRow` (codegen'd) or
     * downstream columnar operators take it from there.
     */
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    // ARRAY<FLOAT> needs a child vector per batch — the row reader's
+    // primitive-array path is simpler and the embedding consumers
+    // (ANN/dedup) immediately explode into scalar math anyway
+    !required.fields.exists(_.dataType.isInstanceOf[ArrayType])
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
-      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols)
+      limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
+      fltCols)
   }
 }
 
@@ -831,7 +862,8 @@ private[sources] final class ChunkCursor(
     strCols: Set[String] = GraftDataSource.strCols,
     digestCol: String = "content",
     intCols: Set[String] = Set.empty,
-    dblCols: Set[String] = Set.empty) {
+    dblCols: Set[String] = Set.empty,
+    fltCols: Set[String] = Set.empty) {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
   val neededLongs: Set[String] =
@@ -842,6 +874,8 @@ private[sources] final class ChunkCursor(
     (required.fieldNames.toSet ++ filterCols).intersect(intCols)
   val neededDbls: Set[String] =
     (required.fieldNames.toSet ++ filterCols).intersect(dblCols)
+  val neededFlts: Set[String] =
+    (required.fieldNames.toSet ++ filterCols).intersect(fltCols)
   private val verify =
     verifyContent && digestCol.nonEmpty && neededStrs.contains(digestCol)
 
@@ -876,7 +910,7 @@ private[sources] final class ChunkCursor(
           s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
         val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
         val chunk = ContainerFormat.readChunk(ci, neededLongs, neededStrs,
-          cs.crcs, neededInts, neededDbls)
+          cs.crcs, neededInts, neededDbls, neededFlts)
         require(ci.atEnd, s"chunk at ${cs.offset} shorter than its indexed length")
         require(chunk.rows == cs.rows, s"chunk at ${cs.offset} row count mismatch")
         chunk
@@ -887,7 +921,7 @@ private[sources] final class ChunkCursor(
           override def hasNext: Boolean = !ci.atEnd
           override def next(): DecodedChunk =
             ContainerFormat.readChunk(ci, neededLongs, neededStrs,
-              Map.empty, neededInts, neededDbls)
+              Map.empty, neededInts, neededDbls, neededFlts)
         }
       }
     if (!verify) raw
@@ -908,13 +942,15 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           strCols: Set[String] = GraftDataSource.strCols,
                           digestCol: String = "content",
                           intCols: Set[String] = Set.empty,
-                          dblCols: Set[String] = Set.empty)
+                          dblCols: Set[String] = Set.empty,
+                          fltCols: Set[String] = Set.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols,
+    fltCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
   private val fields = required.fields
   private var batch: ColumnarBatch = _
@@ -1014,7 +1050,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            strCols: Set[String] = GraftDataSource.strCols,
                            digestCol: String = "content",
                            intCols: Set[String] = Set.empty,
-                           dblCols: Set[String] = Set.empty)
+                           dblCols: Set[String] = Set.empty,
+                           fltCols: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -1023,7 +1060,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
   private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols)
+    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols,
+    fltCols)
   private val preds = GraftDataSource.compileFilters(filters, longCols)
 
   private val fields = required.fields
@@ -1043,6 +1081,15 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
               row.setInt(i, chunk.ints.get(name)(j))
             case DoubleType =>
               row.setDouble(i, chunk.doubles.get(name)(j))
+            case BinaryType =>
+              // InternalRow owns its binary — copy the slice out
+              val u = chunk.strs.get(name)
+              row.update(i, java.util.Arrays.copyOfRange(
+                u.pool, u.offsets(j), u.offsets(j) + u.lens(j)))
+            case _: ArrayType =>
+              row.update(i,
+                org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                  .fromPrimitiveArray(chunk.flts.get(name).slice(j)))
             case _ =>
               // zero-copy view over the decoded UTF-8 slice
               val u = chunk.strs.get(name)
@@ -1122,7 +1169,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
                             maxSplitBytes: Long, verifyContent: Boolean,
                             longCols: Set[String], strCols: Set[String],
                             intCols: Set[String],
-                            dblCols: Set[String] = Set.empty)
+                            dblCols: Set[String] = Set.empty,
+                            fltCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1253,7 +1301,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, Int.MaxValue,
-      verifyContent, longCols, strCols, intCols, dblCols)
+      verifyContent, longCols, strCols, intCols, dblCols, fltCols)
 
   /** Fold per-batch seen-log entries at or below the COMMITTED offset
     * into one `<end>.compact.json` once [[GraftMicroBatchStream
@@ -1622,11 +1670,16 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
   // narrow (INT/DATE) fields ride the numeric array widened to Long (the
   // encoder writes them as kind-2/4 narrow blocks); TIMESTAMP_NTZ is
   // already a micros long in the InternalRow
-  private def isNumeric(dt: DataType): Boolean = dt != StringType
+  private def isNumeric(dt: DataType): Boolean =
+    dt != StringType && dt != BinaryType && !dt.isInstanceOf[ArrayType]
   private def isNarrow(dt: DataType): Boolean =
     dt == IntegerType || dt == DateType
   private val strPos: Array[Int] = writeSchema.fields.zipWithIndex
     .collect { case (f, i) if f.dataType == StringType => i }
+  private val binPos: Array[Int] = writeSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == BinaryType => i }
+  private val fltPos: Array[Int] = writeSchema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType.isInstanceOf[ArrayType] => i }
   private val longPos: Array[Int] = writeSchema.fields.zipWithIndex
     .collect { case (f, i) if isNumeric(f.dataType) => i }
   private val longIsInt: Array[Boolean] = writeSchema.fields
@@ -1637,15 +1690,28 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     .collect { case f if f.dataType == StringType => f.nullable }
   private val longNullable: Array[Boolean] = writeSchema.fields
     .collect { case f if isNumeric(f.dataType) => f.nullable }
+  private val binNullable: Array[Boolean] = writeSchema.fields
+    .collect { case f if f.dataType == BinaryType => f.nullable }
+  private val fltNullable: Array[Boolean] = writeSchema.fields
+    .collect { case f if f.dataType.isInstanceOf[ArrayType] => f.nullable }
+  private val fltElemNullable: Array[Boolean] = writeSchema.fields
+    .collect { case f if f.dataType.isInstanceOf[ArrayType] =>
+      f.dataType.asInstanceOf[ArrayType].containsNull }
   // value/mask arrays reused across rows (the encoder copies synchronously);
   // masks exist only when the schema declares any nullable column of that
   // group, so non-nullable tables keep the round-6 fast path
   private val strs = new Array[String](strPos.length)
   private val longs = new Array[Long](longPos.length)
+  private val bins = new Array[Array[Byte]](binPos.length)
+  private val fltsArr = new Array[Array[Float]](fltPos.length)
   private val strNulls: Array[Boolean] =
     if (strNullable.exists(identity)) new Array[Boolean](strPos.length) else null
   private val longNulls: Array[Boolean] =
     if (longNullable.exists(identity)) new Array[Boolean](longPos.length) else null
+  private val binNulls: Array[Boolean] =
+    if (binNullable.exists(identity)) new Array[Boolean](binPos.length) else null
+  private val fltNulls: Array[Boolean] =
+    if (fltNullable.exists(identity)) new Array[Boolean](fltPos.length) else null
   private var n = 0L
 
   private def nullError(i: Int): Nothing = throw new IllegalArgumentException(
@@ -1682,7 +1748,45 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
       }
       i += 1
     }
-    enc.addRow(strs, longs, strNulls, longNulls)
+    i = 0
+    while (i < binPos.length) {
+      if (row.isNullAt(binPos(i))) {
+        if (binNulls == null || !binNullable(i)) nullError(binPos(i))
+        binNulls(i) = true
+        bins(i) = null
+      } else {
+        if (binNulls != null) binNulls(i) = false
+        bins(i) = row.getBinary(binPos(i))
+      }
+      i += 1
+    }
+    i = 0
+    while (i < fltPos.length) {
+      if (row.isNullAt(fltPos(i))) {
+        if (fltNulls == null || !fltNullable(i)) nullError(fltPos(i))
+        fltNulls(i) = true
+        fltsArr(i) = null
+      } else {
+        if (fltNulls != null) fltNulls(i) = false
+        val ad = row.getArray(fltPos(i))
+        // a null ELEMENT would silently decode as 0.0f downstream —
+        // reject loudly (the stored shape is a dense float vector)
+        if (fltElemNullable(i)) {
+          var e = 0
+          val m = ad.numElements()
+          while (e < m) {
+            if (ad.isNullAt(e)) throw new IllegalArgumentException(
+              s"graft write: null element in float array column " +
+                s"'${writeSchema.fields(fltPos(i)).name}' (row ${n + 1})")
+            e += 1
+          }
+        }
+        fltsArr(i) = ad.toFloatArray()
+      }
+      i += 1
+    }
+    enc.addRow(strs, longs, bins, fltsArr, strNulls, longNulls,
+      binNulls, fltNulls)
     n += 1
   }
 

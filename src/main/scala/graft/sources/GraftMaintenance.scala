@@ -309,15 +309,24 @@ object GraftMaintenance {
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
     val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet
     val neededD = schema.collect { case s if s.kind == 5 => s.name }.toSet
-    val numKind: Array[Int] = schema.filter(_.kind != 1).map(_.kind).toArray
+    // kind 6 (binary) decodes into the byte-slice (str) map
+    val neededS6 = neededS ++ schema.collect { case s if s.kind == 6 => s.name }
+    val neededF = schema.collect { case s if s.kind == 7 => s.name }.toSet
+    val numKind: Array[Int] =
+      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+        .map(_.kind).toArray
     val strNames = enc.strNames
     val longNames = enc.longNames
+    val binNames = enc.binNames
+    val fltNames = enc.fltNames
     // null masks reused per row (addRow reads them synchronously); only
     // nullable schemas pay for them — and they must be PROPAGATED here or
     // compaction would silently turn NULLs into their stored placeholders
     val anyNullable = schema.exists(_.nullable)
     val strNulls = if (anyNullable) new Array[Boolean](strNames.length) else null
     val longNulls = if (anyNullable) new Array[Boolean](longNames.length) else null
+    val binNulls = if (anyNullable) new Array[Boolean](binNames.length) else null
+    val fltNulls = if (anyNullable) new Array[Boolean](fltNames.length) else null
     ms.foreach { m =>
       val file = m.blockFile(path)
       val fs = ContainerIO.fs(file, conf)
@@ -328,16 +337,16 @@ object GraftMaintenance {
         val chunks: Iterator[DecodedChunk] =
           if (m.chunkIndex.nonEmpty) m.chunkIndex.iterator.map { cs =>
             val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
-            ContainerFormat.readChunk(ci, neededL, neededS, cs.blockCrcs,
-              neededI, neededD)
+            ContainerFormat.readChunk(ci, neededL, neededS6, cs.blockCrcs,
+              neededI, neededD, neededF)
           } else {
             val ci = new ContainerInput(in, 0L, fileLen)
             ContainerFormat.readPrelude(ci)
             new Iterator[DecodedChunk] {
               override def hasNext: Boolean = !ci.atEnd
               override def next(): DecodedChunk =
-                ContainerFormat.readChunk(ci, neededL, neededS, Map.empty,
-                  neededI, neededD)
+                ContainerFormat.readChunk(ci, neededL, neededS6, Map.empty,
+                  neededI, neededD, neededF)
             }
           }
         chunks.foreach { chunk =>
@@ -366,7 +375,24 @@ object GraftMaintenance {
               }
               i += 1
             }
-            enc.addRow(strs, longs, strNulls, longNulls)
+            val binsRow = new Array[Array[Byte]](binNames.length)
+            i = 0
+            while (i < binNames.length) {
+              if (anyNullable) binNulls(i) = !chunk.validAt(binNames(i), j)
+              val u = chunk.strs.get(binNames(i))
+              binsRow(i) = java.util.Arrays.copyOfRange(
+                u.pool, u.offsets(j), u.offsets(j) + u.lens(j))
+              i += 1
+            }
+            val fltsRow = new Array[Array[Float]](fltNames.length)
+            i = 0
+            while (i < fltNames.length) {
+              if (anyNullable) fltNulls(i) = !chunk.validAt(fltNames(i), j)
+              fltsRow(i) = chunk.flts.get(fltNames(i)).slice(j)
+              i += 1
+            }
+            enc.addRow(strs, longs, binsRow, fltsRow, strNulls, longNulls,
+              binNulls, fltNulls)
             j += 1
           }
         }
