@@ -166,9 +166,18 @@ object Dedup {
     * prefix must still contain a shared gram. At t=0.5 the index prefix
     * is 1/3 of a document against the probing prefix's 1/2, which cuts
     * the matched-row volume of the hot-gram join by the same ratio.
+    *
+    * `broadcastDf` (round 7, default true): the gram document-frequency
+    * table is bounded by the corpus's DISTINCT n-grams — on bounded or
+    * Zipf-truncated vocabularies it is tiny next to the postings, and
+    * broadcasting it removes the postings' second full shuffle (the
+    * df-annotation join). Pass false for open-vocabulary corpora at a
+    * scale where distinct n-grams outgrow executor memory — the join
+    * then falls back to Spark's shuffle hash/merge planning.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   broadcastDf: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
     graft.functions.SortedJaccardGE.register(df.sparkSession)
     graft.functions.WordNGrams.register(df.sparkSession)
@@ -199,7 +208,8 @@ object Dedup {
     // the non-prefix majority (flagged in the round-5 driver artifact:
     // d7 11.76 s vs 2.86 s in round 4).
     val kProbe = (col("_sz") - ceil(lit(threshold) * col("_sz")) + 1).cast("int")
-    val pre = postings.join(dfreq, Seq("gram"))
+    val pre = postings
+      .join(if (broadcastDf) broadcast(dfreq) else dfreq, Seq("gram"))
       .groupBy(col("id"), col("_sz"))
       .agg(array_sort(collect_list(struct(col("_f"), col("gram")))).as("_fg"))
       .select(col("id"), col("_sz"),

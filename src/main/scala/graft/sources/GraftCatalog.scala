@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL surface for graft table maintenance (round 7) — the operational
+  * affordance lakehouse users expect from Iceberg/Delta-style catalogs:
+  *
+  * {{{
+  *   spark.conf "spark.sql.catalog.graft" -> "graft.sources.GraftCatalog"
+  *   CALL graft.system.compact(path => '/data/t', dry_run => true)
+  *   CALL graft.system.compact('/data/t')
+  *   CALL graft.system.vacuum('/data/t', grace_ms => 0)
+  * }}}
+  *
+  * Built on Spark 4's stored-procedure connector API
+  * ([[ProcedureCatalog]] / [[UnboundProcedure]]): each CALL binds,
+  * runs the [[GraftMaintenance]] entry point on the driver, and returns
+  * its report as rows (`dry_run => true` reports without touching the
+  * table). Parameter defaults mirror the Scala API's.
+  */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+  private var catalogName = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private val System = Array("system")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(System) || namespace.isEmpty)
+      Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace.sameElements(System))
+      throw new RuntimeException(
+        s"graft catalog has no namespace ${ident.namespace.mkString(".")}; " +
+          "procedures live under `system`")
+    ident.name.toLowerCase match {
+      case "compact" => GraftCatalog.CompactProcedure
+      case "vacuum" => GraftCatalog.VacuumProcedure
+      case other => throw new RuntimeException(
+        s"unknown graft procedure $other; have: compact, vacuum")
+    }
+  }
+}
+
+object GraftCatalog {
+
+  private def in(name: String, dt: DataType, default: String = null,
+                 comment: String = null): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt)
+    if (default != null) b = b.defaultValue(default)
+    if (comment != null) b = b.comment(comment)
+    b.build()
+  }
+
+  /** One-row driver-side result relation for a procedure's report. */
+  private final case class Report(schema: StructType, row: Array[Any])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(new GenericInternalRow(row))
+  }
+
+  private def one(scan: Scan): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(scan).iterator()
+
+  object CompactProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "Fold small committed containers of a graft table at whole-epoch " +
+        "granularity (one OCC commit; concurrent appends survive). " +
+        "dry_run => true reports the fold without performing it."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("target_bytes", LongType, default = (128L << 20).toString,
+        comment = "max encoded bytes per compacted container"),
+      in("min_containers", IntegerType, default = "2",
+        comment = "smallest fold worth rewriting"),
+      in("dry_run", BooleanType, default = "false"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (consumed, produced) = GraftMaintenance.compact(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        targetBytes = input.getLong(1),
+        minContainers = input.getInt(2),
+        dryRun = input.getBoolean(3))
+      one(Report(
+        StructType(Seq(
+          StructField("containers_consumed", IntegerType, nullable = false),
+          StructField("containers_produced", IntegerType, nullable = false),
+          StructField("dry_run", BooleanType, nullable = false))),
+        Array(consumed, produced, input.getBoolean(3))))
+    }
+  }
+
+  object VacuumProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "Delete aged orphan blocks and tmp fragments of a graft table " +
+        "(referenced = index snapshot UNION manifest listing). " +
+        "dry_run => true counts without deleting."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("grace_ms", LongType, default = (72L * 60 * 60 * 1000).toString,
+        comment = "minimum age before an unreferenced file is swept"),
+      in("dry_run", BooleanType, default = "false"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val deleted = GraftMaintenance.vacuum(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        graceMs = input.getLong(1),
+        dryRun = input.getBoolean(2))
+      one(Report(
+        StructType(Seq(
+          StructField("files_deleted", IntegerType, nullable = false),
+          StructField("dry_run", BooleanType, nullable = false))),
+        Array(deleted, input.getBoolean(2))))
+    }
+  }
+}

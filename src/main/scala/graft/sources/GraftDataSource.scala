@@ -1290,13 +1290,47 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     val ms = Option(lastCommitted).getOrElse(committed())
     val fresh = ms.filter(m => want.contains(m.name))
     val unresolved = want -- fresh.map(_.name)
-    if (unresolved.nonEmpty) log.warn(
-      s"graft stream replay of ($s, $e] on $path: ${unresolved.size} " +
+    // SUBSTITUTION across compaction (round 7): a logged container that
+    // GraftMaintenance.compact folded away has a live compacted
+    // generation whose `ancestors` record exactly the consumed EPOCHS.
+    // Substituting it keeps the replay exactly-once iff EVERY epoch the
+    // candidate folded belongs to this replay range (compaction consumes
+    // whole epochs, so coverage is all-or-nothing per epoch; an ancestor
+    // outside the range would smuggle another batch's rows in — those
+    // candidates stay warn-and-drop, the documented residual).
+    val substituted: Seq[graft.engine.ParsedManifest] =
+      if (unresolved.isEmpty) Nil
+      else {
+        val rangeEpochs = want.map(n =>
+          Manifests.epochKey(Manifests.logicalName(n)))
+        val missEpochs = unresolved.map(n =>
+          Manifests.epochKey(Manifests.logicalName(n)))
+        // legacy manifests may record per-container ancestor names —
+        // match both the raw key and its epoch-stripped form
+        def inSet(set: Set[String])(a: String): Boolean =
+          set(a) || set(Manifests.epochKey(a))
+        ms.filter { m =>
+          !want.contains(m.name) && m.ancestors.nonEmpty &&
+            m.ancestors.exists(inSet(missEpochs)) &&
+            m.ancestors.forall(inSet(rangeEpochs))
+        }
+      }
+    val coveredEpochs = substituted
+      .flatMap(m => m.ancestors ++ m.ancestors.map(Manifests.epochKey)).toSet
+    val dropped = unresolved.filterNot(n =>
+      coveredEpochs(Manifests.epochKey(Manifests.logicalName(n))))
+    if (substituted.nonEmpty) log.info(
+      s"graft stream replay of ($s, $e] on $path: substituting " +
+        s"${substituted.size} compacted generation(s) for " +
+        s"${(unresolved -- dropped).size} folded logged manifest(s)")
+    if (dropped.nonEmpty) log.warn(
+      s"graft stream replay of ($s, $e] on $path: ${dropped.size} " +
         s"logged manifest(s) no longer resolve (replaced by an epoch " +
-        s"replay/overwrite since): ${unresolved.toSeq.sorted.take(8).mkString(", ")}" +
-        (if (unresolved.size > 8) ", …" else "") +
+        s"replay/overwrite since): ${dropped.toSeq.sorted.take(8).mkString(", ")}" +
+        (if (dropped.size > 8) ", …" else "") +
         "; their replacement generations arrive as later batches")
-    GraftDataSource.planPartitions(path, fresh, filters, maxSplitBytes)
+    GraftDataSource.planPartitions(path, fresh ++ substituted, filters,
+      maxSplitBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -69,8 +69,10 @@ object GraftMaintenance {
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20,
-              minContainers: Int = 2): (Int, Int) =
-    compactWithHook(spark, path, targetBytes, minContainers, () => ())
+              minContainers: Int = 2,
+              dryRun: Boolean = false): (Int, Int) =
+    compactWithHook(spark, path, targetBytes, minContainers, () => (),
+      dryRun = dryRun)
 
   /** Test seams: `beforeCommit` runs after the rewritten containers are
     * staged but before this run's manifests are written — the window a
@@ -82,7 +84,8 @@ object GraftMaintenance {
   private[graft] def compactWithHook(spark: SparkSession, path: String,
                                      targetBytes: Long, minContainers: Int,
                                      beforeCommit: () => Unit,
-                                     afterStage: () => Unit = () => ()): (Int, Int) = {
+                                     afterStage: () => Unit = () => (),
+                                     dryRun: Boolean = false): (Int, Int) = {
     require(targetBytes > 0 && minContainers >= 2,
       s"need targetBytes > 0 and minContainers >= 2, " +
         s"got ($targetBytes, $minContainers)")
@@ -124,6 +127,9 @@ object GraftMaintenance {
     if (run.nonEmpty) bins += run.reverse.flatten
     val work = bins.result().filter(_.size >= minContainers)
     if (work.isEmpty) return (0, 0)
+    // dry run: report the fold this run WOULD perform — (containers
+    // consumed, containers produced) — without touching the table
+    if (dryRun) return (work.map(_.size).sum, work.size)
 
     val schema =
       if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
@@ -255,7 +261,8 @@ object GraftMaintenance {
     * Returns the number of files deleted.
     */
   def vacuum(spark: SparkSession, path: String,
-             graceMs: Long = 72L * 60 * 60 * 1000): Int = {
+             graceMs: Long = 72L * 60 * 60 * 1000,
+             dryRun: Boolean = false): Int = {
     require(graceMs >= 0, s"graceMs must be >= 0: $graceMs")
     val conf = ContainerIO.confSnapshot(spark)
     val c = ContainerIO.confFrom(conf)
@@ -279,7 +286,8 @@ object GraftMaintenance {
         val n = st.getPath.getName
         if (st.isFile && st.getModificationTime < cutoff &&
             (n.startsWith(".tmp-") || doomed(n))) {
-          if (fs.delete(st.getPath, false)) deleted += 1
+          if (dryRun) deleted += 1
+          else if (fs.delete(st.getPath, false)) deleted += 1
         }
       }
     }

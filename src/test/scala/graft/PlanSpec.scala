@@ -36,6 +36,45 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), p.take(500))
   }
 
+  test("d7: the gram-df annotation join is a broadcast join " +
+      "(no second full shuffle of the postings)") {
+    // the prefix stage materializes INSIDE the op (persisted intermediate,
+    // released before return) — capture every execution's final plan via
+    // a listener and find the df join there
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("d7_ngram_jaccard")(spark, d).collect()
+      // listener delivery is async on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def joined: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(p => p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("gram")))
+      }
+      var hit = joined
+      while (hit.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200); hit = joined
+      }
+      assert(hit.nonEmpty,
+        "the postings.join(dfreq) df-annotation join must plan as a " +
+          "broadcast hash join on gram; captured " + plans.size + " plans")
+      // and the df side (the bounded count aggregate) is the BUILD side —
+      // the big postings never re-shuffle for the annotation
+      val p = hit.get
+      assert(p.contains("count"),
+        "expected the gram-frequency aggregate in the same plan:\n" + p.take(1200))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedup exact: shuffle key is the 32-byte sha, not the document text") {
     val p = graft.ops.Dedup.exact(
       spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text")

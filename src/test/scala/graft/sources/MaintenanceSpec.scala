@@ -513,6 +513,92 @@ class MaintenanceSpec extends AnyFunSuite {
       s"got ${parts2.length} partitions")
   }
 
+  test("SQL surface: CALL graft.system.compact / vacuum with dry-run reporting") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val d = tempDir("sql-maint")
+    for (w <- 0 until 4)
+      (0 until 25).map(i => ((w * 25 + i).toLong, s"t$w")).toDF("id", "tag")
+        .coalesce(1).write.format("graft").mode("append").save(d)
+    assert(gblks(d).size === 4)
+    // dry run reports the fold without performing it
+    val dry = spark.sql(
+      s"CALL graft.system.compact(path => '$d', dry_run => true)").collect()(0)
+    assert(dry.getInt(0) === 4 && dry.getInt(1) === 1 && dry.getBoolean(2),
+      s"dry-run report: $dry")
+    assert(gblks(d).size === 4, "dry run must not touch the table")
+    // the real CALL folds; rows unchanged
+    val r = spark.sql(s"CALL graft.system.compact('$d')").collect()(0)
+    assert(r.getInt(0) === 4 && r.getInt(1) === 1, s"compact report: $r")
+    assert(spark.read.format("graft").load(d).count() === 100)
+    // orphan block: vacuum dry run counts it, the real run sweeps it
+    val c = ContainerIO.localConf()
+    val fs = ContainerIO.fs(d, c)
+    val orphan = new org.apache.hadoop.fs.Path(s"$d/blocks/part-orphan.gblk")
+    val out = fs.create(orphan)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    Thread.sleep(50)
+    val vdry = spark.sql(
+      s"CALL graft.system.vacuum(path => '$d', grace_ms => 0, dry_run => true)")
+      .collect()(0)
+    assert(vdry.getInt(0) === 1 && vdry.getBoolean(1), s"vacuum dry: $vdry")
+    assert(fs.exists(orphan), "dry run must not delete")
+    val v = spark.sql(
+      s"CALL graft.system.vacuum(path => '$d', grace_ms => 0)").collect()(0)
+    assert(v.getInt(0) === 1, s"vacuum report: $v")
+    assert(!fs.exists(orphan))
+    assert(spark.read.format("graft").load(d).count() === 100)
+    // discoverability
+    val procs = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+      .map(_.toString).mkString("\n")
+    assert(procs.contains("compact") && procs.contains("vacuum"), procs)
+  }
+
+  test("streaming replay across compaction substitutes the folded " +
+      "generation exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val d = tempDir("sub")
+    val ckpt = tempDir("sub-ckpt")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    val confKv = ContainerIO.confSnapshot(spark)
+    def mkStream() = new GraftMicroBatchStream(d, ckpt, schema, Array.empty,
+      confKv, 128L << 20, true, Set("id"), Set("tag"), Set.empty)
+    val s1 = mkStream()
+    val off0 = s1.initialOffset()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1)
+      .write.format("graft").mode("append").save(d)
+    val off1 = s1.latestOffset()
+    Seq((3L, "c"), (4L, "d")).toDF("id", "tag").coalesce(1)
+      .write.format("graft").mode("append").save(d)
+    val off2 = s1.latestOffset()
+    // maintenance folds both logged epochs into ONE compacted container
+    val (consumed, produced) = GraftMaintenance.compact(spark, d)
+    assert(consumed === 2 && produced === 1)
+    // restart: the replayed range's logged names are gone, but the live
+    // compacted generation's ancestors cover exactly this range's epochs
+    // -> it substitutes, and every row arrives exactly once
+    val s2 = mkStream()
+    val parts = s2.planInputPartitions(off0, off2)
+    assert(parts.nonEmpty, "substitution must plan the compacted generation")
+    val rf = s2.createReaderFactory()
+    val ids = parts.toSeq.flatMap { p =>
+      val r = rf.createReader(p)
+      val b = Seq.newBuilder[Long]
+      try while (r.next()) b += r.get().getLong(0)
+      finally r.close()
+      b.result()
+    }
+    assert(ids.sorted === Seq(1L, 2L, 3L, 4L),
+      s"rows must arrive exactly once from the compacted generation, got $ids")
+    // a PARTIAL range cannot split a folded container (an ancestor epoch
+    // outside the range would smuggle batch-1 rows into batch 2): that
+    // candidate stays warn-and-drop — the documented residual
+    assert(s2.planInputPartitions(off1, off2).isEmpty,
+      "a range covering only part of a folded container must not substitute")
+  }
+
   test("reads across overwrite fail controlled: snapshot superseded, never FileNotFound") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import spark.implicits._
