@@ -368,6 +368,10 @@ object ColumnarEngine {
       var chunkStrDicts = Map.empty[String, Seq[String]]
       var chunkStrRanges = Map.empty[String, (String, String)]
       var chunkCrcs = Map.empty[String, Long]
+      // column -> null rows in this chunk, recorded for every NULLABLE
+      // column including explicit zeros (proof-based IS NULL / IS NOT
+      // NULL chunk pruning — see [[graft.engine.ChunkStats]])
+      var chunkNullCounts = Map.empty[String, Int]
       w.putVarint(n.toLong)
       w.putVarint((longNames.length + strNames.length +
         binNames.length + fltNames.length).toLong)
@@ -390,7 +394,10 @@ object ColumnarEngine {
       def writeCol(name: String, kind: Int, block0: Array[Byte],
                    codecName: String, raw: Long,
                    min: Long = 0L, max: Long = 0L, hasRange: Boolean = false,
-                   nullBm: Array[Byte] = null): Unit = {
+                   nullBm: Array[Byte] = null, nullCount: Int = -1): Unit = {
+        // nullCount >= 0 = the column is declared nullable; -1 = not
+        if (nullCount >= 0)
+          chunkNullCounts = chunkNullCounts.updated(name, nullCount)
         // chunks that carry nulls flag the kind byte (0x80) and prepend
         // the ceil(n/8)-byte validity bitmap to the value block; the
         // block CRC covers bitmap + values together
@@ -457,14 +464,16 @@ object ColumnarEngine {
           // ([[graft.codecs.IntCodecs]]); the block carries its true kind
           val st = LongCodecs.stats(vals, n)
           writeCol(nm, numKinds(ci), IntCodecs.encode(vals, n), "varint-i32",
-            4L * n, st.min, st.max, hasRange = hasRange, nullBm = bm)
+            4L * n, st.min, st.max, hasRange = hasRange, nullBm = bm,
+            nullCount = if (longNullable(ci)) nc else -1)
         } else {
           // wide int64 column (long / timestamp micros / double sortable
           // bits): stats-selected codec through the kind-0 machinery
           val st = LongCodecs.stats(vals, n)
           val codec = LongCodecs.select(st)
           writeCol(nm, numKinds(ci), codec.encode(vals, n), codec.name,
-            8L * n, st.min, st.max, hasRange = hasRange, nullBm = bm)
+            8L * n, st.min, st.max, hasRange = hasRange, nullBm = bm,
+            nullCount = if (longNullable(ci)) nc else -1)
         }
         ci += 1
       }
@@ -480,7 +489,8 @@ object ColumnarEngine {
         // string zone stats include it — "" can only widen a dict/range,
         // never exclude a real value, so pruning stays sound)
         writeCol(nm, 1, block, codec.name, st.totalBytes,
-          nullBm = if (strNullCnt(ci) > 0) strNullBms(ci) else null)
+          nullBm = if (strNullCnt(ci) > 0) strNullBms(ci) else null,
+          nullCount = if (strNullable(ci)) strNullCnt(ci) else -1)
         val (dict, range) = strZoneStats(strs, n)
         dict.foreach(d => chunkStrDicts = chunkStrDicts.updated(nm, d))
         range.foreach(r => chunkStrRanges = chunkStrRanges.updated(nm, r))
@@ -497,7 +507,8 @@ object ColumnarEngine {
         while (i < n) { raw += vals(i).length; i += 1 }
         writeCol(binNames(ci), 6, graft.codecs.BytesCodecs.encodeBinary(vals, n),
           "bin-raw", raw,
-          nullBm = if (binNullCnt(ci) > 0) binNullBms(ci) else null)
+          nullBm = if (binNullCnt(ci) > 0) binNullBms(ci) else null,
+          nullCount = if (binNullable(ci)) binNullCnt(ci) else -1)
         ci += 1
       }
       // kind 7 (float array): packed little-endian IEEE-754
@@ -510,13 +521,15 @@ object ColumnarEngine {
         while (i < n) { raw += 4L * vals(i).length; i += 1 }
         writeCol(fltNames(ci), 7, graft.codecs.BytesCodecs.encodeFloats(vals, n),
           "f32-raw", raw,
-          nullBm = if (fltNullCnt(ci) > 0) fltNullBms(ci) else null)
+          nullBm = if (fltNullCnt(ci) > 0) fltNullBms(ci) else null,
+          nullCount = if (fltNullable(ci)) fltNullCnt(ci) else -1)
         ci += 1
       }
       w.putBytes(digest)
       partDigest.update(digest)
       chunkIndex += ChunkStats(chunkStart, w.size.toLong - chunkStart, n,
-        chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs)
+        chunkLongRanges, chunkStrDicts, chunkStrRanges, chunkCrcs,
+        chunkNullCounts)
       strBufs.foreach(_.clear())
       binBufs.foreach(_.clear())
       fltBufs.foreach(_.clear())

@@ -26,13 +26,21 @@ import org.apache.hadoop.conf.Configuration
   *                   verified on every decoded block, so corruption is
   *                   caught even on pruned reads that never touch the
   *                   content digest.
+  *  - `nullCounts`:  column -> number of NULL rows in the chunk, recorded
+  *                   for every NULLABLE column (0 included — the explicit
+  *                   zero is what makes `IS NULL` pruning proof-based: an
+  *                   ABSENT entry means "written before null counts" and
+  *                   must admit). `IS NOT NULL` skips all-null chunks
+  *                   (count == rows); `IS NULL` skips fully-present ones
+  *                   (count == 0).
   */
 final case class ChunkStats(
     offset: Long, length: Long, rows: Int,
     longRanges: Map[String, (Long, Long)],
     strDicts: Map[String, Seq[String]],
     strRanges: Map[String, (String, String)],
-    blockCrcs: Map[String, Long])
+    blockCrcs: Map[String, Long],
+    nullCounts: Map[String, Int] = Map.empty)
 
 /** Driver-side view of one committed partition manifest. `schemaCols`
   * is (name, kind 0=long/1=string) in table order — empty for legacy
@@ -280,9 +288,15 @@ object Manifests {
     }.mkString("{", ",", "}")
     val crcs = c.blockCrcs.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }
       .mkString("{", ",", "}")
+    // omitted entirely for non-nullable schemas (no bytes spent); nullable
+    // columns always carry an entry, including explicit zeros (see class doc)
+    val nulls =
+      if (c.nullCounts.isEmpty) ""
+      else c.nullCounts.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }
+        .mkString(""","nullCounts":{""", ",", "}")
     s"""{"offset":${c.offset},"length":${c.length},"rows":${c.rows},""" +
       s""""longRanges":${longPairs(c.longRanges)},"strDicts":$dicts,""" +
-      s""""strRanges":$sranges,"blockCrcs":$crcs}"""
+      s""""strRanges":$sranges,"blockCrcs":$crcs$nulls}"""
   }
 
   def manifestJson(m: PartManifest): String = {
@@ -554,8 +568,12 @@ object Manifests {
       Option(n.get("blockCrcs")).filter(_.isObject).map(_.properties().asScala.map { e =>
         e.getKey -> e.getValue.asLong()
       }.toMap).getOrElse(Map.empty[String, Long])
+    val nulls =
+      Option(n.get("nullCounts")).filter(_.isObject).map(_.properties().asScala.map { e =>
+        e.getKey -> e.getValue.asInt()
+      }.toMap).getOrElse(Map.empty[String, Int])
     ChunkStats(jLong(n, "offset"), jLong(n, "length"), jLong(n, "rows").toInt,
-      parseLongRanges(n.get("longRanges")), dicts, sranges, crcs)
+      parseLongRanges(n.get("longRanges")), dicts, sranges, crcs, nulls)
   }
 
   /** Parse one manifest JSON; `fallbackName` covers legacy manifests

@@ -201,13 +201,19 @@ object GraftDataSource {
     */
   final val DefaultMaxSplitBytes: Long = 128L << 20
 
-  /** Is every long range / string dict / string range proof UNABLE to
-    * rule this chunk out? Unknown/absent stats admit (skip only on
-    * PROOF). String ranges are recorded only for all-ASCII chunks, where
-    * Java, UTF8String, and DuckDB collation agree.
+  /** Is every long range / string dict / string range / null count proof
+    * UNABLE to rule this chunk out? Unknown/absent stats admit (skip only
+    * on PROOF). String ranges are recorded only for all-ASCII chunks,
+    * where Java, UTF8String, and DuckDB collation agree. Null counts are
+    * recorded for every nullable column (explicit zeros included), so
+    * `IS NOT NULL` skips all-null chunks and `IS NULL` skips
+    * fully-present ones; an ABSENT entry (legacy manifest, non-nullable
+    * column) admits.
     */
   private[sources] def admitChunk(c: ChunkStats, filters: Seq[Filter]): Boolean =
     admit(c.longRanges, filters) && filters.forall {
+      case IsNotNull(col) => !c.nullCounts.get(col).contains(c.rows)
+      case IsNull(col) => c.nullCounts.get(col).forall(_ > 0)
       case EqualTo(col, v: String) =>
         c.strDicts.get(col).forall(_.contains(v)) &&
           c.strRanges.get(col).forall { case (lo, hi) =>

@@ -114,6 +114,99 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("random bytes never crash BytesCodecs binary/float decode (round-7 kinds)") {
+    val rnd = new java.util.Random(0xbeefL)
+    var i = 0
+    while (i < 120000) {
+      val len = 1 + rnd.nextInt(60)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      controlled(hex(b))(BytesCodecs.decodeBinary(b, 0, b.length))
+      controlled(hex(b))(BytesCodecs.decodeFloats(b, 0, b.length))
+      // force the codec ids so decode gets past the id check
+      b(0) = BytesCodecs.BinRawId.toByte
+      controlled(hex(b))(BytesCodecs.decodeBinary(b, 0, b.length))
+      b(0) = BytesCodecs.F32RawId.toByte
+      controlled(hex(b))(BytesCodecs.decodeFloats(b, 0, b.length))
+      i += 1
+    }
+  }
+
+  /** In-memory FSDataInputStream so mutated container bytes can be
+    * parsed through the REAL DSv2 chunk decode (ContainerInput +
+    * ContainerFormat.readChunk) without a disk write per mutation.
+    */
+  private def memStream(bytes: Array[Byte]): org.apache.hadoop.fs.FSDataInputStream = {
+    val is = new org.apache.hadoop.fs.FSInputStream {
+      private var pos = 0L
+      override def seek(p: Long): Unit = pos = p
+      override def getPos: Long = pos
+      override def seekToNewSource(target: Long): Boolean = false
+      override def read(): Int =
+        if (pos >= bytes.length) -1
+        else { val v = bytes(pos.toInt) & 0xff; pos += 1; v }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (pos >= bytes.length) -1
+        else {
+          val n = math.min(len.toLong, bytes.length - pos).toInt
+          System.arraycopy(bytes, pos.toInt, b, off, n)
+          pos += n
+          n
+        }
+    }
+    new org.apache.hadoop.fs.FSDataInputStream(is)
+  }
+
+  test("bit-flipped/truncated containers of ALL kinds (nullable long/string/double/binary/floats/ts/date) never crash chunk decode") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vrnd = new java.util.Random(13L)
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"str-$i-${"pad" * (i % 3)}",
+        if (i % 5 == 0) null else java.lang.Double.valueOf(i * 1.25 - 100.0),
+        if (i % 6 == 0) null else Array.fill(3 + i % 5)(vrnd.nextInt().toByte),
+        if (i % 8 == 0) null else Array.fill(4)(vrnd.nextFloat()))
+    }
+    val df = rows.toDF("id", "s", "d", "b", "v")
+      .withColumn("i", (col("id") % 10).cast("int"))
+      .withColumn("ts", expr("make_timestamp_ntz(2024, 1, 1, 0, id % 60, id % 60)"))
+      .withColumn("dt", date_add(lit("2024-01-01").cast("date"),
+        (col("id") % 90).cast("int")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kind-fuzz").toString
+    df.write.format("graft").option("chunkRows", "128").mode("overwrite").save(dir)
+    val files = new java.io.File(s"$dir/blocks").listFiles()
+      .filter(_.getName.endsWith(".gblk"))
+    assert(files.nonEmpty)
+    val neededL = Set("id", "ts")
+    val neededS = Set("s", "b") // binary decodes into the byte-slice map
+    val neededI = Set("i", "dt")
+    val neededD = Set("d")
+    val neededF = Set("v")
+    def parseAll(bytes: Array[Byte]): Unit = {
+      val ci = new graft.engine.ContainerInput(memStream(bytes), 0L, bytes.length.toLong)
+      graft.engine.ContainerFormat.readPrelude(ci)
+      while (!ci.atEnd)
+        graft.engine.ContainerFormat.readChunk(ci, neededL, neededS,
+          Map.empty, neededI, neededD, neededF)
+    }
+    val rnd = new java.util.Random(29L)
+    for (f <- files) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      parseAll(bytes) // the unmutated container must parse clean
+      var k = 0
+      while (k < 600) {
+        val m = bytes.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        controlled(s"kind-fuzz mut $k")(parseAll(m))
+        controlled(s"kind-fuzz trunc $k")(
+          parseAll(java.util.Arrays.copyOf(bytes, 1 + rnd.nextInt(bytes.length))))
+        k += 1
+      }
+    }
+  }
+
   test("varintIterator32 yields Overflow then CONTINUES (reference src/tests.rs:296-307)") {
     val w = new BlockWriter()
     w.putVarint(1L)

@@ -205,6 +205,37 @@ class NullableDoubleSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("null counts prune chunks: IS NOT NULL skips all-null chunks, IS NULL skips fully-present ones") {
+    val d = tmp("null-prune")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", LongType, nullable = true)))
+    // chunks of 100 rows: c0-c1 all-null, c2 half-null, c3-c5 no nulls
+    val rows = (0L until 600L).map { i =>
+      Row(i, if (i < 200 || (i < 300 && i % 2 == 0)) null
+             else java.lang.Long.valueOf(i))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graft").option("chunkRows", "100")
+      .mode("overwrite").save(d)
+    def planned(f: org.apache.spark.sql.DataFrame): Int =
+      graftScan(f).planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].chunks.size).sum
+    val base = spark.read.format("graft").option("maxSplitBytes", "1").load(d)
+    base.collect()
+    assert(planned(base) === 6, "expected 6 chunk-granular input splits")
+    val notNull = base.filter(col("score").isNotNull)
+    assert(notNull.count() === 350)
+    assert(planned(notNull) === 4,
+      s"IS NOT NULL must skip the 2 all-null chunks, decoded ${planned(notNull)}")
+    val isNull = base.filter(col("score").isNull)
+    assert(isNull.count() === 250)
+    assert(planned(isNull) === 3,
+      s"IS NULL must skip the 3 fully-present chunks, decoded ${planned(isNull)}")
+    // the mixed chunk stays admitted by BOTH and the split is exact
+    assert(isNull.count() + notNull.count() === base.count())
+  }
+
   test("nullable MIN/MAX pushdown ignores nulls; all-null column yields null") {
     val d = tmp("null-agg")
     val schema = StructType(Seq(
