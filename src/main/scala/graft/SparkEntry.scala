@@ -532,6 +532,24 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    // COUNT(col) pushdown (round 7): an ungrouped COUNT over a NULLABLE
+    // column is answered purely from manifests — row counts minus the
+    // per-chunk null counts — alongside COUNT(*)/MIN/MAX. The whole
+    // query opens zero containers; the oracle proves the manifest
+    // arithmetic against DuckDB's real scan.
+    "c14_count_pushdown" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c14").toString
+      t(s, d, "events").select(
+          col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n_all"), count(col("v")).as("n_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    }),
+
     // BINARY schema (round 7): the multimodal payloads — opaque media
     // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
     // BINARY column in the graft table, read back, and metadata-extracted
@@ -941,6 +959,12 @@ object SparkEntry {
          min(value) AS min_value, max(value) AS max_value
          FROM events WHERE value > 50.0
          GROUP BY 1 ORDER BY 1""",
+
+    "c14_count_pushdown" ->
+      """SELECT count(*) AS n_all, count(v) AS n_v,
+         min(v) AS min_v, max(v) AS max_v
+         FROM (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+               FROM events) t""",
 
     // same oracle as m1 — the payloads now round-trip through a graft
     // BINARY column before extraction

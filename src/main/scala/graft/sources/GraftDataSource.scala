@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
@@ -517,6 +517,14 @@ private[sources] final case class MinAgg(col: String,
                                          dt: DataType = LongType) extends GraftAgg
 private[sources] final case class MaxAgg(col: String,
                                          dt: DataType = LongType) extends GraftAgg
+/** COUNT(col) = rows − Σ per-chunk null counts (round 7). `nullable`
+  * false = the schema proves zero nulls (count == row count, any kind,
+  * any manifest vintage); true = every committed manifest's chunks were
+  * verified at translate time to carry a null-count entry for `col`
+  * (legacy manifests reject the pushdown instead of undercounting).
+  */
+private[sources] final case class CountAgg(col: String,
+                                           nullable: Boolean) extends GraftAgg
 
 private[sources] object GraftAgg {
   /** Does this pushed-aggregate type store its values as int32? */
@@ -550,9 +558,9 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     case _ => None
   }
 
-  /** COUNT(*)/MIN/MAX over integer columns, ungrouped and unfiltered,
-    * translate to manifest lookups (row counts + zone maps are EXACT);
-    * anything else stays in Spark.
+  /** COUNT(*)/COUNT(col)/MIN/MAX over integer columns, ungrouped and
+    * unfiltered, translate to manifest lookups (row counts, per-chunk
+    * null counts, and zone maps are EXACT); anything else stays in Spark.
     */
   private def translate(agg: Aggregation): Option[Seq[GraftAgg]] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
@@ -560,12 +568,32 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == LongType || dt == IntegerType ||
           dt == TimestampNTZType || dt == DateType || dt == DoubleType)
+    // COUNT(col) of a NULLABLE column is answerable only when every
+    // committed manifest's chunks carry a null-count entry for it (a
+    // legacy manifest would silently undercount nulls — reject instead).
+    // One driver-side metadata read, same cost class as the schema
+    // inference that already happened; evaluated lazily so COUNT(*)/
+    // MIN/MAX-only pushdowns never pay it.
+    lazy val committed: Option[Seq[graft.engine.ParsedManifest]] =
+      try Some(Manifests.readCommitted(
+        ContainerIO.confFrom(ContainerIO.confSnapshot(
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)),
+        path))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def countable(c: String): Option[CountAgg] =
+      tableSchema.fields.find(_.name == c).flatMap { f =>
+        if (!f.nullable) Some(CountAgg(c, nullable = false))
+        else committed.filter(_.forall(m =>
+          m.chunkIndex.nonEmpty && m.chunkIndex.forall(_.nullCounts.contains(c))))
+          .map(_ => CountAgg(c, nullable = true))
+      }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountStarAgg)
       case m: Min => fieldName(m.column)
         .flatMap(c => pushableType(c).map(MinAgg(c, _)))
       case m: Max => fieldName(m.column)
         .flatMap(c => pushableType(c).map(MaxAgg(c, _)))
+      case c: Count if !c.isDistinct => fieldName(c.column).flatMap(countable)
       case _ => None
     }
     if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get)) else None
@@ -625,6 +653,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     case CountStarAgg => StructField("count_star", LongType, nullable = false)
     case MinAgg(c, dt) => StructField(s"min_$c", dt, nullable = true)
     case MaxAgg(c, dt) => StructField(s"max_$c", dt, nullable = true)
+    case CountAgg(c, _) => StructField(s"count_$c", LongType, nullable = false)
   })
   override def toBatch: Batch = this
   override def description(): String =
@@ -635,11 +664,25 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     var rows = 0L
     var mins = Map.empty[String, Long]
     var maxs = Map.empty[String, Long]
+    // COUNT(col) accumulators: rows minus the chunk null counts. A
+    // non-nullable CountAgg never reads counts (zero by schema proof); a
+    // nullable one was admitted only after translate() verified every
+    // committed manifest carries entries, so getOrElse(0) here can only
+    // fire on a manifest appended SINCE planning — written by this
+    // library, which always records entries for nullable columns.
+    val countCols = specs.collect { case CountAgg(c, n) => (c, n) }
+    var nonNull = Map.empty[String, Long]
     Manifests.readCommitted(conf, path).foreach { m =>
       rows += m.rows
       m.longRanges.foreach { case (c, (lo, hi)) =>
         mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
         maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
+      }
+      countCols.foreach { case (c, nullable) =>
+        val nulls =
+          if (!nullable) 0L
+          else m.chunkIndex.iterator.map(_.nullCounts.getOrElse(c, 0).toLong).sum
+        nonNull = nonNull.updated(c, nonNull.getOrElse(c, 0L) + m.rows - nulls)
       }
     }
     // double zone maps store the order-preserving sortable-long mapping;
@@ -653,6 +696,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       case CountStarAgg => java.lang.Long.valueOf(rows)
       case MinAgg(c, dt) => mins.get(c).map(surface(_, dt)).orNull
       case MaxAgg(c, dt) => maxs.get(c).map(surface(_, dt)).orNull
+      case CountAgg(c, _) => java.lang.Long.valueOf(nonNull.getOrElse(c, 0L))
     }.toArray
     Array(GraftAggPartition(values.map {
       case null => null

@@ -261,6 +261,44 @@ class NullableDoubleSpec extends AnyFunSuite {
     assert(r.isNullAt(2), "an all-null column has no MIN")
   }
 
+  test("COUNT(col) answered from manifests: rows minus per-chunk null counts") {
+    val d = tmp("null-count-agg")
+    val df = nullableDf()
+    df.write.format("graft").option("chunkRows", "64").mode("overwrite").save(d)
+    val back = spark.read.format("graft").load(d)
+    val agg = back.agg(
+      count(col("score")).as("cs"), count(col("tag")).as("ct"),
+      count(col("w")).as("cw"), count(col("n")).as("cn"),
+      count(col("id")).as("ci"), count(lit(1)).as("all"))
+    val scans = agg.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty && scans.head.isInstanceOf[GraftAggScan],
+      "ungrouped COUNT(col) must plan the manifest-answered scan:\n" +
+        agg.queryExecution.executedPlan)
+    assert(scans.head.description().contains("CountAgg"),
+      s"pushed aggregates must include CountAgg: ${scans.head.description()}")
+    val r = agg.collect()(0)
+    val e = df.agg(count(col("score")), count(col("tag")), count(col("w")),
+      count(col("n")), count(col("id")), count(lit(1))).collect()(0)
+    (0 until 6).foreach(i => assert(r.getLong(i) === e.getLong(i),
+      s"count column $i: got ${r.getLong(i)}, want ${e.getLong(i)}"))
+    // appends keep the counts exact (second generation of manifests)
+    df.write.format("graft").mode("append").save(d)
+    val r2 = spark.read.format("graft").load(d)
+      .agg(count(col("score")), count(col("id"))).collect()(0)
+    assert(r2.getLong(0) === 2 * e.getLong(0) && r2.getLong(1) === 2 * e.getLong(4))
+    // count(DISTINCT col) must NOT push — stays a full scan, stays exact
+    val distinctAgg = back.agg(countDistinct(col("tag")))
+    val dScans = distinctAgg.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(dScans.forall(!_.isInstanceOf[GraftAggScan]),
+      "COUNT(DISTINCT) must not be manifest-answered")
+    assert(distinctAgg.collect()(0).getLong(0) ===
+      df.agg(countDistinct(col("tag"))).collect()(0).getLong(0))
+  }
+
   test("non-nullable schema still rejects null writes with a named column") {
     val d = tmp("null-reject")
     val schema = StructType(Seq(

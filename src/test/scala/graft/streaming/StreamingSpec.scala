@@ -108,6 +108,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.except(expected).isEmpty && expected.except(emitted).isEmpty)
   }
 
+  test("streaming sink + tail carry ALL round-7 kinds (nullable double/binary/float-array) exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val srcDir = Files.createTempDirectory("graft-kinds-src").toString
+    val tableDir = Files.createTempDirectory("graft-kinds-table").toString
+    val sinkCkpt = Files.createTempDirectory("graft-kinds-sinkck").toString
+    val tailCkpt = Files.createTempDirectory("graft-kinds-tailck").toString
+    val tailOut = Files.createTempDirectory("graft-kinds-tailout").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("b", BinaryType, nullable = true),
+      StructField("e", ArrayType(FloatType, containsNull = false), nullable = true)))
+    def wave(lo: Int, hi: Int) = {
+      val rnd = new java.util.Random(lo)
+      val rows = (lo until hi).map { i =>
+        Row(i.toLong,
+          if (i % 5 == 0) null else java.lang.Double.valueOf(i * 0.5 - 9.0),
+          if (i % 4 == 0) null else Array.fill(3 + i % 3)(rnd.nextInt().toByte),
+          if (i % 7 == 0) null else Array.fill(4)(rnd.nextFloat()))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    }
+    def sinkWave(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      df.write.parquet(s"$srcDir/$tag")
+      val q = spark.readStream.schema(schema).parquet(s"$srcDir/*")
+        .writeStream.format("graft")
+        .option("path", tableDir)
+        .option("checkpointLocation", sinkCkpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    def drainTail(): Unit = {
+      val q = spark.readStream.format("graft").load(tableDir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", tailOut)
+        .option("checkpointLocation", tailCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // rows normalized for set comparison (arrays are reference-equal only)
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Any, Any, Any)] =
+      df.collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2).toSeq,
+          if (r.isNullAt(3)) null else r.getSeq[Float](3).toList)
+      }.toSet
+
+    sinkWave(wave(0, 150), "w1")
+    val back1 = spark.read.format("graft").load(tableDir)
+    assert(back1.schema("v").nullable && back1.schema("b").nullable)
+    assert(norm(back1) === norm(wave(0, 150)), "sink wave 1 round-trip")
+    drainTail()
+    assert(norm(spark.read.parquet(tailOut)) === norm(wave(0, 150)),
+      "tail emits wave 1 exactly")
+    // second sink wave appends a new epoch; the tail emits ONLY its rows
+    sinkWave(wave(150, 220), "w2")
+    drainTail()
+    assert(norm(spark.read.parquet(tailOut)) ===
+      norm(wave(0, 150)) ++ norm(wave(150, 220)),
+      "tail emits exactly the appended epoch, nulls and arrays intact")
+  }
+
   test("streaming exact dedup drops repeated texts within the watermark horizon") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
