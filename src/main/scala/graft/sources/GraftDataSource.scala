@@ -558,6 +558,21 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     case _ => None
   }
 
+  /** COUNT(col) of a NULLABLE column is answerable only when every
+    * committed manifest's chunks carry a null-count entry for it (a
+    * legacy manifest would silently undercount nulls — reject instead).
+    * One driver-side metadata read, same cost class as the schema
+    * inference that already happened; lazy at the BUILDER level so
+    * COUNT(*)/MIN/MAX-only pushdowns never pay it and the
+    * supportCompletePushDown + pushAggregation pair reads it once.
+    */
+  private lazy val committedForCounts: Option[Seq[graft.engine.ParsedManifest]] =
+    try Some(Manifests.readCommitted(
+      ContainerIO.confFrom(ContainerIO.confSnapshot(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)),
+      path))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** COUNT(*)/COUNT(col)/MIN/MAX over integer columns, ungrouped and
     * unfiltered, translate to manifest lookups (row counts, per-chunk
     * null counts, and zone maps are EXACT); anything else stays in Spark.
@@ -568,22 +583,10 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == LongType || dt == IntegerType ||
           dt == TimestampNTZType || dt == DateType || dt == DoubleType)
-    // COUNT(col) of a NULLABLE column is answerable only when every
-    // committed manifest's chunks carry a null-count entry for it (a
-    // legacy manifest would silently undercount nulls — reject instead).
-    // One driver-side metadata read, same cost class as the schema
-    // inference that already happened; evaluated lazily so COUNT(*)/
-    // MIN/MAX-only pushdowns never pay it.
-    lazy val committed: Option[Seq[graft.engine.ParsedManifest]] =
-      try Some(Manifests.readCommitted(
-        ContainerIO.confFrom(ContainerIO.confSnapshot(
-          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)),
-        path))
-      catch { case scala.util.control.NonFatal(_) => None }
     def countable(c: String): Option[CountAgg] =
       tableSchema.fields.find(_.name == c).flatMap { f =>
         if (!f.nullable) Some(CountAgg(c, nullable = false))
-        else committed.filter(_.forall(m =>
+        else committedForCounts.filter(_.forall(m =>
           m.chunkIndex.nonEmpty && m.chunkIndex.forall(_.nullCounts.contains(c))))
           .map(_ => CountAgg(c, nullable = true))
       }
