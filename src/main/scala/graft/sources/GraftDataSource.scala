@@ -558,15 +558,18 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     case _ => None
   }
 
-  /** COUNT(col) of a NULLABLE column is answerable only when every
-    * committed manifest's chunks carry a null-count entry for it (a
-    * legacy manifest would silently undercount nulls — reject instead).
-    * One driver-side metadata read, same cost class as the schema
-    * inference that already happened; lazy at the BUILDER level so
-    * COUNT(*)/MIN/MAX-only pushdowns never pay it and the
-    * supportCompletePushDown + pushAggregation pair reads it once.
+  /** Committed-manifest snapshot for aggregate-pushdown PROOFS:
+    * COUNT(col) of a NULLABLE column is answerable only when every
+    * chunk carries a null-count entry for it (a legacy manifest would
+    * silently undercount nulls — reject instead), and string MIN/MAX
+    * only when every chunk carries an all-ASCII range for it (the
+    * collation-agreement proof). One driver-side metadata read, same
+    * cost class as the schema inference that already happened; lazy at
+    * the BUILDER level so COUNT(*)/numeric-MIN/MAX-only pushdowns never
+    * pay it and the supportCompletePushDown + pushAggregation pair
+    * reads it once.
     */
-  private lazy val committedForCounts: Option[Seq[graft.engine.ParsedManifest]] =
+  private lazy val committedForStats: Option[Seq[graft.engine.ParsedManifest]] =
     try Some(Manifests.readCommitted(
       ContainerIO.confFrom(ContainerIO.confSnapshot(
         org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)),
@@ -580,13 +583,28 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   private def translate(agg: Aggregation): Option[Seq[GraftAgg]] = {
     if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty) return None
     def pushableType(c: String): Option[DataType] =
-      tableSchema.fields.find(_.name == c).map(_.dataType).filter(dt =>
-        dt == LongType || dt == IntegerType ||
-          dt == TimestampNTZType || dt == DateType || dt == DoubleType)
+      tableSchema.fields.find(_.name == c).flatMap { f =>
+        f.dataType match {
+          case LongType | IntegerType | TimestampNTZType | DateType |
+               DoubleType => Some(f.dataType)
+          // string MIN/MAX: sound only when (a) the column is
+          // non-nullable ("" null placeholders would pollute the chunk
+          // mins) and (b) EVERY chunk of every committed manifest
+          // recorded an all-ASCII range — where Java, UTF8String, and
+          // DuckDB collation provably agree. Anything else stays in
+          // Spark.
+          case StringType if !f.nullable &&
+              committedForStats.exists(_.forall(m =>
+                m.chunkIndex.nonEmpty &&
+                  m.chunkIndex.forall(_.strRanges.contains(c)))) =>
+            Some(StringType)
+          case _ => None
+        }
+      }
     def countable(c: String): Option[CountAgg] =
       tableSchema.fields.find(_.name == c).flatMap { f =>
         if (!f.nullable) Some(CountAgg(c, nullable = false))
-        else committedForCounts.filter(_.forall(m =>
+        else committedForStats.filter(_.forall(m =>
           m.chunkIndex.nonEmpty && m.chunkIndex.forall(_.nullCounts.contains(c))))
           .map(_ => CountAgg(c, nullable = true))
       }
@@ -675,6 +693,14 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     // library, which always records entries for nullable columns.
     val countCols = specs.collect { case CountAgg(c, n) => (c, n) }
     var nonNull = Map.empty[String, Long]
+    // string MIN/MAX fold the per-chunk all-ASCII ranges (translate()
+    // admitted the pushdown only after proving every chunk carries one)
+    val strAggCols = specs.collect {
+      case MinAgg(c, StringType) => c
+      case MaxAgg(c, StringType) => c
+    }.toSet
+    var sMins = Map.empty[String, String]
+    var sMaxs = Map.empty[String, String]
     Manifests.readCommitted(conf, path).foreach { m =>
       rows += m.rows
       m.longRanges.foreach { case (c, (lo, hi)) =>
@@ -687,6 +713,16 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
           else m.chunkIndex.iterator.map(_.nullCounts.getOrElse(c, 0).toLong).sum
         nonNull = nonNull.updated(c, nonNull.getOrElse(c, 0L) + m.rows - nulls)
       }
+      if (strAggCols.nonEmpty) m.chunkIndex.foreach { ch =>
+        ch.strRanges.foreach { case (c, (lo, hi)) =>
+          if (strAggCols(c)) {
+            sMins = sMins.updated(c,
+              sMins.get(c).filter(_.compareTo(lo) <= 0).getOrElse(lo))
+            sMaxs = sMaxs.updated(c,
+              sMaxs.get(c).filter(_.compareTo(hi) >= 0).getOrElse(hi))
+          }
+        }
+      }
     }
     // double zone maps store the order-preserving sortable-long mapping;
     // surface the aggregate back as the double it encodes
@@ -697,6 +733,8 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       else java.lang.Long.valueOf(v)
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
+      case MinAgg(c, StringType) => sMins.get(c).orNull
+      case MaxAgg(c, StringType) => sMaxs.get(c).orNull
       case MinAgg(c, dt) => mins.get(c).map(surface(_, dt)).orNull
       case MaxAgg(c, dt) => maxs.get(c).map(surface(_, dt)).orNull
       case CountAgg(c, _) => java.lang.Long.valueOf(nonNull.getOrElse(c, 0L))
@@ -706,6 +744,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.longValue()
       case d: java.lang.Double => d.doubleValue()
+      case s: String => s
     }))
   }
 
@@ -726,6 +765,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
                 case l: Long => row.setLong(i, l)
                 case n: Int => row.setInt(i, n)
                 case d: Double => row.setDouble(i, d)
+                case s: String => row.update(i, UTF8String.fromString(s))
                 case other => row.update(i, other)
               }
               i += 1

@@ -130,6 +130,70 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(filtered === filteredWant, "filtered count must bypass the manifest path")
   }
 
+  test("string MIN/MAX answered from manifests only under the all-ASCII proof") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false)))
+    def write(rows: Seq[Row]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stragg").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.format("graft").option("chunkRows", "100")
+        .mode("overwrite").save(d)
+      d
+    }
+    // all-ASCII, short, non-nullable: every chunk records a range -> pushes
+    val dAscii = write((0 until 400).map(i => Row(i.toLong, f"key-$i%04d")))
+    val agg = spark.read.format("graft").load(dAscii)
+      .agg(min("tag").as("mn"), max("tag").as("mx"), count(lit(1)).as("n"))
+    val scans = agg.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty && scans.head.isInstanceOf[GraftAggScan],
+      "non-nullable all-ASCII string MIN/MAX must be manifest-answered:\n" +
+        agg.queryExecution.executedPlan.toString.take(800))
+    val r = agg.collect()(0)
+    assert(r.getString(0) === "key-0000" && r.getString(1) === "key-0399" &&
+      r.getLong(2) === 400L)
+    // ONE non-ASCII value anywhere breaks the collation proof -> no
+    // pushdown, full scan stays exact (Spark = UTF8 binary order)
+    val rows2 = (0 until 400).map(i =>
+      Row(i.toLong, if (i == 250) "日本語" else f"key-$i%04d"))
+    val dMixed = write(rows2)
+    val agg2 = spark.read.format("graft").load(dMixed)
+      .agg(min("tag").as("mn"), max("tag").as("mx"))
+    val scans2 = agg2.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans2.forall(!_.isInstanceOf[GraftAggScan]),
+      "a non-ASCII chunk must reject the string MIN/MAX pushdown")
+    val r2 = agg2.collect()(0)
+    assert(r2.getString(0) === "key-0000" && r2.getString(1) === "日本語")
+    // NULLABLE string columns never push ("" placeholders would pollute
+    // the chunk mins) — and stay exact through the full scan
+    val nSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    val dNull = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stragg-n").toString
+      val rows = (0 until 200).map(i =>
+        Row(i.toLong, if (i % 5 == 0) null else f"key-$i%04d"))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), nSchema)
+        .write.format("graft").option("chunkRows", "100")
+        .mode("overwrite").save(d)
+      d
+    }
+    val agg3 = spark.read.format("graft").load(dNull).agg(min("tag").as("mn"))
+    val scans3 = agg3.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans3.forall(!_.isInstanceOf[GraftAggScan]),
+      "nullable string MIN/MAX must not be manifest-answered")
+    assert(agg3.collect()(0).getString(0) === "key-0001",
+      "SQL MIN skips nulls; the \"\" placeholder must never surface")
+  }
+
   test("SQL surface: CREATE TABLE USING graft, pushdown visible in EXPLAIN") {
     spark.sql("DROP TABLE IF EXISTS graft_sql_t")
     spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$dir')")
