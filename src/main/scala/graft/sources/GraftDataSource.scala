@@ -713,7 +713,23 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
           else m.chunkIndex.iterator.map(_.nullCounts.getOrElse(c, 0).toLong).sum
         nonNull = nonNull.updated(c, nonNull.getOrElse(c, 0L) + m.rows - nulls)
       }
+      if (strAggCols.nonEmpty && m.rows > 0 && m.chunkIndex.isEmpty)
+        throw new IllegalStateException(
+          s"graft string aggregate snapshot changed: a manifest without a " +
+            s"chunk index appeared on $path since planning; retry the query")
       if (strAggCols.nonEmpty) m.chunkIndex.foreach { ch =>
+        // translate() proved every chunk carries a range for these
+        // columns — but this is a FRESH manifest read, and an append
+        // landing between planning and here can legally add a non-ASCII
+        // chunk with no range. Silently excluding its values would be a
+        // wrong MIN/MAX: fail retriable-loud instead (the re-planned
+        // query sees the new chunk and keeps the aggregate in Spark).
+        strAggCols.foreach { c =>
+          if (!ch.strRanges.contains(c)) throw new IllegalStateException(
+            s"graft string aggregate snapshot changed: column '$c' gained " +
+              s"a chunk without an ASCII range since planning (concurrent " +
+              s"append to $path); retry the query")
+        }
         ch.strRanges.foreach { case (c, (lo, hi)) =>
           if (strAggCols(c)) {
             sMins = sMins.updated(c,

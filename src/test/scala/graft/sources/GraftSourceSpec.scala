@@ -192,6 +192,15 @@ class GraftSourceSpec extends AnyFunSuite {
       "nullable string MIN/MAX must not be manifest-answered")
     assert(agg3.collect()(0).getString(0) === "key-0001",
       "SQL MIN skips nulls; the \"\" placeholder must never surface")
+    // append-race guard: if a chunk WITHOUT an ASCII range appears after
+    // planning admitted the pushdown (concurrent append of non-ASCII
+    // data), execution must fail retriable-loud, never fold a wrong MIN
+    val confKv = graft.engine.ContainerIO.confSnapshot(
+      spark.sparkContext.hadoopConfiguration)
+    val raceScan = new GraftAggScan(dMixed,
+      Seq(MinAgg("tag", StringType), MaxAgg("tag", StringType)), confKv)
+    val ex = intercept[IllegalStateException](raceScan.planInputPartitions())
+    assert(ex.getMessage.contains("retry the query"), ex.getMessage)
   }
 
   test("SQL surface: CREATE TABLE USING graft, pushdown visible in EXPLAIN") {
