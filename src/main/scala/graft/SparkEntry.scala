@@ -550,6 +550,32 @@ object SparkEntry {
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
     }),
 
+    // SCHEMA EVOLUTION (round 7): the even half of events is written with
+    // the narrow (event_id, value) schema, then the odd half APPENDS with
+    // an added nullable `tag` column — containers written before the add
+    // read back NULL there. Grouping by the evolved column (NULL group =
+    // the pre-evolution rows) + count(tag) proves the null semantics
+    // end to end against DuckDB.
+    "c15_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c15").toString
+      val ev = t(s, d, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("overwrite").save(dir)
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("value"), col("event_type").as("tag"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("append").save(dir)
+      s.read.format("graft").load(dir)
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("tag")).as("n_tagged"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"))
+        .orderBy(col("tag").asc_nulls_first)
+    }),
+
     // BINARY schema (round 7): the multimodal payloads — opaque media
     // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
     // BINARY column in the graft table, read back, and metadata-extracted
@@ -965,6 +991,16 @@ object SparkEntry {
          min(v) AS min_v, max(v) AS max_v
          FROM (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
                FROM events) t""",
+
+    "c15_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END AS tag,
+         count(*) AS n_events,
+         count(CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END)
+           AS n_tagged,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id
+         FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
 
     // same oracle as m1 — the payloads now round-trip through a graft
     // BINARY column before extraction

@@ -127,22 +127,42 @@ object GraftDataSource {
   }
 
   /** Committed schema of an existing table, from its manifests. Legacy
-    * manifests (no schema field) are always the engine schema. ANY
-    * parse failure surfaces as IllegalArgumentException — this runs
-    * inside Spark's ANALYSIS phase, where a raw NPE/parser exception
-    * would be wrapped as an opaque internal error (fuzz contract).
+    * manifests (no schema field) are always the engine schema. With
+    * add-only schema EVOLUTION (round 7) manifests may carry different
+    * widths: every committed schema must be a PREFIX of the widest one
+    * (appends may only add trailing nullable columns), and the widest
+    * is the table's schema — containers written before a column was
+    * added read back all-NULL for it. ANY parse failure surfaces as
+    * IllegalArgumentException — this runs inside Spark's ANALYSIS
+    * phase, where a raw NPE/parser exception would be wrapped as an
+    * opaque internal error (fuzz contract).
     */
   private[sources] def inferFrom(path: String,
       conf: org.apache.hadoop.conf.Configuration = null): Option[StructType] = {
     val c = if (conf != null) conf
       else org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    try
-      Manifests.readCommitted(c, path).headOption.map { m =>
-        if (m.schemaCols.isEmpty) schema
-        else schemaOf(m.schemaCols.map { case (n, k) =>
-          graft.engine.ColumnSpec.fromPacked(n, k) })
+    try {
+      val ms = Manifests.readCommitted(c, path)
+      if (ms.isEmpty) None
+      else {
+        val defaultSpecs = specsOf(schema)
+        val perManifest: Seq[(String, Seq[graft.engine.ColumnSpec])] = ms.map { m =>
+          m.name -> (if (m.schemaCols.isEmpty) defaultSpecs
+            else m.schemaCols.map { case (n, k) =>
+              graft.engine.ColumnSpec.fromPacked(n, k) })
+        }
+        val widest = perManifest.maxBy(_._2.size)._2
+        perManifest.foreach { case (name, s) =>
+          require(s == widest.take(s.size),
+            s"graft table $path has inconsistent committed schemas: " +
+              s"container $name declares ${s.map(_.name).mkString(",")} " +
+              s"which is not a prefix of the widest schema " +
+              s"${widest.map(_.name).mkString(",")} (appends may only " +
+              s"add trailing nullable columns)")
+        }
+        Some(schemaOf(widest))
       }
-    catch {
+    } catch {
       case e: IllegalArgumentException => throw e
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"corrupt graft table metadata under $path", e)
@@ -444,33 +464,66 @@ object GraftDataSource {
     */
   private[sources] def planPartitions(path: String,
       manifests: Seq[ParsedManifest], filters: Array[Filter],
-      maxSplitBytes: Long): Array[InputPartition] = {
+      maxSplitBytes: Long,
+      neededCols: Set[String] = Set.empty): Array[InputPartition] = {
+    val defaultNames: Set[String] = schema.fieldNames.toSet
     val parts = Array.newBuilder[InputPartition]
     manifests.sortBy(_.name).foreach { m =>
       val file = m.blockFile(path)
-      if (m.chunkIndex.isEmpty) {
-        // legacy manifest: whole-container sequential stream
-        if (admit(m.longRanges, filters.toSeq))
-          parts += GraftInputPartition(file, Nil, m.digestCol)
-      } else {
-        val admitted = m.chunkIndex
-          .filter(admitChunk(_, filters.toSeq))
-          .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
-        var run = List.empty[ChunkSpec]
-        var runBytes = 0L
-        admitted.foreach { c =>
-          if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
-            parts += GraftInputPartition(file, run.reverse, m.digestCol)
-            run = Nil; runBytes = 0L
+      // add-only schema evolution: a container written before a column
+      // was added has no block for it — its rows are all-NULL there. A
+      // value predicate or IsNotNull on such a column matches NOTHING in
+      // this container (SQL three-valued logic): skip it whole. IsNull
+      // on it is trivially TRUE and is dropped reader-side.
+      val present: Set[String] =
+        if (m.schemaCols.isEmpty) defaultNames else m.schemaCols.map(_._1).toSet
+      val absent = neededCols -- present
+      val killed = absent.nonEmpty && filters.exists(f =>
+        !f.isInstanceOf[IsNull] && f.references.exists(absent))
+      if (!killed) {
+        if (m.chunkIndex.isEmpty) {
+          // legacy manifest: whole-container sequential stream
+          if (admit(m.longRanges, filters.toSeq))
+            parts += GraftInputPartition(file, Nil, m.digestCol, absent)
+        } else {
+          val admitted = m.chunkIndex
+            .filter(admitChunk(_, filters.toSeq))
+            .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
+          var run = List.empty[ChunkSpec]
+          var runBytes = 0L
+          admitted.foreach { c =>
+            if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
+              parts += GraftInputPartition(file, run.reverse, m.digestCol, absent)
+              run = Nil; runBytes = 0L
+            }
+            run = c :: run
+            runBytes += c.length
           }
-          run = c :: run
-          runBytes += c.length
+          if (run.nonEmpty)
+            parts += GraftInputPartition(file, run.reverse, m.digestCol, absent)
         }
-        if (run.nonEmpty) parts += GraftInputPartition(file, run.reverse, m.digestCol)
       }
     }
     parts.result()
   }
+
+  /** Filters applicable inside a container that predates `absent`
+    * columns: IsNull on an absent column is trivially TRUE (drop it);
+    * any other filter referencing one matches nothing — planning
+    * already skipped such containers, so reaching a reader with one is
+    * a planner bug, not a data condition.
+    */
+  private[sources] def effectiveFilters(filters: Array[Filter],
+      absent: Set[String]): Array[Filter] =
+    if (absent.isEmpty) filters
+    else {
+      val kept = filters.filterNot(f =>
+        f.isInstanceOf[IsNull] && f.references.exists(absent))
+      kept.foreach(f => require(!f.references.exists(absent),
+        s"planner bug: filter $f references a column this container " +
+          s"predates (${absent.mkString(",")})"))
+      kept
+    }
 
   private[sources] def rowPasses(preds: Array[RowPred],
       chunk: DecodedChunk, j: Int): Boolean = {
@@ -605,7 +658,11 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).flatMap { f =>
         if (!f.nullable) Some(CountAgg(c, nullable = false))
         else committedForStats.filter(_.forall(m =>
-          m.chunkIndex.nonEmpty && m.chunkIndex.forall(_.nullCounts.contains(c))))
+          // a manifest that PREDATES the column (add-only evolution)
+          // is all-NULL for it — provable without chunk entries
+          (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c)) ||
+            (m.chunkIndex.nonEmpty &&
+              m.chunkIndex.forall(_.nullCounts.contains(c)))))
           .map(_ => CountAgg(c, nullable = true))
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -710,6 +767,8 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       countCols.foreach { case (c, nullable) =>
         val nulls =
           if (!nullable) 0L
+          else if (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c))
+            m.rows // container predates the column: all-NULL for it
           else m.chunkIndex.iterator.map(_.nullCounts.getOrElse(c, 0).toLong).sum
         nonNull = nonNull.updated(c, nonNull.getOrElse(c, 0L) + m.rows - nulls)
       }
@@ -803,9 +862,14 @@ case class ChunkSpec(offset: Long, length: Long, rows: Int,
   * file sequentially (legacy manifests without a chunk index, and the
   * direct-reader fuzz surface). `digestCol` is the manifest's recorded
   * digest column ("" = chunk digests not verifiable for this partition).
+  * `absentCols` (round 7, add-only schema evolution): needed columns the
+  * container predates — the reader surfaces them as NULL for every row
+  * (planning already skipped containers a non-IsNull filter on such a
+  * column would empty).
   */
 case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec],
-                               digestCol: String = "content")
+                               digestCol: String = "content",
+                               absentCols: Set[String] = Set.empty)
     extends InputPartition
 
 class GraftScan(path: String, required: StructType,
@@ -903,7 +967,8 @@ class GraftScan(path: String, required: StructType,
     * commit marker on the read side too).
     */
   override def planInputPartitions(): Array[InputPartition] =
-    GraftDataSource.planPartitions(path, committed(), filters, maxSplitBytes)
+    GraftDataSource.planPartitions(path, committed(), filters, maxSplitBytes,
+      required.fieldNames.toSet ++ filters.flatMap(_.references))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
@@ -935,7 +1000,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
       limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
-      fltCols)
+      fltCols, p.absentCols)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -954,7 +1019,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
       limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
-      fltCols)
+      fltCols, p.absentCols)
   }
 }
 
@@ -1052,16 +1117,25 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           digestCol: String = "content",
                           intCols: Set[String] = Set.empty,
                           dblCols: Set[String] = Set.empty,
-                          fltCols: Set[String] = Set.empty)
+                          fltCols: Set[String] = Set.empty,
+                          absentCols: Set[String] = Set.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols,
-    fltCols)
-  private val preds = GraftDataSource.compileFilters(filters, longCols)
+  // schema evolution: this container predates `absentCols` — their rows
+  // are all-NULL here. IsNull on them is trivially true (dropped from
+  // the compiled predicates); planning skipped containers any other
+  // filter on them would empty; the cursor must not request their blocks.
+  private val effFilters = GraftDataSource.effectiveFilters(filters, absentCols)
+  private val cursor = new ChunkCursor(file, chunks, required, effFilters,
+    confKv, verifyContent, longCols -- absentCols, strCols -- absentCols,
+    digestCol, intCols -- absentCols, dblCols -- absentCols,
+    fltCols -- absentCols)
+  private val preds = GraftDataSource.compileFilters(effFilters, longCols)
   private val fields = required.fields
+  private val fieldAbsent: Array[Boolean] =
+    required.fields.map(f => absentCols.contains(f.name))
   private var batch: ColumnarBatch = _
   private var emitted = 0
 
@@ -1091,7 +1165,8 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
           val nullBm = chunk.nulls.get(name)
           @inline def isNullRow(r: Int): Boolean =
             nullBm != null && (nullBm(r >> 3) & (1 << (r & 7))) != 0
-          fields(i).dataType match {
+          if (fieldAbsent(i)) v.putNulls(0, m)
+          else fields(i).dataType match {
             case LongType | TimestampNTZType =>
               val src = chunk.longs.get(name)
               var k = 0
@@ -1160,7 +1235,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            digestCol: String = "content",
                            intCols: Set[String] = Set.empty,
                            dblCols: Set[String] = Set.empty,
-                           fltCols: Set[String] = Set.empty)
+                           fltCols: Set[String] = Set.empty,
+                           absentCols: Set[String] = Set.empty)
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -1168,12 +1244,18 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
            confKv: Map[String, String]) =
     this(file, Nil, required, filters, confKv, Int.MaxValue, false)
 
-  private val cursor = new ChunkCursor(file, chunks, required, filters,
-    confKv, verifyContent, longCols, strCols, digestCol, intCols, dblCols,
-    fltCols)
-  private val preds = GraftDataSource.compileFilters(filters, longCols)
+  // schema evolution: see GraftColumnarReader — absent columns are
+  // all-NULL in this container and their blocks are never requested
+  private val effFilters = GraftDataSource.effectiveFilters(filters, absentCols)
+  private val cursor = new ChunkCursor(file, chunks, required, effFilters,
+    confKv, verifyContent, longCols -- absentCols, strCols -- absentCols,
+    digestCol, intCols -- absentCols, dblCols -- absentCols,
+    fltCols -- absentCols)
+  private val preds = GraftDataSource.compileFilters(effFilters, longCols)
 
   private val fields = required.fields
+  private val fieldAbsent: Array[Boolean] =
+    required.fields.map(f => absentCols.contains(f.name))
   private val it: Iterator[InternalRow] = cursor.chunkIter.flatMap { chunk =>
     (0 until chunk.rows).iterator.flatMap { j =>
       if (!GraftDataSource.rowPasses(preds, chunk, j)) None
@@ -1182,7 +1264,7 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
         var i = 0
         while (i < fields.length) {
           val name = fields(i).name
-          if (!chunk.validAt(name, j)) row.setNullAt(i)
+          if (fieldAbsent(i) || !chunk.validAt(name, j)) row.setNullAt(i)
           else fields(i).dataType match {
             case LongType | TimestampNTZType =>
               row.setLong(i, chunk.longs.get(name)(j))
@@ -1439,7 +1521,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
         (if (dropped.size > 8) ", …" else "") +
         "; their replacement generations arrive as later batches")
     GraftDataSource.planPartitions(path, fresh ++ substituted, filters,
-      maxSplitBytes)
+      maxSplitBytes, required.fieldNames.toSet ++ filters.flatMap(_.references))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1515,12 +1597,29 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
       if (doTruncate) in0
       else GraftDataSource.inferFrom(path).map { existing =>
         val tableSpecs = GraftDataSource.specsOf(existing)
-        require(tableSpecs.map(s => (s.name, s.kind)) ==
-            specs0.map(s => (s.name, s.kind)),
+        val tPairs = tableSpecs.map(s => (s.name, s.kind))
+        val wPairs = specs0.map(s => (s.name, s.kind))
+        if (wPairs == tPairs)
+          StructType(in0.fields.lazyZip(tableSpecs).map((f, s) =>
+            f.copy(nullable = s.nullable)))
+        else if (wPairs.size > tPairs.size &&
+            wPairs.take(tPairs.size) == tPairs) {
+          // add-only schema EVOLUTION: the append keeps the committed
+          // schema as its prefix and adds trailing columns. Added
+          // columns must be NULLABLE — containers written before the
+          // add have no block for them and read back all-NULL, which
+          // only a nullable column can represent.
+          val added = in0.fields.drop(tableSpecs.size)
+          added.foreach(f => require(f.nullable,
+            s"graft schema evolution: added column '${f.name}' must be " +
+              s"nullable (rows written before the add are NULL there)"))
+          StructType(in0.fields.take(tableSpecs.size)
+            .lazyZip(tableSpecs).map((f, s) => f.copy(nullable = s.nullable))
+            ++ added)
+        } else throw new IllegalArgumentException(
           s"graft append schema mismatch: table has ${existing.simpleString}, " +
-            s"write is ${in0.simpleString}")
-        StructType(in0.fields.lazyZip(tableSpecs).map((f, s) =>
-          f.copy(nullable = s.nullable)))
+            s"write is ${in0.simpleString} (an append must match the " +
+            s"committed schema, or extend it with trailing nullable columns)")
       }.getOrElse(in0)
     val chunkRows = Option(info.options().get("chunkRows")).map(_.toInt)
       .getOrElse(ColumnarEngine.ChunkRows)

@@ -93,47 +93,50 @@ object GraftMaintenance {
     val conf = ContainerIO.confFrom(confKv)
     val committed = Manifests.readCommitted(conf, path).filter(_.rows > 0)
     if (committed.isEmpty) return (0, 0)
-    // one compaction run handles one schema generation: all committed
-    // manifests of a table share it (appends enforce schema match)
-    val schemaCols = committed.head.schemaCols
-    val digestCol = committed.head.digestCol
-    val smallNames = committed
-      .filter(m => m.encodedBytes < targetBytes &&
-        m.schemaCols == schemaCols && m.digestCol == digestCol)
-      .map(_.name).toSet
-    // WHOLE-epoch planning: an epoch (micro-batch / job) is consumable
-    // only if EVERY one of its committed containers qualifies — replay
-    // protection records ancestor EPOCHS, and "epoch is an ancestor"
-    // must mean "all of its rows live in compacted generations". An
-    // epoch with one over-size container is skipped entirely.
-    val groups = committed
-      .groupBy(m => Manifests.epochKey(Manifests.logicalName(m.name)))
-      .values.toSeq
-      .filter(_.forall(m => smallNames(m.name)))
-      .map(_.sortBy(_.name))
-      .sortBy(_.head.name)
-    // greedy size-binning over whole epoch groups, in epoch-name order
-    val bins = Seq.newBuilder[Seq[ParsedManifest]]
-    var run = List.empty[Seq[ParsedManifest]]
-    var runBytes = 0L
-    groups.foreach { g =>
-      val gBytes = g.map(_.encodedBytes).sum
-      if (run.nonEmpty && runBytes + gBytes > targetBytes) {
-        bins += run.reverse.flatten; run = Nil; runBytes = 0L
-      }
-      run = g :: run
-      runBytes += gBytes
-    }
-    if (run.nonEmpty) bins += run.reverse.flatten
-    val work = bins.result().filter(_.size >= minContainers)
+    // one BIN holds one schema generation: add-only evolution (round 7)
+    // means a table may hold containers of different widths. An epoch is
+    // always schema-homogeneous (one write job, one schema), so binning
+    // runs independently per (schema, digestCol) group and a rewrite
+    // never has to unify widths — the evolved table keeps its mixed
+    // generations and readers null-fill the absent trailing columns.
+    //
+    // WHOLE-epoch planning within each group: an epoch (micro-batch /
+    // job) is consumable only if EVERY one of its committed containers
+    // qualifies — replay protection records ancestor EPOCHS, and "epoch
+    // is an ancestor" must mean "all of its rows live in compacted
+    // generations". An epoch with one over-size container is skipped.
+    val work: Seq[(Seq[(String, Int)], String, Seq[ParsedManifest])] =
+      committed.groupBy(m => (m.schemaCols, m.digestCol)).toSeq
+        .sortBy(_._2.map(_.name).min)
+        .flatMap { case ((schemaCols, digestCol), group) =>
+          val smallNames = group
+            .filter(_.encodedBytes < targetBytes).map(_.name).toSet
+          val groups = group
+            .groupBy(m => Manifests.epochKey(Manifests.logicalName(m.name)))
+            .values.toSeq
+            .filter(_.forall(m => smallNames(m.name)))
+            .map(_.sortBy(_.name))
+            .sortBy(_.head.name)
+          // greedy size-binning over whole epoch groups, in epoch order
+          val bins = Seq.newBuilder[Seq[ParsedManifest]]
+          var run = List.empty[Seq[ParsedManifest]]
+          var runBytes = 0L
+          groups.foreach { g =>
+            val gBytes = g.map(_.encodedBytes).sum
+            if (run.nonEmpty && runBytes + gBytes > targetBytes) {
+              bins += run.reverse.flatten; run = Nil; runBytes = 0L
+            }
+            run = g :: run
+            runBytes += gBytes
+          }
+          if (run.nonEmpty) bins += run.reverse.flatten
+          bins.result().filter(_.size >= minContainers)
+            .map(b => (schemaCols, digestCol, b))
+        }
     if (work.isEmpty) return (0, 0)
     // dry run: report the fold this run WOULD perform — (containers
     // consumed, containers produced) — without touching the table
-    if (dryRun) return (work.map(_.size).sum, work.size)
-
-    val schema =
-      if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
-      else schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
+    if (dryRun) return (work.map(_._3.size).sum, work.size)
     // the leading letter keeps the run id non-numeric: epochKey strips a
     // trailing all-digit segment, and an all-digit run id would let a
     // double epochKey application collapse "compact-<runId>" to the
@@ -146,7 +149,10 @@ object GraftMaintenance {
     val newManifests: Array[PartManifest] =
       try spark.sparkContext
         .parallelize(work.zipWithIndex, work.size)
-        .map { case (ms, bin) =>
+        .map { case ((schemaCols, digestCol, ms), bin) =>
+          val schema =
+            if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
+            else schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
           rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
             digestCol, s"compact-$runId-$bin", bin)
         }
@@ -179,7 +185,7 @@ object GraftMaintenance {
       }
 
     beforeCommit()
-    val consumed = work.flatten.map(_.name).toSet
+    val consumed = work.flatMap(_._3).map(_.name).toSet
     // one commit-generation stamp across the run's bins: a crashed
     // compaction's stale stage and its committed retry are then
     // distinguishable by the listing-fallback normalizer
