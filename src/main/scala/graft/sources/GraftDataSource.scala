@@ -1686,6 +1686,14 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
 case class GraftCommitMessage(name: String, rows: Long,
                               manifestJson: String) extends WriterCommitMessage
 
+/** Two concurrent appends can each be a valid add-only extension of the
+  * schema they SAW yet incompatible with each other (one adds `b`, one
+  * adds `c`). The loser aborts with this inside its OCC index commit —
+  * otherwise the committed schemas stop forming a prefix chain and every
+  * subsequent read fails inference.
+  */
+class SchemaEvolutionConflict(msg: String) extends IllegalStateException(msg)
+
 private[sources] object GraftCommits {
 
   /** Logical partition identity of a staged container name (see
@@ -1749,12 +1757,29 @@ private[sources] object GraftCommits {
     @volatile var priorNames = Seq.empty[String]
     // priorNames captures the snapshot the winning commit superseded —
     // exactly the state this commit's deletes must be judged against
-    Manifests.commitIndex(conf, path, old => {
+    val newSchema: Seq[(String, Int)] =
+      if (fresh.isEmpty) Nil
+      else Manifests.parseWithFallback(fresh.head.manifestJson).schemaCols
+    try Manifests.commitIndex(conf, path, old => {
       // parse each old manifest ONCE per attempt: this transform runs on
       // the commit hot path of every write/epoch, over O(partitions)
       // JSONs
       val parsedOld = old.map(Manifests.parseWithFallback)
       priorNames = parsedOld.map(_.name)
+      // add-only evolution guard (round 7): every committed schema and
+      // this write's must form a prefix chain. The write builder already
+      // validated against the snapshot it SAW; this re-check inside the
+      // OCC transform is what catches the concurrent-evolution race.
+      if (!truncate && newSchema.nonEmpty) parsedOld.foreach { pm =>
+        val oldS = pm.schemaCols
+        if (oldS.nonEmpty && oldS != newSchema.take(oldS.size) &&
+            newSchema != oldS.take(newSchema.size))
+          throw new SchemaEvolutionConflict(
+            s"concurrent schema evolution on $path: committed container " +
+              s"${pm.name} has columns ${oldS.map(_._1).mkString(",")}, " +
+              s"incompatible with this write's " +
+              s"${newSchema.map(_._1).mkString(",")}; this append aborted")
+      }
       // ancestors written before the commit-generation format were
       // per-container logical names: include their epochKey so legacy
       // compacted tables keep their replay protection
@@ -1782,6 +1807,20 @@ private[sources] object GraftCommits {
         }.toSeq
       kept ++ active.map(_.manifestJson)
     })
+    catch {
+      case e: SchemaEvolutionConflict =>
+        // the commit markers written above must not linger: invisible to
+        // index reads (never committed) but the listing fallback and
+        // schema inference would trip over them
+        val f = ContainerIO.fs(path, conf)
+        fresh.foreach { m =>
+          f.delete(new org.apache.hadoop.fs.Path(
+            s"$path/blocks/part-${m.name}.gblk"), false)
+          f.delete(new org.apache.hadoop.fs.Path(
+            Manifests.manifestPath(path, m.name)), false)
+        }
+        throw e
+    }
     val activeNames = fresh.map(_.name).toSet -- droppedReplays
     val activeEpochs = activeNames.map(n => Manifests.epochKey(logicalName(n)))
     def replaced(name: String): Boolean =

@@ -178,6 +178,34 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       (100 until 160).count(_ % 3 != 0))
   }
 
+  test("concurrent evolution conflict: the losing append aborts inside its OCC commit") {
+    val d = tmp("evo-race")
+    baseDf(0, 50).write.format("graft").mode("overwrite").save(d) // [id, a]
+    wideDf(50, 80).write.format("graft").mode("append").save(d) // adds b, c
+    // a racing writer that validated against the PRE-evolution snapshot
+    // stages [id, a, z] — a valid extension of what it SAW, incompatible
+    // with the committed [id, a, b, c]. Its publish must abort inside
+    // the OCC commit, clean its commit marker, and leave the table
+    // readable.
+    val confKv = graft.engine.ContainerIO.confSnapshot(
+      spark.sparkContext.hadoopConfiguration)
+    val loser = graft.engine.PartManifest(0, 1L, 1, 8L, 8L, skipped = false,
+      digest = "00", columns = Nil, name = "race9z9z9z-0",
+      schemaCols = Seq(("id", 0), ("a", 1 | 0x80), ("z", 0 | 0x80)),
+      digestCol = "a")
+    val msg = GraftCommitMessage(loser.name, 1L,
+      graft.engine.Manifests.manifestJson(loser))
+    val ex = intercept[SchemaEvolutionConflict] {
+      GraftCommits.publish(confKv, d, truncate = false, Array(msg))
+    }
+    assert(ex.getMessage.contains("concurrent schema evolution"), ex.getMessage)
+    // the loser's commit marker was swept and the table stays readable
+    // with the winning schema
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "a", "b", "c"))
+    assert(back.count() === 80)
+  }
+
   test("compaction folds each schema generation separately; evolved table reads back exact") {
     val d = tmp("evo-compact")
     // four small pre-evolution epochs + three small post-evolution epochs
