@@ -42,10 +42,12 @@ import graft.engine.{ChunkStats, ColumnarEngine, ContainerFormat, ContainerInput
   * index, so a failed or killed job never exposes a partial table and an
   * overwrite destroys the old data only after the new table is live.
   *
-  * Schema: ANY mix of non-null BIGINT/INT/STRING (round 5) plus
-  * TIMESTAMP_NTZ/DATE (round 6) columns. A first write defines the
-  * table's schema; reads infer it from the committed manifests; appends
-  * must match it. The engine's own source-code shape
+  * Schema: ANY mix of BIGINT/INT/STRING (round 5), TIMESTAMP_NTZ/DATE
+  * (round 6), and DOUBLE/BINARY/ARRAY<FLOAT> (round 7) columns, each
+  * independently nullable. A first write defines the table's schema;
+  * reads infer it from the committed manifests (the widest, under the
+  * add-only-evolution prefix rule); appends must match it or extend it
+  * with trailing nullable columns. The engine's own source-code shape
   * ([[graft.engine.DerivedRow]]) is simply the default for tables that
   * don't exist yet.
   */
@@ -542,8 +544,8 @@ class GraftTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   // ACCEPT_ANY_SCHEMA: a write to a NEW table defines its schema (the
   // provider can't see the DataFrame at inferSchema time); the write
-  // builder enforces the representable kinds (BIGINT/INT/STRING/
-  // TIMESTAMP_NTZ/DATE) and exact-match appends
+  // builder enforces the representable kinds and match-or-extend
+  // appends (add-only evolution)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,

@@ -178,6 +178,34 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       (100 until 160).count(_ % 3 != 0))
   }
 
+  test("evolution can add BINARY and ARRAY<FLOAT> columns; predating rows read NULL") {
+    val d = tmp("evo-binflt")
+    baseDf(0, 120).write.format("graft").option("chunkRows", "64")
+      .mode("overwrite").save(d)
+    val rnd = new java.util.Random(7)
+    val widest = StructType(baseSchema.fields.toSeq ++ Seq(
+      StructField("payload", BinaryType, nullable = true),
+      StructField("emb", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val rows = (120 until 200).map { i =>
+      Row(i.toLong, s"a$i",
+        if (i % 5 == 0) null else Array.fill(4 + i % 3)(rnd.nextInt().toByte),
+        if (i % 6 == 0) null else Array.fill(3)(rnd.nextFloat()))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), widest)
+      .write.format("graft").option("chunkRows", "64").mode("append").save(d)
+    val back = spark.read.format("graft").load(d)
+    assert(back.count() === 200)
+    assert(back.filter(col("payload").isNull && col("id") < 120L).count() === 120)
+    assert(back.filter(col("emb").isNotNull).count() ===
+      (120 until 200).count(_ % 6 != 0))
+    // the added binary/array values round-trip bit-exact for new rows
+    val got = back.filter(col("id") === 121L).collect()(0)
+    assert(!got.isNullAt(2) && !got.isNullAt(3))
+    assert(got.getAs[Array[Byte]]("payload").length === 4 + 121 % 3)
+    assert(got.getSeq[Float](3).length === 3)
+  }
+
   test("concurrent evolution conflict: the losing append aborts inside its OCC commit") {
     val d = tmp("evo-race")
     baseDf(0, 50).write.format("graft").mode("overwrite").save(d) // [id, a]
