@@ -431,6 +431,42 @@ object Bench {
     */
   private[graft] val FinalLineBudget = 1800
 
+  /** The driver's stdout tail window, minus sbt's `[success]` trailer and
+    * newline slack: diag2 + final line must fit in this TOGETHER so the
+    * tail always carries both whole. Round 7's gc/cpu fields serialized
+    * early on the big diag line and truncated out of the window, leaving
+    * the round's three driver regressions unattributable (VERDICT r7 #1).
+    */
+  private[graft] val TailBudget = 1900
+
+  /** Compact attribution line printed IMMEDIATELY before the final line:
+    * per-engine-leg [best, gc, cpu, worst] seconds plus the slowest
+    * queries' [wall, cpu] seconds. Self-shrinks (fewer slow entries) to
+    * the given budget; the minimal form (engine legs only) is ~90 bytes.
+    */
+  private[graft] def diag2Line(engine: Map[String, Double],
+                               slow: Seq[(String, Double, Double)],
+                               budget: Int): String = {
+    def f1(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.1f"
+    def leg(p: String): String = Seq(
+      engine.getOrElse(s"${p}_sec", Double.NaN),
+      engine.getOrElse(s"${p}_gc_sec", Double.NaN),
+      engine.getOrElse(s"${p}_cpu_sec", Double.NaN),
+      engine.getOrElse(s"${p}_worst_sec", Double.NaN))
+      .map(f1).mkString("[", ",", "]")
+    def render(k: Int): String = {
+      val slowPart =
+        if (k == 0) ""
+        else slow.take(k)
+          .map { case (n, w, c) => s""""$n":[${f1(w)},${f1(c)}]""" }
+          .mkString(""","slow":{""", ",", "}")
+      s"""{"diag":2,"enc":${leg("encode")},"dec":${leg("decode")}$slowPart}"""
+    }
+    (slow.size to 0 by -1).iterator.map(render)
+      .find(_.length <= budget).getOrElse(render(0))
+  }
+
   private[graft] def finalLine(total: Double, queryTimes: Seq[(String, Double)],
                                sfDir: String, cpus: Int): String = {
     def render(dec: Int, sf: String): String = {
@@ -470,20 +506,22 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id * 2)", "count(distinct id % 1000)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
       .count().collect()
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double =
+    val queryStats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): (Double, Double) =
         try {
           val cpu0 = processCpuSeconds()
           val s = timeSec(fn(spark, sfDir).count())._2
+          val c = processCpuSeconds() - cpu0
           // attribution for slow windows in the driver log: a rep whose
           // wall far exceeds its CPU share ran on a starved VM, not a
           // bad plan (round-5's unexplained engine outlier shape)
           if (s > 2.0) System.err.println(
-            f"[bench] $name rep ${s}%.1f s (cpu ${processCpuSeconds() - cpu0}%.1f s)")
-          s
+            f"[bench] $name rep ${s}%.1f s (cpu ${c}%.1f s)")
+          (s, c)
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, 0.0) }
       val first = once()
       // ops that persist a result (dedup pair lists) must not squeeze the
       // queries after them (round-2 showed q7-q9 regress 4-14x from
@@ -495,18 +533,19 @@ object Bench {
       // in the driver artifact (round 4: e1 19 s driver vs 0.65 s local).
       // Threshold 2.0 s (was 3.0): round 5's q1_agg read 2.32 s in a bad
       // window vs 0.37 s local — inside the old guard's blind spot
-      val sec =
-        if (first >= 0 && first <= 2.0) first
+      val (sec, cpuSec) =
+        if (first._1 >= 0 && first._1 <= 2.0) first
         else {
           // slow first rep OR a transient failure: one re-run, best kept
           val second = once()
           spark.catalog.clearCache()
-          if (second < 0) first
-          else if (first < 0) second
-          else math.min(first, second)
+          if (second._1 < 0) first
+          else if (first._1 < 0) second
+          else if (first._1 <= second._1) first else second
         }
-      name -> sec
+      (name, sec, cpuSec)
     }
+    val queryTimes = queryStats.map(q => q._1 -> q._2)
     stopQuietly(spark)
 
     // layout fixed at 4x the LARGER parallelism so both scaling runs have
@@ -584,8 +623,14 @@ object Bench {
       s""","engine":${obj(engine)},"codec_microbench":${obj(micro)}""" +
         (if (scaling.nonEmpty) s""","scaling":${obj(scaling)}""" else "")
     println(s"""{"diag":1,"engine_bench_cpus":$engineCpus$extras}""")
-    println(finalLine(total, queryTimes ++ Seq(
+    // compact attribution line in the SAME tail window as the final line
+    // (VERDICT r7 #1): per-leg gc/cpu/worst + the slowest queries' wall+cpu,
+    // budgeted to whatever the final line leaves of the 2,000-byte tail
+    val fin = finalLine(total, queryTimes ++ Seq(
       "engine_encode" -> engine("encode_sec"),
-      "engine_decode" -> engine("decode_sec")), sfDir, cpus))
+      "engine_decode" -> engine("decode_sec")), sfDir, cpus)
+    val slow = queryStats.filter(_._2 >= 0).sortBy(-_._2).take(3)
+    println(diag2Line(engine, slow, TailBudget - fin.length))
+    println(fin)
   }
 }

@@ -40,4 +40,44 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("codec_microbench"))
     assert(!line.contains("scaling"))
   }
+
+  private def engineMap = Map(
+    "encode_sec" -> 21.287, "encode_gc_sec" -> 0.123, "encode_cpu_sec" -> 84.5,
+    "encode_worst_sec" -> 25.9,
+    "decode_sec" -> 7.431, "decode_gc_sec" -> 2.001, "decode_cpu_sec" -> 31.2,
+    "decode_worst_sec" -> 9.8)
+
+  test("diag2 + final line fit the driver tail window TOGETHER") {
+    // the failure mode this gates: round 7's gc/cpu attribution fields
+    // truncated out of the 2,000-byte tail because they rode the big diag
+    // line. The worst realistic pairing: real query suite at 4-digit
+    // times, three long-named slow queries with 3-digit wall/cpu.
+    val queries = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.567) ++
+      engineKeys
+    val fin = Bench.finalLine(99999.999, queries, "/root/testdata/sf0.1", 32)
+    val slow = SparkEntry.queries.keys.toSeq.sortBy(-_.length).take(3)
+      .map(n => (n, 123.456, 987.654))
+    val d2 = Bench.diag2Line(engineMap, slow, Bench.TailBudget - fin.length)
+    assert(d2.length + fin.length <= Bench.TailBudget,
+      s"diag2(${d2.length}) + final(${fin.length}) exceed the tail window")
+    // sbt's [success] trailer is ~75 bytes; the driver window is 2,000
+    assert(Bench.TailBudget + 75 + 4 <= 2000)
+  }
+
+  test("diag2 carries per-leg gc/cpu/worst and slow-query attribution") {
+    val slow = Seq(("e3_embedding_neardup", 16.9, 12.3))
+    val d2 = Bench.diag2Line(engineMap, slow, 600)
+    assert(d2.startsWith("""{"diag":2,"""))
+    assert(d2.contains(""""enc":[21.3,0.1,84.5,25.9]"""), d2)
+    assert(d2.contains(""""dec":[7.4,2.0,31.2,9.8]"""), d2)
+    assert(d2.contains(""""e3_embedding_neardup":[16.9,12.3]"""), d2)
+  }
+
+  test("diag2 self-shrinks to the engine legs under a starved budget") {
+    val slow = (1 to 3).map(i => (s"q${i}_very_long_query_name_here", 99.9, 99.9))
+    val d2 = Bench.diag2Line(engineMap, slow, 110)
+    assert(d2.length <= 110, s"minimal diag2 is ${d2.length} bytes:\n$d2")
+    assert(d2.contains(""""enc":["""))
+    assert(!d2.contains("slow"))
+  }
 }
