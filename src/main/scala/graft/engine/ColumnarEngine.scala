@@ -809,8 +809,14 @@ object ColumnarEngine {
     // tasks instead of serializing on one (round 5 planned one task per
     // CONTAINER here, which was right only when containers ≈ partitions).
     // Legacy manifests without a chunk index stream their whole file.
-    val tasks = Manifests.readCommitted(ContainerIO.confFrom(confKv), outDir)
+    val planConf = ContainerIO.confFrom(confKv)
+    val tasks = Manifests.readCommitted(planConf, outDir)
       .filter(_.rows > 0)
+      // a full decode touches every container anyway, so hydrating each
+      // index-elided manifest's chunk detail (one marker read per
+      // container) is proportional to the work, and chunk-granular task
+      // planning needs it
+      .map(Manifests.loadChunkIndex(planConf, outDir, _))
       .flatMap { m =>
         val file = m.blockFile(outDir)
         if (m.chunkIndex.isEmpty) Seq((file, Seq.empty[ChunkStats]))

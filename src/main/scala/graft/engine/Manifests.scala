@@ -42,11 +42,69 @@ final case class ChunkStats(
     blockCrcs: Map[String, Long],
     nullCounts: Map[String, Int] = Map.empty)
 
+/** Container-level fold of the per-chunk statistics — the GROUP SUMMARY
+  * of the two-level metadata tree (round 8). An entry appears only when
+  * EVERY chunk of the container carries the underlying stat, so each
+  * field keeps the same proof discipline as its per-chunk original:
+  *
+  *  - `strRanges`:  column -> (min, max) over all chunks, present iff
+  *                  every chunk recorded an all-ASCII range — the
+  *                  collation-agreement proof string MIN/MAX pushdown
+  *                  and group-level string pruning need.
+  *  - `strDicts`:   column -> union of the chunk dicts, present iff
+  *                  every chunk has one and the union stays small.
+  *  - `nullCounts`: column -> total NULL rows, present iff every chunk
+  *                  has an entry (explicit zeros included) — feeds
+  *                  COUNT(col) pushdown and IS [NOT] NULL group skip.
+  */
+final case class ManifestEnvelope(
+    strRanges: Map[String, (String, String)] = Map.empty,
+    strDicts: Map[String, Seq[String]] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
+
+object ManifestEnvelope {
+  /** Max recorded union-dict size: past this the dict stops pruning
+    * meaningfully and only bloats the index entry.
+    */
+  final val DictCap = 64
+
+  def fromChunks(chunks: Seq[ChunkStats]): ManifestEnvelope = {
+    if (chunks.isEmpty) return ManifestEnvelope()
+    val h = chunks.head
+    val sr = h.strRanges.keySet
+      .filter(c => chunks.forall(_.strRanges.contains(c)))
+      .map { c =>
+        val rs = chunks.map(_.strRanges(c))
+        c -> (rs.map(_._1).min, rs.map(_._2).max)
+      }.toMap
+    val sd = h.strDicts.keySet
+      .filter(c => chunks.forall(_.strDicts.contains(c)))
+      .flatMap { c =>
+        val u = chunks.flatMap(_.strDicts(c)).distinct.sorted
+        if (u.size <= DictCap) Some(c -> u) else None
+      }.toMap
+    val nc = h.nullCounts.keySet
+      .filter(c => chunks.forall(_.nullCounts.contains(c)))
+      .map(c => c -> chunks.iterator.map(_.nullCounts(c).toLong).sum)
+      .toMap
+    ManifestEnvelope(sr, sd, nc)
+  }
+}
+
 /** Driver-side view of one committed partition manifest. `schemaCols`
   * is (name, kind 0=long/1=string) in table order — empty for legacy
   * (pre-round-5) manifests, which are always the engine's
   * [[ColumnarEngine.DefaultSchema]]; `digestCol` names the string column
   * whose per-row sha256 feeds the chunk digests ("" = none).
+  *
+  * Two-level metadata (round 8): entries read from the consolidated
+  * index carry `chunksElided = true` — their per-chunk stats were
+  * stripped at index commit (the index stays O(containers), not
+  * O(chunks)) and replaced by the container-level [[ManifestEnvelope]].
+  * Planning prunes whole containers against the envelope first and
+  * hydrates per-chunk detail ([[Manifests.loadChunkIndex]], one read of
+  * the container's own `manifests/part-<name>.json`) only for
+  * containers the summary admits.
   */
 final case class ParsedManifest(
     name: String, part: Int, rows: Long, chunks: Int,
@@ -57,8 +115,21 @@ final case class ParsedManifest(
     digestCol: String = "content",
     ancestors: Seq[String] = Nil,
     commitId: String = "",
-    commitParts: Int = 0) {
+    commitParts: Int = 0,
+    chunksElided: Boolean = false,
+    storedEnvelope: Option[ManifestEnvelope] = None) {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
+
+  /** Does this container HAVE a chunk index (inline or elided)? False
+    * only for legacy whole-container-stream manifests.
+    */
+  def hasChunkIndex: Boolean = chunksElided || chunkIndex.nonEmpty
+
+  /** Container-level stats fold: the stored summary when elided, else
+    * computed from the inline chunk index (identical by construction).
+    */
+  lazy val env: ManifestEnvelope =
+    storedEnvelope.getOrElse(ManifestEnvelope.fromChunks(chunkIndex))
 }
 
 /** Manifest + manifest-index IO.
@@ -169,8 +240,19 @@ object Manifests {
     * crash-window case.
     */
   def newCommitId(conf: Configuration, tableDir: String): String = {
-    val prev = readCommitted(conf, tableDir).iterator
-      .map(_.commitId.takeWhile(_.isDigit))
+    // only the commitId field matters here, and stampCommit always
+    // serializes it FIRST — extract by prefix instead of building a
+    // full JSON tree per manifest on the commit hot path (the index
+    // snapshot is parsed again by commitIndex moments later anyway)
+    def idOf(j: String): String =
+      if (j.startsWith("{\"commitId\":\"")) {
+        val s = 13
+        val e = j.indexOf('"', s)
+        if (e > s) j.substring(s, e) else ""
+      } else if (!j.contains("\"commitId\"")) "" // unstamped (engine encode)
+      else parseWithFallback(j).commitId // non-canonical order: full parse
+    val prev = readCommittedJsons(conf, tableDir).iterator
+      .map(j => idOf(j).takeWhile(_.isDigit))
       .filter(f => f.nonEmpty && f.length <= 17)
       .map(_.toLong).maxOption.getOrElse(0L)
     f"${math.max(prev + 1, System.currentTimeMillis())}%013d-" +
@@ -375,8 +457,77 @@ object Manifests {
       case n @ VersionedIndexRe(v) => (v.toLong, n)
     }.sortBy(_._1)
 
+  /** Strip a manifest JSON's per-chunk stats for the consolidated index
+    * (two-level metadata, round 8): `chunkIndex` is replaced by
+    * `"chunksElided":true` plus the container-level [[ManifestEnvelope]].
+    * The full detail stays in the container's own commit marker
+    * (`manifests/part-<name>.json`), which planning reads lazily for
+    * admitted containers only. Idempotent; legacy manifests without a
+    * chunk index pass through unchanged (their absence of an index is
+    * itself load-bearing: it means whole-container streaming).
+    */
+  private[engine] def elideChunks(json: String): String = {
+    val om = new ObjectMapper()
+    val root = om.readTree(json)
+    if (!root.isObject) return json
+    val obj = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val ci = obj.get("chunkIndex")
+    if (ci == null || !ci.isArray || ci.isEmpty) return json
+    val chunks = ci.elements().asScala.map(parseChunk).toSeq
+    val envl = ManifestEnvelope.fromChunks(chunks)
+    obj.remove("chunkIndex")
+    obj.put("chunksElided", true)
+    val e = om.createObjectNode()
+    val sr = e.putObject("strRanges")
+    envl.strRanges.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      val a = sr.putArray(c); a.add(lo); a.add(hi)
+    }
+    val sd = e.putObject("strDicts")
+    envl.strDicts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+      val a = sd.putArray(c); vs.foreach(a.add)
+    }
+    val nc = e.putObject("nullCounts")
+    envl.nullCounts.toSeq.sortBy(_._1).foreach { case (c, n) => nc.put(c, n) }
+    obj.set("envelope", e)
+    om.writeValueAsString(obj)
+  }
+
+  /** Hydrate an index-elided manifest's per-chunk stats from its own
+    * commit marker file. A marker that vanished means a concurrent
+    * compaction/overwrite superseded the snapshot this plan was built
+    * on: surface the controlled retriable error, never a raw
+    * FileNotFoundException. No-op for manifests already carrying their
+    * chunk index.
+    */
+  def loadChunkIndex(conf: Configuration, tableDir: String,
+                     m: ParsedManifest): ParsedManifest =
+    if (!m.chunksElided) m
+    else {
+      chunkLoadCounter.incrementAndGet()
+      val p = manifestPath(tableDir, m.name)
+      val full =
+        try parseWithFallback(new String(ContainerIO.readAll(conf, p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              s"graft snapshot superseded: manifest $p was removed by a " +
+                "concurrent compaction/overwrite since planning; retry " +
+                "the query", e)
+        }
+      m.copy(chunkIndex = full.chunkIndex, chunksElided = false,
+        storedEnvelope = None)
+    }
+
+  /** Observability seam: per-process count of manifest-marker hydration
+    * reads — the planning test proving group-level skip asserts bytes
+    * read scale with ADMITTED containers, not table size.
+    */
+  val chunkLoadCounter = new java.util.concurrent.atomic.AtomicLong()
+
   private def indexBody(manifestJsons: Seq[String]): Array[Byte] =
-    manifestJsons.mkString("""{"version":1,"manifests":[""", ",", "]}")
+    manifestJsons.map(elideChunks)
+      .mkString("""{"version":1,"manifests":[""", ",", "]}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   private def parseIndexJsons(bytes: Array[Byte]): Seq[String] = {
@@ -619,6 +770,22 @@ object Manifests {
     val ancestors = Option(root.get("ancestors")).filter(_.isArray).map {
       _.elements().asScala.map(_.asText()).toSeq
     }.getOrElse(Nil)
+    val elided = Option(root.get("chunksElided")).exists(_.asBoolean(false))
+    val envelope = Option(root.get("envelope")).filter(_.isObject).map { e =>
+      val sr = Option(e.get("strRanges")).filter(_.isObject)
+        .map(_.properties().asScala.map { p =>
+          p.getKey -> (p.getValue.get(0).asText(), p.getValue.get(1).asText())
+        }.toMap).getOrElse(Map.empty[String, (String, String)])
+      val sd = Option(e.get("strDicts")).filter(_.isObject)
+        .map(_.properties().asScala.map { p =>
+          p.getKey -> p.getValue.elements().asScala.map(_.asText()).toSeq
+        }.toMap).getOrElse(Map.empty[String, Seq[String]])
+      val nc = Option(e.get("nullCounts")).filter(_.isObject)
+        .map(_.properties().asScala.map { p =>
+          p.getKey -> p.getValue.asLong()
+        }.toMap).getOrElse(Map.empty[String, Long])
+      ManifestEnvelope(sr, sd, nc)
+    }
     ParsedManifest(name, jLong(root, "part").toInt, jLong(root, "rows"),
       jLong(root, "chunks").toInt, jLong(root, "rawBytes"),
       jLong(root, "encodedBytes"),
@@ -627,7 +794,9 @@ object Manifests {
       Option(root.get("digestCol")).map(_.asText()).getOrElse("content"),
       ancestors,
       Option(root.get("commitId")).map(_.asText()).getOrElse(""),
-      jLong(root, "commitParts").toInt)
+      jLong(root, "commitParts").toInt,
+      chunksElided = elided,
+      storedEnvelope = envelope)
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

@@ -460,14 +460,55 @@ object GraftDataSource {
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
 
+  /** Container-level admission against the index SUMMARY (round 8,
+    * two-level metadata): the manifest's whole-partition zone maps plus
+    * the [[graft.engine.ManifestEnvelope]] fold of its chunk stats.
+    * Same proof discipline as [[admitChunk]] — absent stats admit —
+    * at group granularity, so a pruned container's per-chunk detail is
+    * NEVER read off storage.
+    */
+  private[sources] def admitManifest(m: ParsedManifest,
+                                     filters: Seq[Filter]): Boolean =
+    admit(m.longRanges, filters) && filters.forall {
+      case IsNotNull(col) => !m.env.nullCounts.get(col).contains(m.rows)
+      case IsNull(col) => m.env.nullCounts.get(col).forall(_ > 0L)
+      case EqualTo(col, v: String) =>
+        m.env.strDicts.get(col).forall(_.contains(v)) &&
+          m.env.strRanges.get(col).forall { case (lo, hi) =>
+            v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+          }
+      case In(col, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists { x =>
+          val v = x.asInstanceOf[String]
+          m.env.strDicts.get(col).forall(_.contains(v)) &&
+            m.env.strRanges.get(col).forall { case (lo, hi) =>
+              v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+            }
+        }
+      case _ => true
+    }
+
   /** Chunk-granular input partitions for a set of committed manifests:
     * admitted chunks grouped into runs of ≤ maxSplitBytes (shared by the
     * batch scan and the micro-batch stream).
+    *
+    * Two-level planning (round 8): containers are admitted against the
+    * index summary FIRST ([[admitManifest]]); only survivors have their
+    * per-chunk stats hydrated via `hydrate` (one commit-marker read per
+    * admitted container) — index bytes parsed per plan are bounded by
+    * the table's container count, chunk-stat bytes by ADMITTED
+    * containers.
     */
   private[sources] def planPartitions(path: String,
       manifests: Seq[ParsedManifest], filters: Array[Filter],
       maxSplitBytes: Long,
-      neededCols: Set[String] = Set.empty): Array[InputPartition] = {
+      neededCols: Set[String] = Set.empty,
+      hydrate: ParsedManifest => ParsedManifest = m => {
+        require(!m.chunksElided,
+          "planner bug: an index-elided manifest reached planPartitions " +
+            "without a hydrator")
+        m
+      }): Array[InputPartition] = {
     val defaultNames: Set[String] = schema.fieldNames.toSet
     val parts = Array.newBuilder[InputPartition]
     manifests.sortBy(_.name).foreach { m =>
@@ -482,13 +523,13 @@ object GraftDataSource {
       val absent = neededCols -- present
       val killed = absent.nonEmpty && filters.exists(f =>
         !f.isInstanceOf[IsNull] && f.references.exists(absent))
-      if (!killed) {
-        if (m.chunkIndex.isEmpty) {
+      if (!killed && admitManifest(m, filters.toSeq)) {
+        val hm = if (m.chunksElided) hydrate(m) else m
+        if (hm.chunkIndex.isEmpty) {
           // legacy manifest: whole-container sequential stream
-          if (admit(m.longRanges, filters.toSeq))
-            parts += GraftInputPartition(file, Nil, m.digestCol, absent)
+          parts += GraftInputPartition(file, Nil, m.digestCol, absent)
         } else {
-          val admitted = m.chunkIndex
+          val admitted = hm.chunkIndex
             .filter(admitChunk(_, filters.toSeq))
             .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
           var run = List.empty[ChunkSpec]
@@ -650,8 +691,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
           // Spark.
           case StringType if !f.nullable &&
               committedForStats.exists(_.forall(m =>
-                m.chunkIndex.nonEmpty &&
-                  m.chunkIndex.forall(_.strRanges.contains(c)))) =>
+                m.hasChunkIndex && m.env.strRanges.contains(c))) =>
             Some(StringType)
           case _ => None
         }
@@ -663,8 +703,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
           // a manifest that PREDATES the column (add-only evolution)
           // is all-NULL for it — provable without chunk entries
           (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c)) ||
-            (m.chunkIndex.nonEmpty &&
-              m.chunkIndex.forall(_.nullCounts.contains(c)))))
+            (m.hasChunkIndex && m.env.nullCounts.contains(c))))
           .map(_ => CountAgg(c, nullable = true))
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -690,14 +729,19 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (e.g. count(*)) still needs one column to drive
-    // row counts; prefer ANY numeric column (fixed-width decode) before
-    // falling back to a string column — head could be a wide content
-    // column whose full decode would be paid just for counting
+    // row counts; prefer a FIXED-WIDTH column (cheapest decode), then a
+    // string, and only then binary/float-array — the heaviest blocks to
+    // decode just for counting rows
     required =
-      if (requiredSchema.isEmpty)
-        StructType(Seq(tableSchema.fields
-          .find(f => f.dataType != StringType)
-          .getOrElse(tableSchema.fields.head)))
+      if (requiredSchema.isEmpty) {
+        def weight(dt: DataType): Int = dt match {
+          case LongType | IntegerType | TimestampNTZType | DateType |
+               DoubleType => 0
+          case StringType => 1
+          case _ => 2 // binary / float-array
+        }
+        StructType(Seq(tableSchema.fields.minBy(f => weight(f.dataType))))
+      }
       else requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -771,33 +815,37 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
           if (!nullable) 0L
           else if (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c))
             m.rows // container predates the column: all-NULL for it
-          else m.chunkIndex.iterator.map(_.nullCounts.getOrElse(c, 0).toLong).sum
+          // translate() proved every committed manifest carries entries —
+          // but this is a FRESH read, and a manifest appended since
+          // planning could legally lack one (a non-current writer).
+          // Silently treating it as zero nulls would OVERCOUNT: fail
+          // retriable-loud, mirroring the string MIN/MAX guard below.
+          else m.env.nullCounts.getOrElse(c,
+            if (m.rows == 0) 0L
+            else throw new IllegalStateException(
+              s"graft COUNT snapshot changed: column '$c' gained a " +
+                s"manifest without null counts since planning (concurrent " +
+                s"append to $path); retry the query"))
         nonNull = nonNull.updated(c, nonNull.getOrElse(c, 0L) + m.rows - nulls)
       }
-      if (strAggCols.nonEmpty && m.rows > 0 && m.chunkIndex.isEmpty)
-        throw new IllegalStateException(
-          s"graft string aggregate snapshot changed: a manifest without a " +
-            s"chunk index appeared on $path since planning; retry the query")
-      if (strAggCols.nonEmpty) m.chunkIndex.foreach { ch =>
-        // translate() proved every chunk carries a range for these
-        // columns — but this is a FRESH manifest read, and an append
-        // landing between planning and here can legally add a non-ASCII
-        // chunk with no range. Silently excluding its values would be a
-        // wrong MIN/MAX: fail retriable-loud instead (the re-planned
-        // query sees the new chunk and keeps the aggregate in Spark).
-        strAggCols.foreach { c =>
-          if (!ch.strRanges.contains(c)) throw new IllegalStateException(
+      // translate() proved every committed container's envelope carries
+      // a range for these columns — but this is a FRESH manifest read,
+      // and an append landing between planning and here can legally add
+      // a non-ASCII container with no range. Silently excluding its
+      // values would be a wrong MIN/MAX: fail retriable-loud instead
+      // (the re-planned query sees the new container and keeps the
+      // aggregate in Spark).
+      if (strAggCols.nonEmpty && m.rows > 0) strAggCols.foreach { c =>
+        m.env.strRanges.get(c) match {
+          case None => throw new IllegalStateException(
             s"graft string aggregate snapshot changed: column '$c' gained " +
-              s"a chunk without an ASCII range since planning (concurrent " +
-              s"append to $path); retry the query")
-        }
-        ch.strRanges.foreach { case (c, (lo, hi)) =>
-          if (strAggCols(c)) {
+              s"a container without an ASCII range since planning " +
+              s"(concurrent append to $path); retry the query")
+          case Some((lo, hi)) =>
             sMins = sMins.updated(c,
               sMins.get(c).filter(_.compareTo(lo) <= 0).getOrElse(lo))
             sMaxs = sMaxs.updated(c,
               sMaxs.get(c).filter(_.compareTo(hi) >= 0).getOrElse(hi))
-          }
         }
       }
     }
@@ -925,6 +973,19 @@ class GraftScan(path: String, required: StructType,
 
   private def committed(): Seq[ParsedManifest] = committedSnapshot
 
+  /** Per-scan hydration cache (two-level metadata): an index-elided
+    * manifest's chunk detail is read from its commit marker AT MOST
+    * once per scan, and only for containers the summary-level admission
+    * let through — the planning cost scales with admitted containers,
+    * never with table size.
+    */
+  private val hydrated =
+    new java.util.concurrent.ConcurrentHashMap[String, ParsedManifest]()
+  private def hydrate(m: ParsedManifest): ParsedManifest =
+    if (!m.chunksElided) m
+    else hydrated.computeIfAbsent(m.name, _ =>
+      Manifests.loadChunkIndex(ContainerIO.confFrom(confKv), path, m))
+
   /** Manifest-derived table statistics, so Catalyst/AQE can size joins
     * (e.g. auto-broadcast a small graft table) without scanning it.
     * Conservative: raw (decoded) bytes, prorated over ADMITTED chunks —
@@ -935,8 +996,15 @@ class GraftScan(path: String, required: StructType,
     var bytes = 0L
     var any = false
     committed().foreach { m =>
+      // index-elided manifests estimate at SUMMARY granularity (whole
+      // container in or out) rather than paying a chunk-detail read per
+      // container just for statistics — a conservative overestimate
+      // under selective filters, refined to chunk granularity by the
+      // actual planning that follows
       val admittedRows =
-        if (m.chunkIndex.nonEmpty)
+        if (m.chunksElided)
+          if (GraftDataSource.admitManifest(m, filters.toSeq)) m.rows else 0L
+        else if (m.chunkIndex.nonEmpty)
           m.chunkIndex.filter(GraftDataSource.admitChunk(_, filters.toSeq))
             .map(_.rows.toLong).sum
         else if (GraftDataSource.admit(m.longRanges, filters.toSeq)) m.rows
@@ -970,7 +1038,7 @@ class GraftScan(path: String, required: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] =
     GraftDataSource.planPartitions(path, committed(), filters, maxSplitBytes,
-      required.fieldNames.toSet ++ filters.flatMap(_.references))
+      required.fieldNames.toSet ++ filters.flatMap(_.references), hydrate)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
@@ -1523,7 +1591,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
         (if (dropped.size > 8) ", …" else "") +
         "; their replacement generations arrive as later batches")
     GraftDataSource.planPartitions(path, fresh ++ substituted, filters,
-      maxSplitBytes, required.fieldNames.toSet ++ filters.flatMap(_.references))
+      maxSplitBytes, required.fieldNames.toSet ++ filters.flatMap(_.references),
+      Manifests.loadChunkIndex(conf, path, _))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -146,9 +146,15 @@ object GraftMaintenance {
     // one task per bin; RDD because the payload is driver-planned
     // manifest metadata, not table rows (genuine per-partition
     // imperative rewrite)
+    // hydrate chunk detail for exactly the containers being consumed
+    // (index entries are summary-only since round 8); the rewrite tasks
+    // need per-chunk offsets + CRCs for verified streaming
+    val hydratedWork = work.map { case (s, d, ms) =>
+      (s, d, ms.map(Manifests.loadChunkIndex(conf, path, _)))
+    }
     val newManifests: Array[PartManifest] =
       try spark.sparkContext
-        .parallelize(work.zipWithIndex, work.size)
+        .parallelize(hydratedWork.zipWithIndex, hydratedWork.size)
         .map { case ((schemaCols, digestCol, ms), bin) =>
           val schema =
             if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema

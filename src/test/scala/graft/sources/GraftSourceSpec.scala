@@ -438,7 +438,9 @@ class GraftSourceSpec extends AnyFunSuite {
     df.coalesce(1)
       .write.format("graft").option("chunkRows", "300").mode("overwrite").save(d)
     val conf = graft.engine.ContainerIO.localConf()
-    val m = graft.engine.Manifests.readCommitted(conf, d).head
+    // index entries are chunk-elided (round 8): hydrate for chunk offsets
+    val m = graft.engine.Manifests.readCommitted(conf, d)
+      .map(graft.engine.Manifests.loadChunkIndex(conf, d, _)).head
     assert(m.digestCol === "", "pure-long schema has no digest column")
     assert(m.schemaCols === Seq(("a", 0), ("b", 0), ("c", 0)))
     val back = spark.read.format("graft").load(d)
@@ -1038,8 +1040,10 @@ class GraftSourceSpec extends AnyFunSuite {
     ColumnarEngine.derive(SourceTable.synthesize(spark, 300, 2))
       .coalesce(1)
       .write.format("graft").option("chunkRows", "300").mode("overwrite").save(d)
-    val m = graft.engine.Manifests.readCommitted(
-      graft.engine.ContainerIO.localConf(), d).head
+    val crcConf = graft.engine.ContainerIO.localConf()
+    // index entries are chunk-elided (round 8): hydrate for chunk offsets
+    val m = graft.engine.Manifests.readCommitted(crcConf, d)
+      .map(graft.engine.Manifests.loadChunkIndex(crcConf, d, _)).head
     val chunk = m.chunkIndex.head
     val f = java.nio.file.Paths.get(m.blockFile(d).stripPrefix("file:"))
     val bytes = java.nio.file.Files.readAllBytes(f)
