@@ -576,6 +576,30 @@ object SparkEntry {
         .orderBy(col("tag").asc_nulls_first)
     }),
 
+    // TIME TRAVEL (round 8): the even half of events commits snapshot
+    // version 0, the odd half APPENDS as version 1, and the query reads
+    // `versionAsOf 0` — the aggregate matches DuckDB over the even half
+    // ONLY if the pinned snapshot excludes the appended generation.
+    "c16_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c16").toString
+      val ev = t(s, d, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("overwrite").save(dir) // snapshot version 0
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("append").save(dir) // snapshot version 1
+      s.read.format("graft").option("versionAsOf", "0").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // BINARY schema (round 7): the multimodal payloads — opaque media
     // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
     // BINARY column in the graft table, read back, and metadata-extracted
@@ -1001,6 +1025,18 @@ object SparkEntry {
            AS value_cents,
          min(event_id) AS min_id
          FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    // time travel: the oracle sees only the even half — the version-0
+    // snapshot's content
+    "c16_time_travel" ->
+      """SELECT event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id,
+         max(event_id) AS max_id
+         FROM events WHERE event_id % 2 = 0
+         GROUP BY 1 ORDER BY 1""",
 
     // same oracle as m1 — the payloads now round-trip through a graft
     // BINARY column before extraction

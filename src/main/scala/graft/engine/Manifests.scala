@@ -604,6 +604,19 @@ object Manifests {
     */
   final val TombstoneRetention = 1024L
 
+  /** How many superseded index versions keep their CONTENT (not just
+    * their tombstoned number): the snapshot time-travel window. A
+    * `versionAsOf` read inside the window sees exactly the table that
+    * version committed; older versions fail with the controlled
+    * "not retained" error. Retained snapshots also extend vacuum's
+    * referenced set, so blocks only they reference survive the sweep.
+    * Time travel is GUARANTEED across appends; a generation that a
+    * later overwrite / epoch replay / compaction replaced is reclaimed
+    * eagerly by that commit (Iceberg-expire-now semantics), and a
+    * retained snapshot referencing it fails retriable-loud at read.
+    */
+  final val SnapshotRetention = 8L
+
   /** Optimistic-concurrency commit of a new index snapshot (the Iceberg
     * shape): read the current snapshot, apply `transform`, and publish it
     * as `_manifest-index.v<current + 1>.json` via an ATOMIC
@@ -665,13 +678,17 @@ object Manifests {
           listed.foreach { case (v, n) =>
             val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
             if (v < ver - TombstoneRetention) f.delete(p, false)
-            else if (v < ver && v >= ver - 8) {
+            else if (v < ver - SnapshotRetention &&
+                v >= ver - SnapshotRetention - 8) {
               // tombstone: pin the claim, drop the payload. The EXISTENCE
               // of the file is what blocks number re-claim — truncation
               // only reclaims space, so the recent window suffices
               // (anything older was tombstoned by an earlier commit, and
               // a crash-skipped live straggler still pins its number).
               // Concurrent readers of a just-truncated version retry.
+              // Versions inside [[SnapshotRetention]] keep their CONTENT:
+              // they are the time-travel surface (`versionAsOf`) and
+              // vacuum's retained reference sets (round 8).
               try f.create(p, true).close()
               catch { case _: java.io.IOException => () }
             }
@@ -824,6 +841,73 @@ object Manifests {
     */
   def readCommitted(conf: Configuration, tableDir: String): Seq[ParsedManifest] =
     readCommittedJsons(conf, tableDir).map(parseWithFallback)
+
+  // -------------------------------------------------------- time travel
+
+  /** The manifests of one SPECIFIC retained index version (snapshot time
+    * travel, round 8). A version whose content was truncated (past
+    * [[SnapshotRetention]]) or never claimed fails with the controlled
+    * IllegalArgumentException — this runs inside Spark planning.
+    */
+  def readCommittedAt(conf: Configuration, tableDir: String,
+                      version: Long): Seq[ParsedManifest] = {
+    val name = versionedIndexName(version)
+    val available = versionedIndexes(conf, tableDir)
+    if (!available.exists(_._1 == version))
+      throw new IllegalArgumentException(
+        s"graft table $tableDir has no snapshot version $version; " +
+          s"available: ${available.map(_._1).mkString(", ")}")
+    val bytes =
+      try ContainerIO.readAll(conf, s"$tableDir/$name")
+      catch {
+        case _: java.io.FileNotFoundException => Array.empty[Byte]
+      }
+    if (bytes.isEmpty) throw new IllegalArgumentException(
+      s"graft snapshot version $version of $tableDir is no longer " +
+        s"retained (the table keeps the last $SnapshotRetention " +
+        "superseded versions)")
+    try parseIndexJsons(bytes).map(parseWithFallback)
+    catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IllegalArgumentException(
+          s"corrupt manifest index $tableDir/$name", e)
+    }
+  }
+
+  /** Highest snapshot version committed at or before `tsMillis` (the
+    * `timestampAsOf` surface), by index-file modification time — the
+    * commit instant up to filesystem clock skew.
+    */
+  def versionAt(conf: Configuration, tableDir: String, tsMillis: Long): Long = {
+    val fs = ContainerIO.fs(tableDir, conf)
+    val candidates = versionedIndexes(conf, tableDir).flatMap { case (v, n) =>
+      try {
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$tableDir/$n"))
+        // tombstoned (0-byte) versions have no snapshot to read
+        if (st.getLen > 0 && st.getModificationTime <= tsMillis) Some(v)
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    candidates.maxOption.getOrElse(throw new IllegalArgumentException(
+      s"graft table $tableDir has no retained snapshot at or before " +
+        s"timestamp $tsMillis"))
+  }
+
+  /** Names referenced by ANY retained index version (latest included):
+    * vacuum's reference set, so a block only a retained time-travel
+    * snapshot still needs survives the sweep.
+    */
+  def retainedSnapshotNames(conf: Configuration, tableDir: String): Set[String] =
+    versionedIndexes(conf, tableDir).iterator.flatMap { case (_, n) =>
+      try {
+        val bytes = ContainerIO.readAll(conf, s"$tableDir/$n")
+        if (bytes.isEmpty) Nil
+        else parseIndexJsons(bytes).map(parseWithFallback(_).name)
+      } catch {
+        case _: java.io.FileNotFoundException => Nil
+        case _: com.fasterxml.jackson.core.JacksonException => Nil
+      }
+    }.toSet
 
   /** Raw committed manifest JSONs (job-commit index merging). */
   def readCommittedJsons(conf: Configuration, tableDir: String): Seq[String] =

@@ -61,7 +61,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path"))
-      .flatMap(GraftDataSource.inferFrom(_))
+      .flatMap { p =>
+        val conf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        // a time-traveled read infers the PINNED snapshot's schema — an
+        // older snapshot may predate added columns (add-only evolution)
+        GraftDataSource.inferFrom(p, conf,
+          GraftDataSource.asOfVersion(options, conf, p))
+      }
       .getOrElse(GraftDataSource.schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -139,12 +146,42 @@ object GraftDataSource {
     * phase, where a raw NPE/parser exception would be wrapped as an
     * opaque internal error (fuzz contract).
     */
+  /** Snapshot pin from read options (time travel, round 8):
+    * `versionAsOf` = an explicit retained index version;
+    * `timestampAsOf` = epoch millis or `java.sql.Timestamp` syntax,
+    * resolved to the highest version committed at or before it.
+    */
+  private[sources] def asOfVersion(options: CaseInsensitiveStringMap,
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"versionAsOf must be a snapshot version number, got '$s'") }
+    }
+    val ts = Option(options.get("timestampAsOf")).map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"timestampAsOf must be epoch millis or " +
+              s"'yyyy-mm-dd hh:mm:ss[.f...]', got '$s'") } }
+    }
+    require(v.isEmpty || ts.isEmpty,
+      "specify either versionAsOf or timestampAsOf, not both")
+    v.orElse(ts.map(Manifests.versionAt(conf, path, _)))
+  }
+
   private[sources] def inferFrom(path: String,
-      conf: org.apache.hadoop.conf.Configuration = null): Option[StructType] = {
+      conf: org.apache.hadoop.conf.Configuration = null,
+      asOf: Option[Long] = None): Option[StructType] = {
     val c = if (conf != null) conf
       else org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     try {
-      val ms = Manifests.readCommitted(c, path)
+      val ms = asOf.fold(Manifests.readCommitted(c, path))(
+        Manifests.readCommittedAt(c, path, _))
       if (ms.isEmpty) None
       else {
         val defaultSpecs = specsOf(schema)
@@ -665,11 +702,21 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     * pay it and the supportCompletePushDown + pushAggregation pair
     * reads it once.
     */
+  /** Snapshot version pinned by `versionAsOf`/`timestampAsOf` read
+    * options (time travel, round 8); None = the live table.
+    */
+  private lazy val pinned: Option[Long] = GraftDataSource.asOfVersion(
+    options,
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration,
+    path)
+
   private lazy val committedForStats: Option[Seq[graft.engine.ParsedManifest]] =
-    try Some(Manifests.readCommitted(
-      ContainerIO.confFrom(ContainerIO.confSnapshot(
-        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)),
-      path))
+    try {
+      val conf = ContainerIO.confFrom(ContainerIO.confSnapshot(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
+      Some(pinned.fold(Manifests.readCommitted(conf, path))(
+        Manifests.readCommittedAt(conf, path, _)))
+    }
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** COUNT(*)/COUNT(col)/MIN/MAX over integer columns, ungrouped and
@@ -760,9 +807,10 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       .getOrElse(GraftDataSource.DefaultMaxSplitBytes)
     val verify = Option(options.get("verifyContent")).forall(_.toBoolean)
     aggs match {
-      case Some(specs) => new GraftAggScan(path, specs, confKv)
+      case Some(specs) => new GraftAggScan(path, specs, confKv, pinned)
       case None => new GraftScan(path, required, pushed, confKv, limit,
-        maxSplit, verify, longCols, strCols, intCols, dblCols, fltCols)
+        maxSplit, verify, longCols, strCols, intCols, dblCols, fltCols,
+        pinned)
     }
   }
 }
@@ -772,7 +820,8 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   * never opens a container. Emits exactly one row.
   */
 class GraftAggScan(path: String, specs: Seq[GraftAgg],
-                   confKv: Map[String, String]) extends Scan with Batch {
+                   confKv: Map[String, String],
+                   asOf: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = StructType(specs.map {
     case CountStarAgg => StructField("count_star", LongType, nullable = false)
     case MinAgg(c, dt) => StructField(s"min_$c", dt, nullable = true)
@@ -804,7 +853,10 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     }.toSet
     var sMins = Map.empty[String, String]
     var sMaxs = Map.empty[String, String]
-    Manifests.readCommitted(conf, path).foreach { m =>
+    // a pinned (time-travel) read folds an immutable snapshot — the
+    // concurrent-append race guards below can never fire for it
+    asOf.fold(Manifests.readCommitted(conf, path))(
+      Manifests.readCommittedAt(conf, path, _)).foreach { m =>
       rows += m.rows
       m.longRanges.foreach { case (c, (lo, hi)) =>
         mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
@@ -931,7 +983,8 @@ class GraftScan(path: String, required: StructType,
                 strCols: Set[String] = GraftDataSource.strCols,
                 intCols: Set[String] = Set.empty,
                 dblCols: Set[String] = Set.empty,
-                fltCols: Set[String] = Set.empty)
+                fltCols: Set[String] = Set.empty,
+                asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -967,9 +1020,12 @@ class GraftScan(path: String, required: StructType,
     * manifest set) — at 10^5 partitions the index parse is the driver
     * cost worth not paying three times per query.
     */
-  private lazy val committedSnapshot: Seq[ParsedManifest] =
-    Manifests.readCommitted(ContainerIO.confFrom(confKv), path)
+  private lazy val committedSnapshot: Seq[ParsedManifest] = {
+    val conf = ContainerIO.confFrom(confKv)
+    asOf.fold(Manifests.readCommitted(conf, path))(
+      Manifests.readCommittedAt(conf, path, _))
       .filter(_.rows > 0)
+  }
 
   private def committed(): Seq[ParsedManifest] = committedSnapshot
 
@@ -1051,10 +1107,14 @@ class GraftScan(path: String, required: StructType,
     * a batch scan.
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "graft time travel (versionAsOf/timestampAsOf) is batch-only; a " +
+        "stream tails the live table")
     new GraftMicroBatchStream(path, checkpointLocation, required, filters,
       confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols,
       dblCols, fltCols)
+  }
 }
 
 class GraftReaderFactory(required: StructType, filters: Array[Filter],

@@ -278,11 +278,14 @@ object GraftMaintenance {
     require(graceMs >= 0, s"graceMs must be >= 0: $graceMs")
     val conf = ContainerIO.confSnapshot(spark)
     val c = ContainerIO.confFrom(conf)
-    // referenced = the index snapshot UNION the manifests/ listing: a
-    // mid-resume engine encode has per-partition manifests the (stale)
-    // index doesn't know yet — their blocks are committed data, not
-    // orphans
-    val committedNames = Manifests.readCommitted(c, path).map(_.name)
+    // referenced = EVERY retained index snapshot (time travel keeps the
+    // last SnapshotRetention versions readable — a block only an older
+    // retained snapshot references must survive the sweep) UNION the
+    // manifests/ listing: a mid-resume engine encode has per-partition
+    // manifests the (stale) index doesn't know yet — their blocks are
+    // committed data, not orphans
+    val committedNames = Manifests.readCommitted(c, path).map(_.name) ++
+      Manifests.retainedSnapshotNames(c, path)
     val listedNames = ContainerIO.listNames(c, s"$path/manifests")
       .filter(n => n.startsWith("part-") && n.endsWith(".json"))
       .map(_.stripPrefix("part-").stripSuffix(".json"))
