@@ -477,9 +477,12 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf","cpus":$cpus}"""
     }
     val base = sfDir.split('/').lastOption.getOrElse(sfDir)
-    Seq(render(3, sfDir), render(2, sfDir), render(2, base), render(1, base))
+    // last rung: whole seconds — sub-second resolution in the artifact
+    // is worth less than the artifact parsing at all
+    Seq(render(3, sfDir), render(2, sfDir), render(2, base), render(1, base),
+        render(0, base))
       .find(_.length < FinalLineBudget)
-      .getOrElse(render(1, base))
+      .getOrElse(render(0, base))
   }
 
   def main(args: Array[String]): Unit = {

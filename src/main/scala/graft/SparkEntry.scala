@@ -600,6 +600,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // DECIMAL + BOOLEAN schema (round 8): a REAL money column —
+    // DECIMAL(18,2) stored as the unscaled long through the kind-0
+    // codecs — plus a BOOLEAN flag (kind 9, bit-packed 0/1). The cents
+    // are derived from event_id so both engines build the identical
+    // exact decimal; the filter pushes down against the unscaled zone
+    // maps, and no integer-cents laundering appears anywhere in this
+    // query's lineage.
+    "c17_decimal_money" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c17").toString
+      t(s, d, "events").select(
+          col("event_id"),
+          expr("CAST(pmod(event_id * 37, 99991) / 100.0 AS DECIMAL(18,2))")
+            .as("amount"),
+          (pmod(col("event_id"), lit(3)) === 0).as("priority"),
+          col("event_type"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(expr("amount >= CAST(500.00 AS DECIMAL(18,2))") &&
+          col("priority") === true)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount")).as("total_amount"),
+          min(col("amount")).as("min_amount"),
+          max(col("amount")).as("max_amount"))
+        .orderBy(col("event_type"))
+    }),
+
     // BINARY schema (round 7): the multimodal payloads — opaque media
     // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
     // BINARY column in the graft table, read back, and metadata-extracted
@@ -1036,6 +1065,19 @@ object SparkEntry {
          min(event_id) AS min_id,
          max(event_id) AS max_id
          FROM events WHERE event_id % 2 = 0
+         GROUP BY 1 ORDER BY 1""",
+
+    // decimal money: DuckDB's sum(DECIMAL(18,2)) widens to DECIMAL(38,2);
+    // Spark's widens to DECIMAL(28,2) — cast the oracle to match
+    "c17_decimal_money" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(amount) AS DECIMAL(28,2)) AS total_amount,
+         min(amount) AS min_amount, max(amount) AS max_amount
+         FROM (SELECT event_type,
+                 CAST((event_id * 37) % 99991 / 100.0 AS DECIMAL(18,2)) AS amount,
+                 (event_id % 3 = 0) AS priority
+               FROM events)
+         WHERE amount >= CAST(500.00 AS DECIMAL(18,2)) AND priority
          GROUP BY 1 ORDER BY 1""",
 
     // same oracle as m1 — the payloads now round-trip through a graft

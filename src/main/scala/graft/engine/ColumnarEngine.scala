@@ -32,7 +32,13 @@ final case class ColumnMetric(column: String, codec: String,
   * [[graft.codecs.DoubleBits]] — through the kind-0 path, so zone maps,
   * comparison pushdown, and MIN/MAX pushdown work unchanged), kind 6 =
   * binary (length-prefixed blob blocks), kind 7 = float array
-  * (per-row dims + packed little-endian floats — the embedding shape).
+  * (per-row dims + packed little-endian floats — the embedding shape),
+  * kind 8 = decimal (p <= 18: the unscaled long through the kind-0
+  * machinery — zone maps, comparison pushdown, and MIN/MAX pushdown
+  * inherit, since unscaled order IS decimal order at a fixed scale),
+  * kind 9 = boolean (0/1 through the kind-0 stats-selected codecs —
+  * bit-pack stores it at ~1 bit per row, RLE collapses runs — decoded
+  * back through the narrow int surface).
   * The container format stores (name, kind, block) per column per chunk,
   * so any schema of these kinds round-trips; [[DerivedRow]] is simply
   * the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
@@ -42,20 +48,31 @@ final case class ColumnMetric(column: String, codec: String,
   * all-present chunks of a nullable column stay in the plain layout.
   * In the manifest's `schema` array the flag is packed into the kind
   * int as bit 7 ([[ColumnSpec.packed]]) so legacy parsers' `(name,
-  * kind)` shape is preserved.
+  * kind)` shape is preserved; decimal precision and scale pack into
+  * bits 8-15 and 16-23 of the same int (zero for every other kind, so
+  * pre-decimal values are unchanged).
   */
-final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false) {
-  require(kind >= 0 && kind <= 7, s"unknown column kind $kind")
+final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false,
+                            precision: Int = 0, scale: Int = 0) {
+  require(kind >= 0 && kind <= 9, s"unknown column kind $kind")
+  require(kind != 8 || (precision >= 1 && precision <= 18 &&
+    scale >= 0 && scale <= precision),
+    s"decimal kind needs 1 <= precision <= 18 and 0 <= scale <= precision, " +
+      s"got ($precision, $scale)")
   require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
     s"column name out of range: '$name'")
-  /** Manifest-schema encoding: kind | 0x80 when nullable. */
-  def packed: Int = kind | (if (nullable) ColumnSpec.NullableFlag else 0)
+  /** Manifest-schema encoding: kind | 0x80 when nullable; decimal
+    * precision/scale in bits 8-15/16-23.
+    */
+  def packed: Int = kind | (if (nullable) ColumnSpec.NullableFlag else 0) |
+    (precision << 8) | (scale << 16)
 }
 
 object ColumnSpec {
   final val NullableFlag = 0x80
   def fromPacked(name: String, packed: Int): ColumnSpec =
-    ColumnSpec(name, packed & 0x7f, (packed & NullableFlag) != 0)
+    ColumnSpec(name, packed & 0x7f, (packed & NullableFlag) != 0,
+      (packed >> 8) & 0xff, (packed >> 16) & 0xff)
 }
 
 /** Per-partition manifest: lineage + metrics + integrity digest + the
@@ -468,7 +485,8 @@ object ColumnarEngine {
             nullCount = if (longNullable(ci)) nc else -1)
         } else {
           // wide int64 column (long / timestamp micros / double sortable
-          // bits): stats-selected codec through the kind-0 machinery
+          // bits / decimal unscaled / boolean 0-1): stats-selected codec
+          // through the kind-0 machinery (booleans bit-pack to ~1 bit)
           val st = LongCodecs.stats(vals, n)
           val codec = LongCodecs.select(st)
           writeCol(nm, numKinds(ci), codec.encode(vals, n), codec.name,

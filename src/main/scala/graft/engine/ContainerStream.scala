@@ -219,7 +219,7 @@ private[graft] object ContainerFormat {
       // (nullable columns write it only on chunks that contain nulls)
       val kind = rawKind & 0x7f
       val hasNulls = (rawKind & 0x80) != 0
-      require(kind >= 0 && kind <= 7, s"unknown column kind $kind")
+      require(kind >= 0 && kind <= 9, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -248,11 +248,27 @@ private[graft] object ContainerFormat {
         // kind 3 (timestamp micros) decodes like kind 0; kind 4 (date
         // days) decodes like kind 2 — temporal types are integer columns
         // with a logical label; kind 5 (double) is kind-0 storage behind
-        // the order-preserving bit mapping
-        if (kind == 0 || kind == 3)
+        // the order-preserving bit mapping; kind 8 (decimal) is the
+        // unscaled long straight through the kind-0 path
+        if (kind == 0 || kind == 3 || kind == 8)
           longs.put(name, LongCodecs.decodeSlice(block, off, block.length))
         else if (kind == 2 || kind == 4)
           ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, off, block.length))
+        else if (kind == 9) {
+          // boolean: kind-0 stats-selected storage (bit-pack/RLE),
+          // surfaced through the narrow int lane; anything outside 0/1
+          // is corruption, not data
+          val wide = LongCodecs.decodeSlice(block, off, block.length)
+          val out = new Array[Int](wide.length)
+          var i = 0
+          while (i < wide.length) {
+            val v = wide(i)
+            if (v != 0L && v != 1L) throw new graft.core.DecodeError.Overflow
+            out(i) = v.toInt
+            i += 1
+          }
+          ints.put(name, out)
+        }
         else if (kind == 5)
           dbls.put(name, graft.codecs.DoubleBits.toDoubles(
             LongCodecs.decodeSlice(block, off, block.length)))

@@ -98,6 +98,8 @@ object GraftDataSource {
       case 5 => DoubleType
       case 6 => BinaryType
       case 7 => ArrayType(FloatType, containsNull = false)
+      case 8 => DecimalType(s.precision, s.scale)
+      case 9 => BooleanType
       case _ => StringType
     }, nullable = s.nullable)))
 
@@ -115,23 +117,30 @@ object GraftDataSource {
   private[sources] def specsOf(st: StructType): Seq[graft.engine.ColumnSpec] = {
     require(st.fields.nonEmpty, "graft table needs at least one column")
     st.fields.toSeq.map { f =>
-      val kind = f.dataType match {
-        case LongType => 0
-        case StringType => 1
-        case IntegerType => 2
-        case TimestampNTZType => 3
-        case DateType => 4
-        case DoubleType => 5
+      f.dataType match {
+        case LongType => graft.engine.ColumnSpec(f.name, 0, f.nullable)
+        case StringType => graft.engine.ColumnSpec(f.name, 1, f.nullable)
+        case IntegerType => graft.engine.ColumnSpec(f.name, 2, f.nullable)
+        case TimestampNTZType => graft.engine.ColumnSpec(f.name, 3, f.nullable)
+        case DateType => graft.engine.ColumnSpec(f.name, 4, f.nullable)
+        case DoubleType => graft.engine.ColumnSpec(f.name, 5, f.nullable)
         // the LLM-pipeline shapes (round 7): opaque media payloads and
         // embeddings live in the engine's own table
-        case BinaryType => 6
-        case ArrayType(FloatType, _) => 7
+        case BinaryType => graft.engine.ColumnSpec(f.name, 6, f.nullable)
+        case ArrayType(FloatType, _) => graft.engine.ColumnSpec(f.name, 7, f.nullable)
+        // DECIMAL (round 8): the unscaled long rides the kind-0 codec
+        // machinery — p <= 18 is exactly what a long's 63 bits hold
+        case d: DecimalType if d.precision <= 18 =>
+          graft.engine.ColumnSpec(f.name, 8, f.nullable, d.precision, d.scale)
+        case d: DecimalType => throw new IllegalArgumentException(
+          s"graft DECIMAL columns support precision <= 18 (long-backed); " +
+            s"column '${f.name}' is $d")
+        case BooleanType => graft.engine.ColumnSpec(f.name, 9, f.nullable)
         case other => throw new IllegalArgumentException(
           s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, " +
-            s"DATE, DOUBLE, BINARY, and ARRAY<FLOAT> columns; " +
-            s"column '${f.name}' is $other")
+            s"DATE, DOUBLE, BINARY, ARRAY<FLOAT>, DECIMAL(<=18), and " +
+            s"BOOLEAN columns; column '${f.name}' is $other")
       }
-      graft.engine.ColumnSpec(f.name, kind, f.nullable)
     }
   }
 
@@ -212,12 +221,77 @@ object GraftDataSource {
   private[sources] val strCols = ColumnarEngine.stringColumns.toSet
 
   // classification is by PHYSICAL representation: TIMESTAMP_NTZ columns
-  // decode into the per-chunk long arrays (micros) and DATE columns into
-  // the int arrays (days), so they ride the long/int reader paths
+  // decode into the per-chunk long arrays (micros), DATE columns into
+  // the int arrays (days), DECIMAL into the long arrays (unscaled), and
+  // BOOLEAN into the int arrays (0/1) — each rides its lane's reader path
   private[sources] def longColsOf(st: StructType): Set[String] =
     st.fields.collect {
-      case f if f.dataType == LongType || f.dataType == TimestampNTZType => f.name
+      case f if f.dataType == LongType || f.dataType == TimestampNTZType ||
+        f.dataType.isInstanceOf[DecimalType] => f.name
     }.toSet
+
+  /** DECIMAL columns and their scales — filter-constant translation
+    * (logical BigDecimal -> stored unscaled long) needs the scale.
+    */
+  private[sources] def decScaleOf(st: StructType): Map[String, Int] =
+    st.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        f.name -> f.dataType.asInstanceOf[DecimalType].scale
+    }.toMap
+
+  private[sources] def boolColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == BooleanType => f.name }.toSet
+
+  /** Rewrite pushed filters on DECIMAL/BOOLEAN columns into their
+    * PHYSICAL form (unscaled-long / 0-1 int constants) so every
+    * downstream stage — zone-map admission, chunk pruning, row-level
+    * re-check — runs the existing long/int machinery unchanged.
+    * Comparisons against a constant finer than the column's scale
+    * translate to the equivalent grid bound (floor/ceil of the scaled
+    * value); an equality that can't be represented at the column scale
+    * matches nothing and stays UNTRANSLATED (so [[pushable]] rejects it
+    * and Spark evaluates it residually). Constants beyond long range
+    * likewise stay untranslated.
+    */
+  private[sources] def translateFilters(filters: Array[Filter],
+      decScale: Map[String, Int], boolCols: Set[String]): Array[Filter] = {
+    def floorU(bd: java.math.BigDecimal, s: Int): Long =
+      bd.setScale(s, java.math.RoundingMode.FLOOR).unscaledValue().longValueExact()
+    def ceilU(bd: java.math.BigDecimal, s: Int): Long =
+      bd.setScale(s, java.math.RoundingMode.CEILING).unscaledValue().longValueExact()
+    def exactU(bd: java.math.BigDecimal, s: Int): Option[Long] =
+      try Some(bd.setScale(s).unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    def tr(f: Filter): Filter =
+      try f match {
+        case EqualTo(c, x: java.math.BigDecimal) if decScale.contains(c) =>
+          exactU(x, decScale(c)).fold(f)(u => EqualTo(c, java.lang.Long.valueOf(u)))
+        case GreaterThan(c, x: java.math.BigDecimal) if decScale.contains(c) =>
+          GreaterThan(c, java.lang.Long.valueOf(floorU(x, decScale(c))))
+        case GreaterThanOrEqual(c, x: java.math.BigDecimal) if decScale.contains(c) =>
+          GreaterThanOrEqual(c, java.lang.Long.valueOf(ceilU(x, decScale(c))))
+        case LessThan(c, x: java.math.BigDecimal) if decScale.contains(c) =>
+          LessThan(c, java.lang.Long.valueOf(ceilU(x, decScale(c))))
+        case LessThanOrEqual(c, x: java.math.BigDecimal) if decScale.contains(c) =>
+          LessThanOrEqual(c, java.lang.Long.valueOf(floorU(x, decScale(c))))
+        case In(c, vs) if decScale.contains(c) && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[java.math.BigDecimal]) =>
+          // members unrepresentable at the column scale can never match:
+          // dropping them preserves IN semantics exactly
+          val exact = vs.flatMap(v =>
+            exactU(v.asInstanceOf[java.math.BigDecimal], decScale(c)))
+          if (exact.isEmpty) f
+          else In(c, exact.map(java.lang.Long.valueOf(_): AnyRef))
+        case EqualTo(c, x: java.lang.Boolean) if boolCols(c) =>
+          EqualTo(c, java.lang.Integer.valueOf(if (x) 1 else 0))
+        case In(c, vs) if boolCols(c) && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[java.lang.Boolean]) =>
+          In(c, vs.map(v => java.lang.Integer.valueOf(
+            if (v.asInstanceOf[java.lang.Boolean]) 1 else 0): AnyRef))
+        case other => other
+      } catch { case _: ArithmeticException => f } // out-of-long constant
+    filters.map(tr)
+  }
   /** String AND binary columns: kind 6 decodes into the same byte-slice
     * column shape (a pushed string constant can never reach a binary
     * column — Spark types the filters — so sharing the needed-set is
@@ -234,7 +308,8 @@ object GraftDataSource {
     }.toSet
   private[sources] def intColsOf(st: StructType): Set[String] =
     st.fields.collect {
-      case f if f.dataType == IntegerType || f.dataType == DateType => f.name
+      case f if f.dataType == IntegerType || f.dataType == DateType ||
+        f.dataType == BooleanType => f.name
     }.toSet
   private[sources] def dblColsOf(st: StructType): Set[String] =
     st.fields.collect { case f if f.dataType == DoubleType => f.name }.toSet
@@ -730,6 +805,9 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
         f.dataType match {
           case LongType | IntegerType | TimestampNTZType | DateType |
                DoubleType => Some(f.dataType)
+          // decimal zone maps hold unscaled longs, whose order IS the
+          // decimal order at the column's fixed scale — MIN/MAX exact
+          case d: DecimalType => Some(d)
           // string MIN/MAX: sound only when (a) the column is
           // non-nullable ("" null placeholders would pollute the chunk
           // mins) and (b) EVERY chunk of every committed manifest
@@ -791,11 +869,21 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       }
       else requiredSchema
 
+  private val decScale = GraftDataSource.decScaleOf(tableSchema)
+  private val boolCols = GraftDataSource.boolColsOf(tableSchema)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (take, residual) = filters.partition(
-      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols, fltCols))
-    pushed = take
-    residual // fully enforced below: chunk zone-map skip + row-level check
+    // decimal/boolean predicates are first rewritten to their PHYSICAL
+    // constants (unscaled long / 0-1 int), then the existing long/int
+    // pushdown machinery admits them untouched; a filter whose translated
+    // form is unpushable stays residual in its ORIGINAL form
+    val translated = GraftDataSource.translateFilters(filters, decScale, boolCols)
+    val paired = filters.zip(translated)
+    pushed = paired.collect { case (_, t) if
+      GraftDataSource.pushable(t, longCols, strCols, intCols, dblCols, fltCols) => t }
+    paired.collect { case (o, t) if
+      !GraftDataSource.pushable(t, longCols, strCols, intCols, dblCols, fltCols) => o }
+    // fully enforced below: chunk zone-map skip + row-level check
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -907,7 +995,11 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt)
       else if (dt == DoubleType)
         java.lang.Double.valueOf(graft.codecs.DoubleBits.fromSortableLong(v))
-      else java.lang.Long.valueOf(v)
+      else dt match {
+        case d: DecimalType =>
+          org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale)
+        case _ => java.lang.Long.valueOf(v)
+      }
     val values: Array[Any] = specs.map {
       case CountStarAgg => java.lang.Long.valueOf(rows)
       case MinAgg(c, StringType) => sMins.get(c).orNull
@@ -921,6 +1013,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.longValue()
       case d: java.lang.Double => d.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec
       case s: String => s
     }))
   }
@@ -1009,8 +1102,12 @@ class GraftScan(path: String, required: StructType,
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
-    val accepted = runtime.filter(
-      GraftDataSource.pushable(_, longCols, strCols, intCols, dblCols, fltCols))
+    // runtime (DPP) filters on decimal/boolean keys arrive in LOGICAL
+    // form — translate to physical constants like the builder did
+    val accepted = GraftDataSource.translateFilters(runtime,
+      GraftDataSource.decScaleOf(required), GraftDataSource.boolColsOf(required))
+      .filter(GraftDataSource.pushable(_, longCols, strCols, intCols,
+        dblCols, fltCols))
     filters = filters ++ accepted
   }
 
@@ -1321,6 +1418,27 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                 if (isNullRow(r)) v.putNull(k) else v.putDouble(k, src(r))
                 k += 1
               }
+            case d: DecimalType =>
+              // p <= 18: the vector's decimal storage is the unscaled
+              // long — exactly what the chunk holds
+              val src = chunk.longs.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k)
+                else v.putDecimal(k, org.apache.spark.sql.types.Decimal
+                  .createUnsafe(src(r), d.precision, d.scale), d.precision)
+                k += 1
+              }
+            case BooleanType =>
+              val src = chunk.ints.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k)
+                else v.putBoolean(k, src(r) != 0)
+                k += 1
+              }
             case _ =>
               // straight from the decoded UTF-8 slices: no String
               // materialization, no re-encode
@@ -1402,6 +1520,11 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
               row.setInt(i, chunk.ints.get(name)(j))
             case DoubleType =>
               row.setDouble(i, chunk.doubles.get(name)(j))
+            case d: DecimalType =>
+              row.update(i, org.apache.spark.sql.types.Decimal.createUnsafe(
+                chunk.longs.get(name)(j), d.precision, d.scale))
+            case BooleanType =>
+              row.setBoolean(i, chunk.ints.get(name)(j) != 0)
             case BinaryType =>
               // InternalRow owns its binary — copy the slice out
               val u = chunk.strs.get(name)
@@ -2098,6 +2221,14 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     .collect { case f if isNumeric(f.dataType) => isNarrow(f.dataType) }
   private val longIsDbl: Array[Boolean] = writeSchema.fields
     .collect { case f if isNumeric(f.dataType) => f.dataType == DoubleType }
+  // decimal (kind 8): unscaled long; boolean (kind 9): 0/1
+  private val longDec: Array[DecimalType] = writeSchema.fields
+    .collect { case f if isNumeric(f.dataType) => f.dataType match {
+      case d: DecimalType => d
+      case _ => null
+    } }
+  private val longIsBool: Array[Boolean] = writeSchema.fields
+    .collect { case f if isNumeric(f.dataType) => f.dataType == BooleanType }
   private val strNullable: Array[Boolean] = writeSchema.fields
     .collect { case f if f.dataType == StringType => f.nullable }
   private val longNullable: Array[Boolean] = writeSchema.fields
@@ -2156,6 +2287,12 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
           else if (longIsDbl(i))
             // kind 5: order-preserving sortable-long storage form
             graft.codecs.DoubleBits.toSortableLong(row.getDouble(longPos(i)))
+          else if (longDec(i) != null)
+            // kind 8: the unscaled long at the column's declared scale
+            row.getDecimal(longPos(i), longDec(i).precision, longDec(i).scale)
+              .toUnscaledLong
+          else if (longIsBool(i))
+            (if (row.getBoolean(longPos(i))) 1L else 0L) // kind 9
           else row.getLong(longPos(i))
       }
       i += 1

@@ -328,9 +328,11 @@ object GraftMaintenance {
     val ancestors = Manifests.capAncestors(
       ms.map(m => Manifests.epochKey(Manifests.logicalName(m.name))) ++
         ms.flatMap(_.ancestors))
-    val neededL = schema.collect { case s if s.kind == 0 || s.kind == 3 => s.name }.toSet
+    val neededL = schema.collect {
+      case s if s.kind == 0 || s.kind == 3 || s.kind == 8 => s.name }.toSet
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
-    val neededI = schema.collect { case s if s.kind == 2 || s.kind == 4 => s.name }.toSet
+    val neededI = schema.collect {
+      case s if s.kind == 2 || s.kind == 4 || s.kind == 9 => s.name }.toSet
     val neededD = schema.collect { case s if s.kind == 5 => s.name }.toSet
     // kind 6 (binary) decodes into the byte-slice (str) map
     val neededS6 = neededS ++ schema.collect { case s if s.kind == 6 => s.name }
@@ -389,11 +391,13 @@ object GraftMaintenance {
             while (i < longNames.length) {
               if (anyNullable) longNulls(i) = !chunk.validAt(longNames(i), j)
               longs(i) = numKind(i) match {
-                case 2 | 4 => chunk.ints.get(longNames(i))(j).toLong
+                // booleans (kind 9) decode into the int lane as 0/1
+                case 2 | 4 | 9 => chunk.ints.get(longNames(i))(j).toLong
                 // back to the sortable-long storage form (bijective on
                 // stored values: the writer already canonicalized NaN)
                 case 5 => graft.codecs.DoubleBits.toSortableLong(
                   chunk.doubles.get(longNames(i))(j))
+                // kind 8 (decimal unscaled) passes through the long lane
                 case _ => chunk.longs.get(longNames(i))(j)
               }
               i += 1

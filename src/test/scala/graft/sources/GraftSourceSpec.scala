@@ -423,12 +423,13 @@ class GraftSourceSpec extends AnyFunSuite {
     df.limit(10).write.format("graft").mode("append").save(d)
     assert(spark.read.format("graft").load(d).count() === 510)
     // a non-representable type is rejected with a named column
-    // (DOUBLE became kind 5 in round 7, so boolean is the probe now)
+    // (DOUBLE became kind 5 in round 7, BOOLEAN kind 9 in round 8 —
+    // a MAP column is the probe now)
     val ex2 = intercept[Exception] {
-      Seq((1L, true)).toDF("id", "flag")
+      Seq((1L, Map("a" -> 1))).toDF("id", "meta")
         .write.format("graft").mode("overwrite").save(d)
     }
-    assert(messages(ex2).contains("flag"), s"got $ex2")
+    assert(messages(ex2).contains("meta"), s"got $ex2")
     // an overwrite may REPLACE the schema
     Seq((1L, 9L)).toDF("a", "b").write.format("graft").mode("overwrite").save(d)
     assert(spark.read.format("graft").load(d).schema.fieldNames.toSeq === Seq("a", "b"))
