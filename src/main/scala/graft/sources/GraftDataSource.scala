@@ -1767,12 +1767,36 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
       s"graft stream replay of ($s, $e] on $path: substituting " +
         s"${substituted.size} compacted generation(s) for " +
         s"${(unresolved -- dropped).size} folded logged manifest(s)")
-    if (dropped.nonEmpty) log.warn(
-      s"graft stream replay of ($s, $e] on $path: ${dropped.size} " +
-        s"logged manifest(s) no longer resolve (replaced by an epoch " +
-        s"replay/overwrite since): ${dropped.toSeq.sorted.take(8).mkString(", ")}" +
-        (if (dropped.size > 8) ", …" else "") +
-        "; their replacement generations arrive as later batches")
+    if (dropped.nonEmpty) {
+      // a dropped name whose epoch lives inside a compacted generation
+      // we could NOT substitute (its ancestors span epochs outside this
+      // replay range) means this batch's rows exist in the table but
+      // cannot be re-emitted exactly-once: silently dropping them would
+      // lose committed data from the replay (round-7 residual). Fail
+      // LOUDLY instead — the stream cannot replay across that
+      // compaction boundary and needs a fresh checkpoint.
+      def inLive(n: String): Boolean = {
+        val ek = Manifests.epochKey(Manifests.logicalName(n))
+        ms.exists(m => m.ancestors.nonEmpty &&
+          m.ancestors.exists(a => a == ek || Manifests.epochKey(a) == ek))
+      }
+      val foldedAway = dropped.filter(inLive)
+      if (foldedAway.nonEmpty) throw new IllegalStateException(
+        s"graft stream replay of ($s, $e] on $path: " +
+          s"${foldedAway.size} logged manifest(s) were folded into a " +
+          s"compacted generation spanning epochs OUTSIDE this replay " +
+          s"range (${foldedAway.toSeq.sorted.take(8).mkString(", ")}" +
+          (if (foldedAway.size > 8) ", …" else "") + "); their rows " +
+          "cannot be re-emitted exactly-once. Restart the query from a " +
+          "fresh checkpoint, or pause consumers across compaction of a " +
+          "streamed-from table")
+      log.warn(
+        s"graft stream replay of ($s, $e] on $path: ${dropped.size} " +
+          s"logged manifest(s) no longer resolve (replaced by an epoch " +
+          s"replay/overwrite since): ${dropped.toSeq.sorted.take(8).mkString(", ")}" +
+          (if (dropped.size > 8) ", …" else "") +
+          "; their replacement generations arrive as later batches")
+    }
     GraftDataSource.planPartitions(path, fresh ++ substituted, filters,
       maxSplitBytes, required.fieldNames.toSet ++ filters.flatMap(_.references),
       Manifests.loadChunkIndex(conf, path, _))

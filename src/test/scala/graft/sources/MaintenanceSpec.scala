@@ -593,10 +593,15 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ids.sorted === Seq(1L, 2L, 3L, 4L),
       s"rows must arrive exactly once from the compacted generation, got $ids")
     // a PARTIAL range cannot split a folded container (an ancestor epoch
-    // outside the range would smuggle batch-1 rows into batch 2): that
-    // candidate stays warn-and-drop — the documented residual
-    assert(s2.planInputPartitions(off1, off2).isEmpty,
-      "a range covering only part of a folded container must not substitute")
+    // outside the range would smuggle batch-1 rows into batch 2).
+    // Round 8: that replay fails LOUDLY — silently planning nothing
+    // would drop committed rows from the replayed batch forever (the
+    // round-7 documented residual, now closed)
+    val ex = intercept[IllegalStateException] {
+      s2.planInputPartitions(off1, off2)
+    }
+    assert(ex.getMessage.contains("cannot be re-emitted exactly-once"),
+      s"got $ex")
   }
 
   test("reads across overwrite fail controlled: snapshot superseded, never FileNotFound") {
