@@ -89,7 +89,9 @@ final case class PartManifest(part: Int, rows: Long, chunks: Int,
     digest: String, columns: Seq[ColumnMetric],
     name: String = "", chunkIndex: Seq[ChunkStats] = Nil,
     schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content",
-    ancestors: Seq[String] = Nil, commitId: String = "")
+    ancestors: Seq[String] = Nil, commitId: String = "",
+    partitioning: Seq[String] = Nil,
+    bucketIds: Map[String, Seq[Int]] = Map.empty)
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *

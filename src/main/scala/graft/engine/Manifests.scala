@@ -117,7 +117,9 @@ final case class ParsedManifest(
     commitId: String = "",
     commitParts: Int = 0,
     chunksElided: Boolean = false,
-    storedEnvelope: Option[ManifestEnvelope] = None) {
+    storedEnvelope: Option[ManifestEnvelope] = None,
+    partitioning: Seq[String] = Nil,
+    bucketIds: Map[String, Set[Int]] = Map.empty) {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 
   /** Does this container HAVE a chunk index (inline or elided)? False
@@ -401,9 +403,22 @@ object Manifests {
     val cid =
       if (m.commitId.isEmpty) ""
       else s""""commitId":${q(m.commitId)},"""
+    // partition transforms (round 8): the write's declared transforms
+    // and, for bucket(n, col) transforms, the container's OBSERVED
+    // bucket ids — coarse container elimination for point filters on
+    // the bucket column (zone maps can't help there: hash-colliding
+    // values span the domain)
+    val pt =
+      if (m.partitioning.isEmpty) ""
+      else s""""partitioning":${m.partitioning.map(q).mkString("[", ",", "]")},"""
+    val bids =
+      if (m.bucketIds.isEmpty) ""
+      else m.bucketIds.toSeq.sortBy(_._1).map { case (c, ids) =>
+        s"${q(c)}:${ids.sorted.mkString("[", ",", "]")}"
+      }.mkString(""""bucketIds":{""", ",", "},")
     s"""{$cid"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
       s""""rawBytes":${m.rawBytes},"encodedBytes":${m.encodedBytes},""" +
-      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc""" +
+      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc$pt$bids""" +
       s""""columns":$cols,"chunkIndex":$chunks}"""
   }
 
@@ -803,6 +818,13 @@ object Manifests {
         }.toMap).getOrElse(Map.empty[String, Long])
       ManifestEnvelope(sr, sd, nc)
     }
+    val partitioning = Option(root.get("partitioning")).filter(_.isArray).map {
+      _.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Nil)
+    val bucketIds = Option(root.get("bucketIds")).filter(_.isObject)
+      .map(_.properties().asScala.map { p =>
+        p.getKey -> p.getValue.elements().asScala.map(_.asInt()).toSet
+      }.toMap).getOrElse(Map.empty[String, Set[Int]])
     ParsedManifest(name, jLong(root, "part").toInt, jLong(root, "rows"),
       jLong(root, "chunks").toInt, jLong(root, "rawBytes"),
       jLong(root, "encodedBytes"),
@@ -813,7 +835,9 @@ object Manifests {
       Option(root.get("commitId")).map(_.asText()).getOrElse(""),
       jLong(root, "commitParts").toInt,
       chunksElided = elided,
-      storedEnvelope = envelope)
+      storedEnvelope = envelope,
+      partitioning = partitioning,
+      bucketIds = bucketIds)
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

@@ -335,6 +335,80 @@ object GraftDataSource {
     */
   final val DefaultMaxSplitBytes: Long = 128L << 20
 
+  /** One declared write-partition transform (round 8):
+    * `option("partitionBy", "lang, days(ts), bucket(8, repo)")`.
+    * identity/days cluster+sort the write so the existing zone-map /
+    * envelope machinery proves container-level skips; bucket(n, col)
+    * additionally records each container's OBSERVED bucket-id set in
+    * its manifest, which [[admitManifest]] uses to eliminate containers
+    * for point/IN filters on the bucket column — the case hash
+    * interleaving makes value zone maps useless for.
+    */
+  private[sources] sealed trait PartTransform {
+    def col: String
+    def render: String
+  }
+  private[sources] final case class IdentityT(col: String) extends PartTransform {
+    def render = s"identity($col)"
+  }
+  private[sources] final case class DaysT(col: String) extends PartTransform {
+    def render = s"days($col)"
+  }
+  private[sources] final case class BucketT(n: Int, col: String) extends PartTransform {
+    def render = s"bucket($n,$col)"
+  }
+
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^\s()]+)\s*\)""".r
+  private val DaysRe = """(?i)days\s*\(\s*([^\s()]+)\s*\)""".r
+
+  private[sources] def parsePartitionBy(spec: String): Seq[PartTransform] =
+    // split on commas OUTSIDE parentheses: "lang, bucket(8, repo)" is
+    // two transforms, not three fragments
+    spec.split(""",(?![^(]*\))""").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case BucketRe(n, c) =>
+        require(n.toInt >= 2, s"bucket($n, $c): need at least 2 buckets")
+        BucketT(n.toInt, c)
+      case DaysRe(c) => DaysT(c)
+      case c =>
+        require(!c.contains("(") && !c.contains(")"),
+          s"unsupported partition transform '$c'; supported: identity " +
+            "(bare column), days(col), bucket(n, col)")
+        IdentityT(c)
+    }
+
+  /** Stable bucket id of a stored value — writer-side recording and
+    * read-side admission must agree (pruning correctness needs nothing
+    * else), and the function deliberately MIRRORS Spark's
+    * HashPartitioning (Murmur3, seed 42, pmod): a bucket write with
+    * `writePartitions` = n then routes each bucket to exactly one
+    * writer task, so every container records a near-singleton id set —
+    * maximal elimination. A different task count only widens the sets;
+    * admission stays sound.
+    */
+  private[sources] def bucketIdOfLong(v: Long, n: Int): Int =
+    pmodInt(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42), n)
+  private[sources] def bucketIdOfInt(v: Int, n: Int): Int =
+    pmodInt(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42), n)
+  private[sources] def bucketIdOfString(v: String, n: Int): Int = {
+    val u = UTF8String.fromString(v)
+    pmodInt(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes(), 42), n)
+  }
+  @inline private def pmodInt(h: Int, n: Int): Int = ((h % n) + n) % n
+
+  /** Bucket id of a pushed filter constant for column `col` of a
+    * manifest recording `n`-bucket ids; None = not a bucketable constant
+    * (admit). Decimal/boolean columns cannot be bucket columns (the
+    * write builder rejects them), so the physical-constant translation
+    * never reaches here with a rescaled meaning.
+    */
+  private[sources] def bucketIdOfConstant(x: Any, n: Int): Option[Int] = x match {
+    case v: java.lang.Long => Some(bucketIdOfLong(v.longValue(), n))
+    case v: java.lang.Integer => Some(bucketIdOfInt(v.intValue(), n))
+    case v: String => Some(bucketIdOfString(v, n))
+    case _ => None
+  }
+
   /** Is every long range / string dict / string range / null count proof
     * UNABLE to rule this chunk out? Unknown/absent stats admit (skip only
     * on PROOF). String ranges are recorded only for all-ASCII chunks,
@@ -580,8 +654,30 @@ object GraftDataSource {
     * NEVER read off storage.
     */
   private[sources] def admitManifest(m: ParsedManifest,
-                                     filters: Seq[Filter]): Boolean =
-    admit(m.longRanges, filters) && filters.forall {
+                                     filters: Seq[Filter]): Boolean = {
+    // bucket(n, col) transforms recorded by the writer: a point/IN
+    // constant admits only containers whose observed bucket-id set can
+    // hold it (n comes from the manifest's own partitioning record, so
+    // mixed-n generations stay individually sound). Evaluated as an
+    // independent conjunct so string constants ALSO keep their
+    // dict/range proofs below.
+    lazy val bucketN: Map[String, Int] =
+      m.partitioning.flatMap {
+        case BucketRe(n, c) => Some(c -> n.toInt)
+        case _ => None
+      }.toMap
+    def bucketAdmits(col: String, x: Any): Boolean =
+      (for {
+        n <- bucketN.get(col)
+        ids <- m.bucketIds.get(col)
+        b <- bucketIdOfConstant(x, n)
+      } yield ids.contains(b)).getOrElse(true)
+    val buckets = m.bucketIds.isEmpty || filters.forall {
+      case EqualTo(col, x) => bucketAdmits(col, x)
+      case In(col, vs) if vs.nonEmpty => vs.exists(bucketAdmits(col, _))
+      case _ => true
+    }
+    buckets && admit(m.longRanges, filters) && filters.forall {
       case IsNotNull(col) => !m.env.nullCounts.get(col).contains(m.rows)
       case IsNull(col) => m.env.nullCounts.get(col).forall(_ > 0L)
       case EqualTo(col, v: String) =>
@@ -599,6 +695,7 @@ object GraftDataSource {
         }
       case _ => true
     }
+  }
 
   /** Chunk-granular input partitions for a set of committed manifests:
     * admitted chunks grouped into runs of ≤ maxSplitBytes (shared by the
@@ -1905,7 +2002,34 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     sortBy.foreach(c => require(in.fieldNames.contains(c),
       s"sortBy column '$c' is not in the write schema ${in.simpleString}"))
-    new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in, sortBy)
+    // partition transforms (round 8): identity/days cluster+sort the
+    // write; bucket(n, col) additionally records observed bucket ids
+    val partBy = Option(info.options().get("partitionBy"))
+      .map(GraftDataSource.parsePartitionBy).getOrElse(Nil)
+    partBy.foreach { t =>
+      val f = in.fields.find(_.name == t.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partitionBy column '${t.col}' is not in the write schema " +
+            in.simpleString))
+      t match {
+        case GraftDataSource.DaysT(c) =>
+          require(f.dataType == TimestampNTZType || f.dataType == DateType,
+            s"days($c) needs a TIMESTAMP_NTZ or DATE column, got ${f.dataType}")
+        case GraftDataSource.BucketT(_, c) =>
+          require(f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == StringType,
+            s"bucket(n, $c) needs a BIGINT, INT, or STRING column, " +
+              s"got ${f.dataType}")
+        case _ => ()
+      }
+    }
+    // writer-task count for clustered writes: AQE otherwise coalesces a
+    // small clustered write into one task/container, defeating the
+    // layout the transforms were declared for
+    val writeParts = Option(info.options().get("writePartitions"))
+      .map(_.toInt).getOrElse(0)
+    new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in, sortBy,
+      partBy, writeParts)
   }
 }
 
@@ -1922,20 +2046,46 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   */
 class GraftWrite(path: String, truncate: Boolean, epoch: String,
                  chunkRows: Int, writeSchema: StructType,
-                 sortBy: Seq[String] = Nil)
+                 sortBy: Seq[String] = Nil,
+                 partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                 writeParts: Int = 0)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 
+  /** Distribution for the declared layout. Bucket transforms cluster by
+    * Spark's `bucket()` expression (plus the other transforms' source
+    * columns); identity/days-only layouts use RANGE distribution over
+    * the source columns — contiguous value runs per task, the tightest
+    * zone maps (`days()` as a clustering expression is unsupported for
+    * path-based tables, and range-by-ts subsumes it). The distribution
+    * only CO-LOCATES rows; pruning correctness rests on zone maps and
+    * writer-recorded bucket ids, never on which task Spark routed a
+    * row to.
+    */
   override def requiredDistribution(): Distribution =
-    if (sortBy.isEmpty) Distributions.unspecified()
+    if (sortBy.isEmpty && partBy.isEmpty) Distributions.unspecified()
+    else if (partBy.exists(_.isInstanceOf[GraftDataSource.BucketT]))
+      // hash-cluster by the bucket SOURCE columns (Spark can't resolve
+      // a bucket() transform without a function catalog on path-based
+      // tables); with writePartitions = n this routes each of OUR
+      // Murmur3 buckets to exactly one task — see bucketIdOfLong
+      Distributions.clustered(
+        (partBy.map(t => Expressions.column(t.col): Expression) ++
+          sortBy.map(c => Expressions.column(c): Expression)).toArray)
+    else if (partBy.nonEmpty) Distributions.ordered(requiredOrdering())
     else Distributions.clustered(
       sortBy.map(c => Expressions.column(c): Expression).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    sortBy.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+    // sort by the partition SOURCE columns first (tight zone maps per
+    // container for identity/days), then the declared sort key
+    (partBy.map(_.col) ++ sortBy).distinct
+      .map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+
+  override def requiredNumPartitions(): Int = writeParts
   private def prepare(): Map[String, String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -1945,7 +2095,8 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
   }
 
   override def toBatch: BatchWrite =
-    new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows, writeSchema)
+    new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows,
+      writeSchema, partBy)
 
   /** `writeStream.format("graft")` — append-only micro-batch sink. Each
     * micro-batch commits as one epoch (`<queryId>-e<epochId>`), so a
@@ -1957,7 +2108,8 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!truncate,
       "graft streaming sink is append-only (outputMode(\"append\"))")
-    new GraftStreamingWrite(path, epoch, prepare(), chunkRows, writeSchema)
+    new GraftStreamingWrite(path, epoch, prepare(), chunkRows, writeSchema,
+      partBy)
   }
 }
 
@@ -2146,10 +2298,11 @@ private[sources] object GraftCommits {
   */
 class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
                       confKv: Map[String, String], chunkRows: Int,
-                      writeSchema: StructType = GraftDataSource.schema)
+                      writeSchema: StructType = GraftDataSource.schema,
+                      partBy: Seq[GraftDataSource.PartTransform] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, epoch, confKv, chunkRows, writeSchema)
+    new GraftWriterFactory(path, epoch, confKv, chunkRows, writeSchema, partBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate, messages)
@@ -2163,7 +2316,8 @@ class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
   */
 class GraftStreamingWrite(path: String, queryEpoch: String,
                           confKv: Map[String, String], chunkRows: Int,
-                          writeSchema: StructType = GraftDataSource.schema)
+                          writeSchema: StructType = GraftDataSource.schema,
+                          partBy: Seq[GraftDataSource.PartTransform] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -2172,7 +2326,7 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(path, queryEpoch, confKv, chunkRows,
-      writeSchema)
+      writeSchema, partBy)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate = false, messages)
@@ -2183,21 +2337,23 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
 
 class GraftStreamingWriterFactory(path: String, queryEpoch: String,
                                   confKv: Map[String, String], chunkRows: Int,
-                                  writeSchema: StructType = GraftDataSource.schema)
+                                  writeSchema: StructType = GraftDataSource.schema,
+                                  partBy: Seq[GraftDataSource.PartTransform] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, s"$queryEpoch-e$epochId", confKv,
-      chunkRows, taskId, writeSchema)
+      chunkRows, taskId, writeSchema, partBy)
 }
 
 class GraftWriterFactory(path: String, epoch: String,
                          confKv: Map[String, String], chunkRows: Int,
-                         writeSchema: StructType = GraftDataSource.schema)
+                         writeSchema: StructType = GraftDataSource.schema,
+                         partBy: Seq[GraftDataSource.PartTransform] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows, taskId,
-      writeSchema)
+      writeSchema, partBy)
 }
 
 /** Streams rows through the engine's [[ColumnarEngine.PartitionEncoder]]:
@@ -2218,7 +2374,8 @@ class GraftWriterFactory(path: String, epoch: String,
 class GraftDataWriter(path: String, part: Int, epoch: String,
                       confKv: Map[String, String], chunkRows: Int,
                       taskId: Long,
-                      writeSchema: StructType = GraftDataSource.schema)
+                      writeSchema: StructType = GraftDataSource.schema,
+                      partBy: Seq[GraftDataSource.PartTransform] = Nil)
     extends DataWriter[InternalRow] {
   private val enc = new ColumnarEngine.PartitionEncoder(
     part, path, ContainerIO.confFrom(confKv),
@@ -2281,11 +2438,42 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     if (fltNullable.exists(identity)) new Array[Boolean](fltPos.length) else null
   private var n = 0L
 
+  // bucket(n, col) transforms: observe each container's bucket-id set
+  // (bounded by n entries) for manifest-recorded container elimination.
+  // lane: 0 = long, 1 = int, 2 = string (the hash must match the
+  // constant type admission will see)
+  private val bucketSpecs: Array[(Int, Int, Int)] = partBy.collect {
+    case GraftDataSource.BucketT(bn, c) =>
+      val pos = writeSchema.fieldNames.indexOf(c)
+      val lane = writeSchema.fields(pos).dataType match {
+        case LongType => 0
+        case IntegerType => 1
+        case _ => 2
+      }
+      (pos, bn, lane)
+  }.toArray
+  private val bucketSeen: Array[scala.collection.mutable.BitSet] =
+    bucketSpecs.map(s => new scala.collection.mutable.BitSet(s._2))
+
   private def nullError(i: Int): Nothing = throw new IllegalArgumentException(
     s"graft write: null value in non-nullable column " +
       s"'${writeSchema.fields(i).name}' (row ${n + 1} of task $part)")
 
   override def write(row: InternalRow): Unit = {
+    var b = 0
+    while (b < bucketSpecs.length) {
+      val (pos, bn, lane) = bucketSpecs(b)
+      if (!row.isNullAt(pos)) {
+        val id = lane match {
+          case 0 => GraftDataSource.bucketIdOfLong(row.getLong(pos), bn)
+          case 1 => GraftDataSource.bucketIdOfInt(row.getInt(pos), bn)
+          case _ => GraftDataSource.bucketIdOfString(
+            row.getUTF8String(pos).toString, bn)
+        }
+        bucketSeen(b) += id
+      }
+      b += 1
+    }
     var i = 0
     while (i < strPos.length) {
       if (row.isNullAt(strPos(i))) {
@@ -2364,7 +2552,11 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    val manifest = enc.finish(publishManifest = false)
+    val manifest = enc.finish(publishManifest = false).copy(
+      partitioning = partBy.map(_.render),
+      bucketIds = bucketSpecs.lazyZip(bucketSeen).map { case ((pos, _, _), seen) =>
+        writeSchema.fields(pos).name -> seen.toSeq.sorted
+      }.toMap)
     GraftCommitMessage(manifest.name, n, Manifests.manifestJson(manifest))
   }
 

@@ -425,6 +425,21 @@ object GraftMaintenance {
         }
       } finally in.close()
     }
-    enc.finish(publishManifest = false).copy(ancestors = ancestors)
+    // partition-transform metadata survives compaction CONSERVATIVELY:
+    // identical declared transforms across all sources are kept, and a
+    // bucket column's id set is the union — only when EVERY source
+    // recorded one (absence = no proof = no pruning, never wrong)
+    val partitioning =
+      if (ms.nonEmpty && ms.forall(_.partitioning == ms.head.partitioning))
+        ms.head.partitioning
+      else Nil
+    val bucketIds: Map[String, Seq[Int]] =
+      if (partitioning.isEmpty) Map.empty
+      else ms.head.bucketIds.keySet
+        .filter(c => ms.forall(_.bucketIds.contains(c)))
+        .map(c => c -> ms.flatMap(_.bucketIds(c)).distinct.sorted)
+        .toMap
+    enc.finish(publishManifest = false).copy(ancestors = ancestors,
+      partitioning = partitioning, bucketIds = bucketIds)
   }
 }
