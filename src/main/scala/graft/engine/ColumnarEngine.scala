@@ -91,7 +91,8 @@ final case class PartManifest(part: Int, rows: Long, chunks: Int,
     schemaCols: Seq[(String, Int)] = Nil, digestCol: String = "content",
     ancestors: Seq[String] = Nil, commitId: String = "",
     partitioning: Seq[String] = Nil,
-    bucketIds: Map[String, Seq[Int]] = Map.empty)
+    bucketIds: Map[String, Seq[Int]] = Map.empty,
+    schemaMarker: Boolean = false)
 
 /** The per-column lightweight-compression engine (SURVEY.md §3.4).
   *

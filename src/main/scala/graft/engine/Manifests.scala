@@ -119,7 +119,8 @@ final case class ParsedManifest(
     chunksElided: Boolean = false,
     storedEnvelope: Option[ManifestEnvelope] = None,
     partitioning: Seq[String] = Nil,
-    bucketIds: Map[String, Set[Int]] = Map.empty) {
+    bucketIds: Map[String, Set[Int]] = Map.empty,
+    schemaMarker: Boolean = false) {
   def blockFile(tableDir: String): String = s"$tableDir/blocks/part-$name.gblk"
 
   /** Does this container HAVE a chunk index (inline or elided)? False
@@ -411,6 +412,12 @@ object Manifests {
     val pt =
       if (m.partitioning.isEmpty) ""
       else s""""partitioning":${m.partitioning.map(q).mkString("[", ",", "]")},"""
+    // a SCHEMA MARKER is a zero-row manifest whose only payload is its
+    // schema: a column RENAME commits one through the ordinary OCC path
+    // (real commit marker file, so the listing fallback preserves it),
+    // and current-name resolution takes the highest-commitId schema per
+    // position (round 8, field-identity-by-position under add-only)
+    val sm = if (m.schemaMarker) s""""schemaMarker":true,""" else ""
     val bids =
       if (m.bucketIds.isEmpty) ""
       else m.bucketIds.toSeq.sortBy(_._1).map { case (c, ids) =>
@@ -418,7 +425,7 @@ object Manifests {
       }.mkString(""""bucketIds":{""", ",", "},")
     s"""{$cid"part":${m.part},"name":${q(m.name)},"rows":${m.rows},"chunks":${m.chunks},""" +
       s""""rawBytes":${m.rawBytes},"encodedBytes":${m.encodedBytes},""" +
-      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc$pt$bids""" +
+      s""""digest":${q(m.digest)},"schema":$schema,"digestCol":${q(m.digestCol)},$anc$pt$bids$sm""" +
       s""""columns":$cols,"chunkIndex":$chunks}"""
   }
 
@@ -837,7 +844,8 @@ object Manifests {
       chunksElided = elided,
       storedEnvelope = envelope,
       partitioning = partitioning,
-      bucketIds = bucketIds)
+      bucketIds = bucketIds,
+      schemaMarker = Option(root.get("schemaMarker")).exists(_.asBoolean(false)))
   }
 
   /** Parse a manifest JSON whose block-file name falls back to the

@@ -36,7 +36,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(System) || namespace.isEmpty)
-      Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"))
+      Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"),
+        Identifier.of(System, "rename_column"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -47,8 +48,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
     ident.name.toLowerCase match {
       case "compact" => GraftCatalog.CompactProcedure
       case "vacuum" => GraftCatalog.VacuumProcedure
+      case "rename_column" => GraftCatalog.RenameColumnProcedure
       case other => throw new RuntimeException(
-        s"unknown graft procedure $other; have: compact, vacuum")
+        s"unknown graft procedure $other; have: compact, vacuum, " +
+          "rename_column")
     }
   }
 }
@@ -103,6 +106,32 @@ object GraftCatalog {
           StructField("containers_produced", IntegerType, nullable = false),
           StructField("dry_run", BooleanType, nullable = false))),
         Array(consumed, produced, input.getBoolean(3))))
+    }
+  }
+
+  object RenameColumnProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rename_column"
+    override def description(): String =
+      "Rename a column of a graft table (metadata-only: commits a " +
+        "zero-row schema marker; committed containers keep their " +
+        "historical labels and readers translate per container)."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("from", StringType, comment = "current column name"),
+      in("to", StringType, comment = "new column name"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      GraftMaintenance.renameColumn(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)
+      one(Report(
+        StructType(Seq(
+          StructField("renamed", BooleanType, nullable = false))),
+        Array(true)))
     }
   }
 

@@ -183,6 +183,52 @@ object GraftDataSource {
     v.orElse(ts.map(Manifests.versionAt(conf, path, _)))
   }
 
+  /** Per-manifest column specs (legacy = the engine schema). */
+  private[sources] def specsOfManifest(
+      m: ParsedManifest): Seq[graft.engine.ColumnSpec] =
+    if (m.schemaCols.isEmpty) specsOf(schema)
+    else m.schemaCols.map { case (n, k) =>
+      graft.engine.ColumnSpec.fromPacked(n, k) }
+
+  /** The table's CURRENT schema from a committed-manifest snapshot
+    * (round 8, rename support). Field IDENTITY is positional — sound
+    * under the add-only invariant (no drops/reorders ever commit) —
+    * so a position's kind/nullability/type parameters must be UNIFORM
+    * across every manifest covering it, while its NAME is a label:
+    * the manifest with the highest commitId covering the position
+    * names it (a rename commits a zero-row schema MARKER through the
+    * ordinary OCC path; older containers keep their historical labels
+    * and readers translate per container).
+    */
+  private[sources] def currentSpecsOf(
+      ms: Seq[ParsedManifest]): Seq[graft.engine.ColumnSpec] = {
+    val perManifest = ms.map(m =>
+      (m.name, m.commitId, specsOfManifest(m), m.ancestors.nonEmpty))
+    val widest = perManifest.map(_._3.size).max
+    (0 until widest).map { i =>
+      val covering = perManifest.filter(_._3.size > i)
+      // shape (everything but the label) must agree at each position
+      val shapes = covering.map { c =>
+        val s = c._3(i); (s.kind, s.nullable, s.precision, s.scale)
+      }.distinct
+      require(shapes.size == 1,
+        s"graft table has inconsistent committed schemas at column " +
+          s"position $i: ${covering.map(c => s"${c._1}:${c._3(i)}")
+            .mkString("; ")} (appends may only add trailing nullable " +
+          "columns; only names may change, via renameColumn)")
+      // labels resolve from PLAIN manifests (appends + rename markers)
+      // when any covers the position: a compacted generation carries its
+      // FOLDED sources' historical labels under a fresh high commitId,
+      // and must not revert a rename it didn't witness
+      val labelSources = {
+        val plain = covering.filterNot(_._4)
+        if (plain.nonEmpty) plain else covering
+      }
+      val label = labelSources.maxBy(_._2)._3(i).name
+      covering.head._3(i).copy(name = label)
+    }
+  }
+
   private[sources] def inferFrom(path: String,
       conf: org.apache.hadoop.conf.Configuration = null,
       asOf: Option[Long] = None): Option[StructType] = {
@@ -193,22 +239,11 @@ object GraftDataSource {
         Manifests.readCommittedAt(c, path, _))
       if (ms.isEmpty) None
       else {
-        val defaultSpecs = specsOf(schema)
-        val perManifest: Seq[(String, Seq[graft.engine.ColumnSpec])] = ms.map { m =>
-          m.name -> (if (m.schemaCols.isEmpty) defaultSpecs
-            else m.schemaCols.map { case (n, k) =>
-              graft.engine.ColumnSpec.fromPacked(n, k) })
-        }
-        val widest = perManifest.maxBy(_._2.size)._2
-        perManifest.foreach { case (name, s) =>
-          require(s == widest.take(s.size),
-            s"graft table $path has inconsistent committed schemas: " +
-              s"container $name declares ${s.map(_.name).mkString(",")} " +
-              s"which is not a prefix of the widest schema " +
-              s"${widest.map(_.name).mkString(",")} (appends may only " +
-              s"add trailing nullable columns)")
-        }
-        Some(schemaOf(widest))
+        val current = currentSpecsOf(ms)
+        require(current.map(_.name).distinct.size == current.size,
+          s"graft table $path resolves duplicate current column names: " +
+            current.map(_.name).mkString(","))
+        Some(schemaOf(current))
       }
     } catch {
       case e: IllegalArgumentException => throw e
@@ -646,6 +681,38 @@ object GraftDataSource {
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
 
+  /** Rewrite a pushed filter's column reference through a rename map
+    * (current name -> a container's stored name, or the reverse). Only
+    * the filter shapes this source ever pushes appear here.
+    */
+  private[sources] def renameRefs(f: Filter, m: Map[String, String]): Filter =
+    if (m.isEmpty) f
+    else f match {
+      case EqualTo(c, v) => EqualTo(m.getOrElse(c, c), v)
+      case GreaterThan(c, v) => GreaterThan(m.getOrElse(c, c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(m.getOrElse(c, c), v)
+      case LessThan(c, v) => LessThan(m.getOrElse(c, c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(m.getOrElse(c, c), v)
+      case In(c, vs) => In(m.getOrElse(c, c), vs)
+      case IsNull(c) => IsNull(m.getOrElse(c, c))
+      case IsNotNull(c) => IsNotNull(m.getOrElse(c, c))
+      case other => other
+    }
+
+  /** Per-container rename map CURRENT name -> STORED name for the
+    * positions this container covers (empty in the common no-renames
+    * case, which keeps the fast paths allocation-free). `tableCols` is
+    * the table's current schema names in positional order; Nil disables
+    * translation (legacy callers).
+    */
+  private[sources] def storedNamesOf(m: ParsedManifest,
+      tableCols: Seq[String]): Map[String, String] =
+    if (tableCols.isEmpty) Map.empty
+    else {
+      val stored = specsOfManifest(m).map(_.name)
+      tableCols.zip(stored).filter(p => p._1 != p._2).toMap
+    }
+
   /** Container-level admission against the index SUMMARY (round 8,
     * two-level metadata): the manifest's whole-partition zone maps plus
     * the [[graft.engine.ManifestEnvelope]] fold of its chunk stats.
@@ -717,42 +784,60 @@ object GraftDataSource {
           "planner bug: an index-elided manifest reached planPartitions " +
             "without a hydrator")
         m
-      }): Array[InputPartition] = {
-    val defaultNames: Set[String] = schema.fieldNames.toSet
+      },
+      tableCols: Seq[String] = Nil): Array[InputPartition] = {
+    val defaultNames: Seq[String] = schema.fieldNames.toSeq
     val parts = Array.newBuilder[InputPartition]
-    manifests.sortBy(_.name).foreach { m =>
+    manifests.filterNot(_.schemaMarker).sortBy(_.name).foreach { m =>
       val file = m.blockFile(path)
+      // rename support (round 8): a container written before a rename
+      // stores blocks/stats under its HISTORICAL labels — admission and
+      // the reader translate between the CURRENT names the query uses
+      // and this container's stored names, positionally
+      val toStored = storedNamesOf(m, tableCols)
+      val mFilters =
+        if (toStored.isEmpty) filters.toSeq
+        else filters.toSeq.map(renameRefs(_, toStored))
+      val storedNames: Seq[String] =
+        if (m.schemaCols.isEmpty) defaultNames else m.schemaCols.map(_._1)
       // add-only schema evolution: a container written before a column
       // was added has no block for it — its rows are all-NULL there. A
       // value predicate or IsNotNull on such a column matches NOTHING in
       // this container (SQL three-valued logic): skip it whole. IsNull
-      // on it is trivially TRUE and is dropped reader-side.
+      // on it is trivially TRUE and is dropped reader-side. `present`
+      // is in CURRENT-name space (what neededCols/filters use).
       val present: Set[String] =
-        if (m.schemaCols.isEmpty) defaultNames else m.schemaCols.map(_._1).toSet
+        if (tableCols.isEmpty) storedNames.toSet
+        else tableCols.take(storedNames.size).toSet
       val absent = neededCols -- present
       val killed = absent.nonEmpty && filters.exists(f =>
         !f.isInstanceOf[IsNull] && f.references.exists(absent))
-      if (!killed && admitManifest(m, filters.toSeq)) {
+      if (!killed && admitManifest(m, mFilters)) {
         val hm = if (m.chunksElided) hydrate(m) else m
+        val digestCur = toStored.collectFirst {
+          case (cur, st) if st == m.digestCol => cur
+        }.getOrElse(m.digestCol)
         if (hm.chunkIndex.isEmpty) {
           // legacy manifest: whole-container sequential stream
-          parts += GraftInputPartition(file, Nil, m.digestCol, absent)
+          parts += GraftInputPartition(file, Nil, digestCur, absent, toStored)
         } else {
           val admitted = hm.chunkIndex
-            .filter(admitChunk(_, filters.toSeq))
+            .filter(admitChunk(_, mFilters))
             .map(c => ChunkSpec(c.offset, c.length, c.rows, c.blockCrcs))
           var run = List.empty[ChunkSpec]
           var runBytes = 0L
           admitted.foreach { c =>
             if (run.nonEmpty && runBytes + c.length > maxSplitBytes) {
-              parts += GraftInputPartition(file, run.reverse, m.digestCol, absent)
+              parts += GraftInputPartition(file, run.reverse, digestCur,
+                absent, toStored)
               run = Nil; runBytes = 0L
             }
             run = c :: run
             runBytes += c.length
           }
           if (run.nonEmpty)
-            parts += GraftInputPartition(file, run.reverse, m.digestCol, absent)
+            parts += GraftInputPartition(file, run.reverse, digestCur,
+              absent, toStored)
         }
       }
     }
@@ -891,6 +976,13 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     }
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A column's STORED (historical) label inside one manifest — the
+    * key its stats use (rename support).
+    */
+  private def storedNameIn(m: graft.engine.ParsedManifest, c: String): String =
+    GraftDataSource.storedNamesOf(m, tableSchema.fieldNames.toSeq)
+      .getOrElse(c, c)
+
   /** COUNT(*)/COUNT(col)/MIN/MAX over integer columns, ungrouped and
     * unfiltered, translate to manifest lookups (row counts, per-chunk
     * null counts, and zone maps are EXACT); anything else stays in Spark.
@@ -913,7 +1005,8 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
           // Spark.
           case StringType if !f.nullable &&
               committedForStats.exists(_.forall(m =>
-                m.hasChunkIndex && m.env.strRanges.contains(c))) =>
+                m.schemaMarker || (m.hasChunkIndex && m.env.strRanges
+                  .contains(storedNameIn(m, c))))) =>
             Some(StringType)
           case _ => None
         }
@@ -922,10 +1015,13 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).flatMap { f =>
         if (!f.nullable) Some(CountAgg(c, nullable = false))
         else committedForStats.filter(_.forall(m =>
+          m.schemaMarker ||
           // a manifest that PREDATES the column (add-only evolution)
-          // is all-NULL for it — provable without chunk entries
-          (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c)) ||
-            (m.hasChunkIndex && m.env.nullCounts.contains(c))))
+          // is all-NULL for it — provable by POSITION (names are labels)
+          (m.schemaCols.nonEmpty &&
+            tableSchema.fieldNames.indexOf(c) >= m.schemaCols.size) ||
+            (m.hasChunkIndex && m.env.nullCounts
+              .contains(storedNameIn(m, c)))))
           .map(_ => CountAgg(c, nullable = true))
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -992,10 +1088,11 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       .getOrElse(GraftDataSource.DefaultMaxSplitBytes)
     val verify = Option(options.get("verifyContent")).forall(_.toBoolean)
     aggs match {
-      case Some(specs) => new GraftAggScan(path, specs, confKv, pinned)
+      case Some(specs) => new GraftAggScan(path, specs, confKv, pinned,
+        tableSchema.fieldNames.toSeq)
       case None => new GraftScan(path, required, pushed, confKv, limit,
         maxSplit, verify, longCols, strCols, intCols, dblCols, fltCols,
-        pinned)
+        pinned, tableSchema.fieldNames.toSeq)
     }
   }
 }
@@ -1006,7 +1103,8 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
   */
 class GraftAggScan(path: String, specs: Seq[GraftAgg],
                    confKv: Map[String, String],
-                   asOf: Option[Long] = None) extends Scan with Batch {
+                   asOf: Option[Long] = None,
+                   tableCols: Seq[String] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = StructType(specs.map {
     case CountStarAgg => StructField("count_star", LongType, nullable = false)
     case MinAgg(c, dt) => StructField(s"min_$c", dt, nullable = true)
@@ -1041,23 +1139,36 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
     // a pinned (time-travel) read folds an immutable snapshot — the
     // concurrent-append race guards below can never fire for it
     asOf.fold(Manifests.readCommitted(conf, path))(
-      Manifests.readCommittedAt(conf, path, _)).foreach { m =>
+      Manifests.readCommittedAt(conf, path, _))
+      .filterNot(_.schemaMarker).foreach { m =>
       rows += m.rows
-      m.longRanges.foreach { case (c, (lo, hi)) =>
+      // rename support: this container's stats are keyed by its stored
+      // (historical) labels; fold them under the CURRENT names
+      val toStored = GraftDataSource.storedNamesOf(m, tableCols)
+      val toCur = toStored.map(_.swap)
+      def stored(c: String): String = toStored.getOrElse(c, c)
+      // a container PREDATES a column iff the column's table POSITION
+      // is past the container's width (names are labels, not identity)
+      def predates(c: String): Boolean = m.schemaCols.nonEmpty && {
+        if (tableCols.isEmpty) !m.schemaCols.exists(_._1 == c)
+        else tableCols.indexOf(c) >= m.schemaCols.size
+      }
+      m.longRanges.foreach { case (c0, (lo, hi)) =>
+        val c = toCur.getOrElse(c0, c0)
         mins = mins.updated(c, mins.get(c).fold(lo)(math.min(_, lo)))
         maxs = maxs.updated(c, maxs.get(c).fold(hi)(math.max(_, hi)))
       }
       countCols.foreach { case (c, nullable) =>
         val nulls =
           if (!nullable) 0L
-          else if (m.schemaCols.nonEmpty && !m.schemaCols.exists(_._1 == c))
+          else if (predates(c))
             m.rows // container predates the column: all-NULL for it
           // translate() proved every committed manifest carries entries —
           // but this is a FRESH read, and a manifest appended since
           // planning could legally lack one (a non-current writer).
           // Silently treating it as zero nulls would OVERCOUNT: fail
           // retriable-loud, mirroring the string MIN/MAX guard below.
-          else m.env.nullCounts.getOrElse(c,
+          else m.env.nullCounts.getOrElse(stored(c),
             if (m.rows == 0) 0L
             else throw new IllegalStateException(
               s"graft COUNT snapshot changed: column '$c' gained a " +
@@ -1073,7 +1184,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       // (the re-planned query sees the new container and keeps the
       // aggregate in Spark).
       if (strAggCols.nonEmpty && m.rows > 0) strAggCols.foreach { c =>
-        m.env.strRanges.get(c) match {
+        m.env.strRanges.get(stored(c)) match {
           case None => throw new IllegalStateException(
             s"graft string aggregate snapshot changed: column '$c' gained " +
               s"a container without an ASCII range since planning " +
@@ -1161,7 +1272,8 @@ case class ChunkSpec(offset: Long, length: Long, rows: Int,
   */
 case class GraftInputPartition(file: String, chunks: Seq[ChunkSpec],
                                digestCol: String = "content",
-                               absentCols: Set[String] = Set.empty)
+                               absentCols: Set[String] = Set.empty,
+                               renames: Map[String, String] = Map.empty)
     extends InputPartition
 
 class GraftScan(path: String, required: StructType,
@@ -1174,7 +1286,8 @@ class GraftScan(path: String, required: StructType,
                 intCols: Set[String] = Set.empty,
                 dblCols: Set[String] = Set.empty,
                 fltCols: Set[String] = Set.empty,
-                asOf: Option[Long] = None)
+                asOf: Option[Long] = None,
+                tableCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -1245,19 +1358,24 @@ class GraftScan(path: String, required: StructType,
     var rows = 0L
     var bytes = 0L
     var any = false
-    committed().foreach { m =>
+    committed().filterNot(_.schemaMarker).foreach { m =>
       // index-elided manifests estimate at SUMMARY granularity (whole
       // container in or out) rather than paying a chunk-detail read per
       // container just for statistics — a conservative overestimate
       // under selective filters, refined to chunk granularity by the
-      // actual planning that follows
+      // actual planning that follows. Filters translate to the
+      // container's stored names (rename support).
+      val toStored = GraftDataSource.storedNamesOf(m, tableCols)
+      val mFilters =
+        if (toStored.isEmpty) filters.toSeq
+        else filters.toSeq.map(GraftDataSource.renameRefs(_, toStored))
       val admittedRows =
         if (m.chunksElided)
-          if (GraftDataSource.admitManifest(m, filters.toSeq)) m.rows else 0L
+          if (GraftDataSource.admitManifest(m, mFilters)) m.rows else 0L
         else if (m.chunkIndex.nonEmpty)
-          m.chunkIndex.filter(GraftDataSource.admitChunk(_, filters.toSeq))
+          m.chunkIndex.filter(GraftDataSource.admitChunk(_, mFilters))
             .map(_.rows.toLong).sum
-        else if (GraftDataSource.admit(m.longRanges, filters.toSeq)) m.rows
+        else if (GraftDataSource.admit(m.longRanges, mFilters)) m.rows
         else 0L
       if (admittedRows > 0) {
         rows += admittedRows
@@ -1288,7 +1406,8 @@ class GraftScan(path: String, required: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] =
     GraftDataSource.planPartitions(path, committed(), filters, maxSplitBytes,
-      required.fieldNames.toSet ++ filters.flatMap(_.references), hydrate)
+      required.fieldNames.toSet ++ filters.flatMap(_.references), hydrate,
+      tableCols)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, filters, confKv, limit, verifyContent,
@@ -1307,7 +1426,7 @@ class GraftScan(path: String, required: StructType,
         "stream tails the live table")
     new GraftMicroBatchStream(path, checkpointLocation, required, filters,
       confKv, maxSplitBytes, verifyContent, longCols, strCols, intCols,
-      dblCols, fltCols)
+      dblCols, fltCols, tableCols)
   }
 }
 
@@ -1324,7 +1443,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.file, p.chunks, required, filters, confKv,
       limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
-      fltCols, p.absentCols)
+      fltCols, p.absentCols, p.renames)
   }
 
   /** The decoded data is already columnar (`Array[Long]`/`Array[String]`
@@ -1343,7 +1462,7 @@ class GraftReaderFactory(required: StructType, filters: Array[Filter],
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarReader(p.file, p.chunks, required, filters, confKv,
       limit, verifyContent, longCols, strCols, p.digestCol, intCols, dblCols,
-      fltCols, p.absentCols)
+      fltCols, p.absentCols, p.renames)
   }
 }
 
@@ -1361,21 +1480,46 @@ private[sources] final class ChunkCursor(
     digestCol: String = "content",
     intCols: Set[String] = Set.empty,
     dblCols: Set[String] = Set.empty,
-    fltCols: Set[String] = Set.empty) {
+    fltCols: Set[String] = Set.empty,
+    renames: Map[String, String] = Map.empty) {
 
   private val filterCols: Set[String] = filters.toSeq.flatMap(_.references).toSet
+  // rename support: the query works in CURRENT names, this container's
+  // blocks are keyed by its stored names — request stored, then re-key
+  // each decoded chunk back to current before anything row-level runs
+  @inline private def st(c: String): String = renames.getOrElse(c, c)
   val neededLongs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(longCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(longCols).map(st)
   val neededStrs: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(strCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(strCols).map(st)
   val neededInts: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(intCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(intCols).map(st)
   val neededDbls: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(dblCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(dblCols).map(st)
   val neededFlts: Set[String] =
-    (required.fieldNames.toSet ++ filterCols).intersect(fltCols)
+    (required.fieldNames.toSet ++ filterCols).intersect(fltCols).map(st)
   private val verify =
-    verifyContent && digestCol.nonEmpty && neededStrs.contains(digestCol)
+    verifyContent && digestCol.nonEmpty && neededStrs.contains(st(digestCol))
+
+  /** Re-key a decoded chunk's column maps stored -> current. Two-phase
+    * (remove all, then insert) so a SWAP rename (a<->b across two
+    * renames) can't clobber one side mid-move.
+    */
+  private def rekey(c: DecodedChunk): DecodedChunk = {
+    def fix[T](m: java.util.HashMap[String, T]): Unit = {
+      val moved = new java.util.HashMap[String, T]()
+      renames.foreach { case (cur, stored) =>
+        if (cur != stored) {
+          val v = m.remove(stored)
+          if (v != null) moved.put(cur, v)
+        }
+      }
+      m.putAll(moved)
+    }
+    fix(c.longs); fix(c.strs); fix(c.ints); fix(c.doubles); fix(c.nulls)
+    fix(c.flts)
+    c
+  }
 
   private val conf = ContainerIO.confFrom(confKv)
   private val hPath = new org.apache.hadoop.fs.Path(file)
@@ -1402,7 +1546,7 @@ private[sources] final class ChunkCursor(
     catch { case _: java.io.FileNotFoundException => snapshotSuperseded() }
 
   val chunkIter: Iterator[DecodedChunk] = {
-    val raw =
+    val raw0 =
       if (chunks.nonEmpty) chunks.iterator.map { cs =>
         require(cs.offset >= 0 && cs.length >= 0 && cs.offset + cs.length <= fileLen,
           s"chunk range [${cs.offset}, +${cs.length}) overruns $file ($fileLen bytes)")
@@ -1422,6 +1566,7 @@ private[sources] final class ChunkCursor(
               Map.empty, neededInts, neededDbls, neededFlts)
         }
       }
+    val raw = if (renames.isEmpty) raw0 else raw0.map(rekey)
     if (!verify) raw
     else raw.map { c => ContainerFormat.verifyContentDigest(c, digestCol); c }
   }
@@ -1442,7 +1587,8 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                           intCols: Set[String] = Set.empty,
                           dblCols: Set[String] = Set.empty,
                           fltCols: Set[String] = Set.empty,
-                          absentCols: Set[String] = Set.empty)
+                          absentCols: Set[String] = Set.empty,
+                          renames: Map[String, String] = Map.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -1455,7 +1601,7 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
   private val cursor = new ChunkCursor(file, chunks, required, effFilters,
     confKv, verifyContent, longCols -- absentCols, strCols -- absentCols,
     digestCol, intCols -- absentCols, dblCols -- absentCols,
-    fltCols -- absentCols)
+    fltCols -- absentCols, renames)
   private val preds = GraftDataSource.compileFilters(effFilters, longCols)
   private val fields = required.fields
   private val fieldAbsent: Array[Boolean] =
@@ -1581,7 +1727,8 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                            intCols: Set[String] = Set.empty,
                            dblCols: Set[String] = Set.empty,
                            fltCols: Set[String] = Set.empty,
-                           absentCols: Set[String] = Set.empty)
+                           absentCols: Set[String] = Set.empty,
+                           renames: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   /** Sequential whole-file stream (legacy tables; fuzz surface). */
@@ -1595,7 +1742,7 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
   private val cursor = new ChunkCursor(file, chunks, required, effFilters,
     confKv, verifyContent, longCols -- absentCols, strCols -- absentCols,
     digestCol, intCols -- absentCols, dblCols -- absentCols,
-    fltCols -- absentCols)
+    fltCols -- absentCols, renames)
   private val preds = GraftDataSource.compileFilters(effFilters, longCols)
 
   private val fields = required.fields
@@ -1711,7 +1858,8 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
                             longCols: Set[String], strCols: Set[String],
                             intCols: Set[String],
                             dblCols: Set[String] = Set.empty,
-                            fltCols: Set[String] = Set.empty)
+                            fltCols: Set[String] = Set.empty,
+                            tableCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -1896,7 +2044,7 @@ class GraftMicroBatchStream(path: String, checkpointLocation: String,
     }
     GraftDataSource.planPartitions(path, fresh ++ substituted, filters,
       maxSplitBytes, required.fieldNames.toSet ++ filters.flatMap(_.references),
-      Manifests.loadChunkIndex(conf, path, _))
+      Manifests.loadChunkIndex(conf, path, _), tableCols)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2196,19 +2344,23 @@ private[sources] object GraftCommits {
       // JSONs
       val parsedOld = old.map(Manifests.parseWithFallback)
       priorNames = parsedOld.map(_.name)
-      // add-only evolution guard (round 7): every committed schema and
-      // this write's must form a prefix chain. The write builder already
-      // validated against the snapshot it SAW; this re-check inside the
-      // OCC transform is what catches the concurrent-evolution race.
-      if (!truncate && newSchema.nonEmpty) parsedOld.foreach { pm =>
-        val oldS = pm.schemaCols
-        if (oldS.nonEmpty && oldS != newSchema.take(oldS.size) &&
-            newSchema != oldS.take(newSchema.size))
+      // add-only evolution guard (round 7, rename-aware since round 8):
+      // this write's schema must match or extend the snapshot's CURRENT
+      // schema (positional identity with last-commit-wins names — an
+      // old container's historical label is not a conflict, a
+      // concurrent divergent add or rename IS). The write builder
+      // already validated against the snapshot it SAW; this re-check
+      // inside the OCC transform is what catches the race.
+      if (!truncate && newSchema.nonEmpty && parsedOld.nonEmpty) {
+        val cur = GraftDataSource.currentSpecsOf(parsedOld)
+          .map(s => (s.name, s.packed))
+        if (cur != newSchema.take(cur.size) &&
+            newSchema != cur.take(newSchema.size))
           throw new SchemaEvolutionConflict(
-            s"concurrent schema evolution on $path: committed container " +
-              s"${pm.name} has columns ${oldS.map(_._1).mkString(",")}, " +
-              s"incompatible with this write's " +
-              s"${newSchema.map(_._1).mkString(",")}; this append aborted")
+            s"concurrent schema evolution on $path: the table's current " +
+              s"columns are ${cur.map(_._1).mkString(",")}, incompatible " +
+              s"with this write's ${newSchema.map(_._1).mkString(",")}; " +
+              "this append aborted")
       }
       // ancestors written before the commit-generation format were
       // per-container logical names: include their epochKey so legacy

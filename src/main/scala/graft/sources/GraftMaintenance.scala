@@ -256,6 +256,59 @@ object GraftMaintenance {
     (consumed.size, newManifests.length)
   }
 
+  /** Rename a column (round 8). Field identity is POSITIONAL under the
+    * add-only invariant, so a rename is pure metadata: one zero-row
+    * SCHEMA MARKER manifest carrying the full current schema with the
+    * new label commits through the ordinary OCC path (real commit
+    * marker file — the listing fallback preserves it; compaction never
+    * consumes zero-row manifests, so the marker outlives folds).
+    * Current-name resolution takes the highest-commitId plain manifest
+    * per position, so every committed container keeps its historical
+    * labels and readers translate per container — old snapshots time-
+    * travel under their old names, new filters/pushdowns use the new
+    * one. A concurrent rename/append that changed the column loses with
+    * [[SchemaEvolutionConflict]] inside the OCC transform.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Unit = {
+    require(to.nonEmpty && to != from, s"bad rename target '$to'")
+    val conf = ContainerIO.confFrom(ContainerIO.confSnapshot(spark))
+    val committed = Manifests.readCommitted(conf, path)
+    require(committed.nonEmpty, s"no graft table at $path")
+    val current = GraftDataSource.currentSpecsOf(committed)
+    val idx = current.indexWhere(_.name == from)
+    require(idx >= 0,
+      s"no column '$from' in ${current.map(_.name).mkString(",")}")
+    require(!current.exists(_.name == to),
+      s"column '$to' already exists in ${current.map(_.name).mkString(",")}")
+    val renamed = current.updated(idx, current(idx).copy(name = to))
+    val commitId = Manifests.newCommitId(conf, path)
+    val marker = PartManifest(part = 0, rows = 0L, chunks = 0,
+      rawBytes = 0L, encodedBytes = 0L, skipped = false, digest = "",
+      columns = Nil, name = s"schemamarker-$commitId-0",
+      schemaCols = renamed.map(s => (s.name, s.packed)), digestCol = "",
+      commitId = commitId, schemaMarker = true)
+    Manifests.writeManifest(conf, path, marker, 0L)
+    val json = Manifests.manifestJson(marker)
+    try Manifests.commitIndex(conf, path, old => {
+      // re-check against the snapshot this commit actually lands on
+      val cur = GraftDataSource.currentSpecsOf(
+        old.map(Manifests.parseWithFallback))
+      if (idx >= cur.size || cur(idx).name != from ||
+          cur.exists(_.name == to))
+        throw new SchemaEvolutionConflict(
+          s"concurrent schema change on $path: cannot rename '$from' -> " +
+            s"'$to' (current columns: ${cur.map(_.name).mkString(",")})")
+      old :+ json
+    })
+    catch {
+      case e: SchemaEvolutionConflict =>
+        ContainerIO.fs(path, conf).delete(new org.apache.hadoop.fs.Path(
+          Manifests.manifestPath(path, marker.name)), false)
+        throw e
+    }
+  }
+
   /** Remove UNREACHABLE files from a table directory: block containers
     * no committed manifest references (staged output of crashed or
     * zombie write attempts — invisible to every read path, but never
