@@ -629,6 +629,50 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // RENAME (round 8): write the even half as (event_id, value), rename
+    // value -> amount (zero-row schema marker; positional identity),
+    // append the odd half under the NEW name, and aggregate by the new
+    // name with a pushed filter — correct only if old containers'
+    // historical labels translate per container.
+    "c18_rename" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c18").toString
+      val ev = t(s, d, "events")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("overwrite").save(dir)
+      graft.sources.GraftMaintenance.renameColumn(s, dir, "value", "amount")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("value").as("amount"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("append").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("amount") > lit(10.0))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("amount"))).as("amount_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
+    // PARTITIONED WRITE (round 8): events bucket-partitioned by user_id
+    // (8 Murmur3 buckets recorded per container); the per-user point
+    // query prunes containers via the recorded bucket-id sets and the
+    // oracle proves the rows exact.
+    "c19_partitioned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c19").toString
+      t(s, d, "events").select(col("event_id"), col("user_id"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("partitionBy", "bucket(8, user_id)")
+        .option("writePartitions", "8")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("user_id") === 7L)
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
     // BINARY schema (round 7): the multimodal payloads — opaque media
     // bytes with invalid-UTF-8 sequences everywhere — stored as a kind-6
     // BINARY column in the graft table, read back, and metadata-extracted
@@ -1079,6 +1123,22 @@ object SparkEntry {
                FROM events)
          WHERE amount >= CAST(500.00 AS DECIMAL(18,2)) AND priority
          GROUP BY 1 ORDER BY 1""",
+
+    // rename: the renamed column is events.value under a new label
+    "c18_rename" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS amount_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events WHERE value > 10.0""",
+
+    // partitioned write: per-user point query, rows exact
+    "c19_partitioned" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events WHERE user_id = 7""",
 
     // same oracle as m1 — the payloads now round-trip through a graft
     // BINARY column before extraction
