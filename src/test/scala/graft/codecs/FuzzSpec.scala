@@ -174,14 +174,18 @@ class FuzzSpec extends AnyFunSuite {
       .withColumn("ts", expr("make_timestamp_ntz(2024, 1, 1, 0, id % 60, id % 60)"))
       .withColumn("dt", date_add(lit("2024-01-01").cast("date"),
         (col("id") % 90).cast("int")))
+      // round-8 kinds: DECIMAL (8, unscaled long) and BOOLEAN (9, 0/1)
+      .withColumn("m", when(pmod(col("id"), lit(9)) === 0, lit(null))
+        .otherwise((col("id") * 7).cast("decimal(12,2)")))
+      .withColumn("f", pmod(col("id"), lit(3)) === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft-kind-fuzz").toString
     df.write.format("graft").option("chunkRows", "128").mode("overwrite").save(dir)
     val files = new java.io.File(s"$dir/blocks").listFiles()
       .filter(_.getName.endsWith(".gblk"))
     assert(files.nonEmpty)
-    val neededL = Set("id", "ts")
+    val neededL = Set("id", "ts", "m") // decimal decodes into the long map
     val neededS = Set("s", "b") // binary decodes into the byte-slice map
-    val neededI = Set("i", "dt")
+    val neededI = Set("i", "dt", "f") // boolean decodes into the int map
     val neededD = Set("d")
     val neededF = Set("v")
     def parseAll(bytes: Array[Byte]): Unit = {
