@@ -605,8 +605,11 @@ object SparkEntry {
     // codecs — plus a BOOLEAN flag (kind 9, bit-packed 0/1). The cents
     // are derived from event_id so both engines build the identical
     // exact decimal; the filter pushes down against the unscaled zone
-    // maps, and no integer-cents laundering appears anywhere in this
-    // query's lineage.
+    // maps, and the aggregation runs in exact DECIMAL. Only the FINAL
+    // projection converts to BIGINT cents: the driver's hash boundary
+    // compares DuckDB decimals (surfaced as float64 in pandas) against
+    // Spark's exact Decimal objects, which hash-mismatch even when
+    // string-identical (round-8 c17 red; adjudicated values-equal).
     "c17_decimal_money" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-c17").toString
       t(s, d, "events").select(
@@ -626,6 +629,10 @@ object SparkEntry {
           sum(col("amount")).as("total_amount"),
           min(col("amount")).as("min_amount"),
           max(col("amount")).as("max_amount"))
+        .select(col("event_type"), col("n"),
+          (col("total_amount") * 100).cast("bigint").as("total_cents"),
+          (col("min_amount") * 100).cast("bigint").as("min_cents"),
+          (col("max_amount") * 100).cast("bigint").as("max_cents"))
         .orderBy(col("event_type"))
     }),
 
@@ -1111,12 +1118,15 @@ object SparkEntry {
          FROM events WHERE event_id % 2 = 0
          GROUP BY 1 ORDER BY 1""",
 
-    // decimal money: DuckDB's sum(DECIMAL(18,2)) widens to DECIMAL(38,2);
-    // Spark's widens to DECIMAL(28,2) — cast the oracle to match
+    // decimal money: aggregation runs in exact DECIMAL on both sides;
+    // the final projection is BIGINT cents so the driver hash is stable
+    // (DuckDB decimals surface as float64 in pandas, Spark's as exact
+    // Decimal — values equal, hashes differ)
     "c17_decimal_money" ->
       """SELECT event_type, count(*) AS n,
-         CAST(sum(amount) AS DECIMAL(28,2)) AS total_amount,
-         min(amount) AS min_amount, max(amount) AS max_amount
+         CAST(sum(amount) * 100 AS BIGINT) AS total_cents,
+         CAST(min(amount) * 100 AS BIGINT) AS min_cents,
+         CAST(max(amount) * 100 AS BIGINT) AS max_cents
          FROM (SELECT event_type,
                  CAST((event_id * 37) % 99991 / 100.0 AS DECIMAL(18,2)) AS amount,
                  (event_id % 3 = 0) AS priority

@@ -713,6 +713,37 @@ object GraftDataSource {
       tableCols.zip(stored).filter(p => p._1 != p._2).toMap
     }
 
+  /** The filters THIS container may be admitted against, translated to
+    * its stored (historical) labels — or None when a non-IsNull filter
+    * references a column the container does not cover (it predates the
+    * column, add-only evolution: all rows NULL there, so the filter
+    * matches nothing and the container is skipped whole).
+    *
+    * IsNull on an uncovered column is trivially TRUE in that container
+    * and MUST be dropped BEFORE name translation: after a rename X->Y
+    * followed by a new column reusing the name X, the untranslated
+    * current name "X" collides with the container's STORED pre-rename
+    * label "X" at another position, and evaluating IsNull("X") against
+    * THAT column's null counts (explicit 0) would prune a container
+    * whose rows ALL match the current X IS NULL (round-8 advice, high).
+    */
+  private[sources] def containerFilters(m: ParsedManifest,
+      filters: Seq[Filter], tableCols: Seq[String],
+      defaultNames: Seq[String]): Option[Seq[Filter]] = {
+    val storedNames: Seq[String] =
+      if (m.schemaCols.isEmpty) defaultNames else m.schemaCols.map(_._1)
+    val present: Set[String] =
+      if (tableCols.isEmpty) storedNames.toSet
+      else tableCols.take(storedNames.size).toSet
+    val (covered, uncovered) = filters.partition(_.references.forall(present))
+    if (uncovered.exists(!_.isInstanceOf[IsNull])) None
+    else {
+      val toStored = storedNamesOf(m, tableCols)
+      Some(if (toStored.isEmpty) covered
+           else covered.map(renameRefs(_, toStored)))
+    }
+  }
+
   /** Container-level admission against the index SUMMARY (round 8,
     * two-level metadata): the manifest's whole-partition zone maps plus
     * the [[graft.engine.ManifestEnvelope]] fold of its chunk stats.
@@ -795,24 +826,25 @@ object GraftDataSource {
       // the reader translate between the CURRENT names the query uses
       // and this container's stored names, positionally
       val toStored = storedNamesOf(m, tableCols)
-      val mFilters =
-        if (toStored.isEmpty) filters.toSeq
-        else filters.toSeq.map(renameRefs(_, toStored))
       val storedNames: Seq[String] =
         if (m.schemaCols.isEmpty) defaultNames else m.schemaCols.map(_._1)
       // add-only schema evolution: a container written before a column
       // was added has no block for it — its rows are all-NULL there. A
       // value predicate or IsNotNull on such a column matches NOTHING in
-      // this container (SQL three-valued logic): skip it whole. IsNull
-      // on it is trivially TRUE and is dropped reader-side. `present`
-      // is in CURRENT-name space (what neededCols/filters use).
+      // this container (SQL three-valued logic): containerFilters
+      // returns None and the container is skipped whole. IsNull on it is
+      // trivially TRUE — dropped from the admission set BEFORE name
+      // translation (rename + name-reuse collision, see containerFilters)
+      // and dropped reader-side by effectiveFilters. `present` is in
+      // CURRENT-name space (what neededCols/filters use).
       val present: Set[String] =
         if (tableCols.isEmpty) storedNames.toSet
         else tableCols.take(storedNames.size).toSet
       val absent = neededCols -- present
-      val killed = absent.nonEmpty && filters.exists(f =>
-        !f.isInstanceOf[IsNull] && f.references.exists(absent))
-      if (!killed && admitManifest(m, mFilters)) {
+      val admission =
+        containerFilters(m, filters.toSeq, tableCols, defaultNames)
+      if (admission.exists(admitManifest(m, _))) {
+        val mFilters = admission.get
         val hm = if (m.chunksElided) hydrate(m) else m
         val digestCur = toStored.collectFirst {
           case (cur, st) if st == m.digestCol => cur
@@ -1364,19 +1396,22 @@ class GraftScan(path: String, required: StructType,
       // container just for statistics — a conservative overestimate
       // under selective filters, refined to chunk granularity by the
       // actual planning that follows. Filters translate to the
-      // container's stored names (rename support).
-      val toStored = GraftDataSource.storedNamesOf(m, tableCols)
-      val mFilters =
-        if (toStored.isEmpty) filters.toSeq
-        else filters.toSeq.map(GraftDataSource.renameRefs(_, toStored))
+      // container's stored names (rename support); containerFilters
+      // also drops IsNull on columns the container predates and zeroes
+      // containers a value filter on such a column can't match.
       val admittedRows =
-        if (m.chunksElided)
-          if (GraftDataSource.admitManifest(m, mFilters)) m.rows else 0L
-        else if (m.chunkIndex.nonEmpty)
-          m.chunkIndex.filter(GraftDataSource.admitChunk(_, mFilters))
-            .map(_.rows.toLong).sum
-        else if (GraftDataSource.admit(m.longRanges, mFilters)) m.rows
-        else 0L
+        GraftDataSource.containerFilters(m, filters.toSeq, tableCols,
+            tableCols) match {
+          case None => 0L
+          case Some(mFilters) =>
+            if (m.chunksElided)
+              if (GraftDataSource.admitManifest(m, mFilters)) m.rows else 0L
+            else if (m.chunkIndex.nonEmpty)
+              m.chunkIndex.filter(GraftDataSource.admitChunk(_, mFilters))
+                .map(_.rows.toLong).sum
+            else if (GraftDataSource.admit(m.longRanges, mFilters)) m.rows
+            else 0L
+        }
       if (admittedRows > 0) {
         rows += admittedRows
         bytes += (m.rawBytes.toDouble * admittedRows / math.max(m.rows, 1L)).toLong

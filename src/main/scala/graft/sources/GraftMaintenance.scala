@@ -270,7 +270,17 @@ object GraftMaintenance {
     * [[SchemaEvolutionConflict]] inside the OCC transform.
     */
   def renameColumn(spark: SparkSession, path: String,
-                   from: String, to: String): Unit = {
+                   from: String, to: String): Unit =
+    renameColumnWithHook(spark, path, from, to, () => ())
+
+  /** Test seam: `beforeCommit` runs after the marker (with its first
+    * candidate commitId) is staged but before the index commit — the
+    * window a concurrent append races into (advice r8: its higher
+    * commitId under the OLD label must not out-rank the marker).
+    */
+  private[graft] def renameColumnWithHook(spark: SparkSession, path: String,
+                   from: String, to: String,
+                   beforeCommit: () => Unit): Unit = {
     require(to.nonEmpty && to != from, s"bad rename target '$to'")
     val conf = ContainerIO.confFrom(ContainerIO.confSnapshot(spark))
     val committed = Manifests.readCommitted(conf, path)
@@ -282,24 +292,50 @@ object GraftMaintenance {
     require(!current.exists(_.name == to),
       s"column '$to' already exists in ${current.map(_.name).mkString(",")}")
     val renamed = current.updated(idx, current(idx).copy(name = to))
-    val commitId = Manifests.newCommitId(conf, path)
-    val marker = PartManifest(part = 0, rows = 0L, chunks = 0,
-      rawBytes = 0L, encodedBytes = 0L, skipped = false, digest = "",
-      columns = Nil, name = s"schemamarker-$commitId-0",
-      schemaCols = renamed.map(s => (s.name, s.packed)), digestCol = "",
-      commitId = commitId, schemaMarker = true)
+    def mkMarker(commitId: String): PartManifest =
+      PartManifest(part = 0, rows = 0L, chunks = 0,
+        rawBytes = 0L, encodedBytes = 0L, skipped = false, digest = "",
+        columns = Nil, name = s"schemamarker-$commitId-0",
+        schemaCols = renamed.map(s => (s.name, s.packed)), digestCol = "",
+        commitId = commitId, schemaMarker = true)
+    var marker = mkMarker(Manifests.newCommitId(conf, path))
     Manifests.writeManifest(conf, path, marker, 0L)
-    val json = Manifests.manifestJson(marker)
+    beforeCommit()
     try Manifests.commitIndex(conf, path, old => {
       // re-check against the snapshot this commit actually lands on
-      val cur = GraftDataSource.currentSpecsOf(
-        old.map(Manifests.parseWithFallback))
+      val parsedOld = old.map(Manifests.parseWithFallback)
+      val cur = GraftDataSource.currentSpecsOf(parsedOld)
       if (idx >= cur.size || cur(idx).name != from ||
           cur.exists(_.name == to))
         throw new SchemaEvolutionConflict(
           s"concurrent schema change on $path: cannot rename '$from' -> " +
             s"'$to' (current columns: ${cur.map(_.name).mkString(",")})")
-      old :+ json
+      // last-commit-wins label resolution: the marker must outrank
+      // EVERY manifest in the snapshot this commit actually lands on.
+      // An append that committed between our newCommitId and here
+      // carries a HIGHER id under the OLD label, and the rename would
+      // report success but be silently reverted (round-8 advice,
+      // medium). Regenerate above the snapshot's max — re-checked on
+      // every OCC retry, each of which sees a fresher snapshot —
+      // writing the new marker BEFORE the index commit keeps the
+      // commit-marker-first discipline; the outranked marker file is
+      // removed so it can't confuse the listing fallback.
+      val maxPrefix = parsedOld.iterator
+        .map(_.commitId.takeWhile(_.isDigit))
+        .filter(f => f.nonEmpty && f.length <= 17)
+        .map(_.toLong).maxOption.getOrElse(0L)
+      val myPrefix = marker.commitId.takeWhile(_.isDigit).toLong
+      if (myPrefix <= maxPrefix) {
+        val stale = marker
+        val id = f"${math.max(maxPrefix + 1,
+          System.currentTimeMillis())}%013d-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        marker = mkMarker(id)
+        Manifests.writeManifest(conf, path, marker, 0L)
+        ContainerIO.fs(path, conf).delete(new org.apache.hadoop.fs.Path(
+          Manifests.manifestPath(path, stale.name)), false)
+      }
+      old :+ Manifests.manifestJson(marker)
     })
     catch {
       case e: SchemaEvolutionConflict =>
@@ -360,7 +396,20 @@ object GraftMaintenance {
       }
     }
     sweep(s"$path/blocks", n => n.endsWith(".gblk") && !referenced(n))
-    sweep(s"$path/manifests", _ => false) // .tmp- fragments only
+    // Orphan SCHEMA MARKERS (round-8 advice, low): a renameColumn that
+    // crashed between its marker write and its index commit leaves a
+    // marker file the listing fallback would wrongly treat as a
+    // committed rename. When a live index exists and neither the
+    // current snapshot nor any retained one references the marker, it
+    // is the stage of a failed rename — swept once aged. Data-container
+    // manifests stay untouched (they are the commit markers mid-encode
+    // resume depends on), and without any index nothing is judged
+    // (disaster recovery keeps every marker).
+    val indexLive = Manifests.readIndexSnapshot(c, path).isDefined
+    val committedSet = committedNames.toSet
+    sweep(s"$path/manifests", n => indexLive &&
+      n.startsWith("part-schemamarker-") && n.endsWith(".json") &&
+      !committedSet(n.stripPrefix("part-").stripSuffix(".json")))
     deleted
   }
 

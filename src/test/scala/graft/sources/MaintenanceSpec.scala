@@ -473,6 +473,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(d).count() === 100)
   }
 
+  test("vacuum sweeps an orphan schema marker (crashed rename) but keeps " +
+    "committed ones") {
+    import spark.implicits._
+    val d = tempDir("vac-marker")
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "a")
+      .coalesce(1).write.format("graft").mode("append").save(d)
+    // a COMMITTED rename: its marker is index-referenced, must survive
+    GraftMaintenance.renameColumn(spark, d, "a", "b")
+    val conf = ContainerIO.localConf()
+    val committedMarker = Manifests.readCommitted(conf, d)
+      .find(_.schemaMarker).get.name
+    // a CRASHED rename: marker file staged, index commit never landed
+    // (the round-8 low advice window) — the listing fallback would treat
+    // it as a committed rename of b -> c
+    val specs = GraftDataSource.currentSpecsOf(Manifests.readCommitted(conf, d))
+    val orphanId = Manifests.newCommitId(conf, d)
+    val orphan = graft.engine.PartManifest(part = 0, rows = 0L, chunks = 0,
+      rawBytes = 0L, encodedBytes = 0L, skipped = false, digest = "",
+      columns = Nil, name = s"schemamarker-$orphanId-0",
+      schemaCols = specs.map(s =>
+        (if (s.name == "b") "c" else s.name, s.packed)),
+      digestCol = "", commitId = orphanId, schemaMarker = true)
+    Manifests.writeManifest(conf, d, orphan, 0L)
+    Thread.sleep(20) // mtime strictly below the grace cutoff
+    val deleted = GraftMaintenance.vacuum(spark, d, graceMs = 0L)
+    assert(deleted === 1, s"expected exactly the orphan marker, got $deleted")
+    val names = ContainerIO.listNames(conf, s"$d/manifests")
+    assert(!names.contains(s"part-${orphan.name}.json"),
+      "the crashed rename's marker must be swept")
+    assert(names.contains(s"part-$committedMarker.json"),
+      "a committed rename's marker must survive")
+    // the table still reads under the COMMITTED rename only
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "b"))
+    assert(back.count() === 20)
+  }
+
   test("streaming source seen-log is compacted: 100 triggers leave a bounded log") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}

@@ -114,6 +114,56 @@ class RenameSpec extends AnyFunSuite {
     }
   }
 
+  test("rename + NAME REUSE: IS NULL on the reused name admits containers " +
+    "predating it (no collision with the stored pre-rename label)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ren6").toString
+    // old container stores a nullable string column labeled "x" (explicit
+    // 0 null count recorded)
+    (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "x")
+      .coalesce(1).write.format("graft").mode("append").save(d)
+    GraftMaintenance.renameColumn(spark, d, "x", "y")
+    // a NEW trailing nullable column REUSES the name "x"
+    (40 until 80).map(i => (i.toLong, s"v$i", s"n$i")).toDF("id", "y", "x")
+      .coalesce(1).write.format("graft").mode("append").save(d)
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "y", "x"))
+    // the old container predates the current "x": its rows are ALL NULL
+    // there — the untranslated IsNull("x") must not be evaluated against
+    // the container's STORED pre-rename label "x" (0 nulls), which would
+    // prune every matching row (round-8 advice, high)
+    assert(back.filter(col("x").isNull).count() === 40)
+    assert(back.filter(col("x").isNull).agg(max("id")).collect()
+      .head.getLong(0) === 39L)
+    assert(back.filter(col("x").isNotNull).count() === 40)
+    // the renamed column itself still translates + prunes per container
+    assert(back.filter(col("y") === "v7").count() === 1)
+  }
+
+  test("rename racing a concurrent append is NOT silently reverted " +
+    "(marker regenerated above the snapshot it lands on)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ren7").toString
+    (0 until 50).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+      .coalesce(1).write.format("graft").mode("append").save(d)
+    // the race window of the round-8 medium advice: an append commits
+    // AFTER the rename computed its commitId but BEFORE its index
+    // commit — the append's higher commitId under the OLD label would
+    // win last-commit-wins resolution and silently revert the rename
+    GraftMaintenance.renameColumnWithHook(spark, d, "v", "value", () => {
+      Thread.sleep(5) // guarantee a strictly higher wall-clock prefix
+      (50 until 100).map(i => (i.toLong, i * 3L)).toDF("id", "v")
+        .coalesce(1).write.format("graft").mode("append").save(d)
+    })
+    val back = spark.read.format("graft").load(d)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "value"),
+      s"rename was reverted by the racing append: ${back.schema.fieldNames.toSeq}")
+    // both generations are present and read under the new name
+    assert(back.count() === 100)
+    assert(back.agg(sum("value")).collect().head.getLong(0) ===
+      (0 until 100).map(_ * 3L).sum)
+  }
+
   test("rename of a nullable evolved column keeps evolution semantics") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ren5").toString
