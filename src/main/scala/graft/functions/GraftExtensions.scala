@@ -69,7 +69,36 @@ object GraftFunctions {
         litNum("lsh_probes", "planes", es(2)).intValue(),
         litNum("lsh_probes", "tables", es(3)).intValue(),
         litNum("lsh_probes", "probes", es(4)).intValue(),
-        litNum("lsh_probes", "seed", es(5)).longValue())))
+        litNum("lsh_probes", "seed", es(5)).longValue())),
+    ("ivf_lists", "top-nprobe IVF centroid list ids for a vector",
+      es => IvfLists(es.head, litCentroids("ivf_lists", es(1)),
+        litNum("ivf_lists", "nprobe", es(2)).intValue())))
+
+  /** Evaluate a builder argument that MUST be a literal
+    * `array<array<double>>` — the IVF centroid matrix, which is
+    * query-plan data (trained per job), not per-row data.
+    */
+  private def litCentroids(fn: String, e: Expression): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: centroids must be a literal array<array<double>>, got ${e.sql}")
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: centroids must be array<array<double>>, got $other")
+    }
+    e.eval() match {
+      case ad: ArrayData =>
+        ad.toObjectArray(ArrayType(DoubleType)).toSeq.map {
+          case inner: ArrayData => inner.toDoubleArray().toSeq
+          case _ => throw new IllegalArgumentException(
+            s"$fn: centroids must contain no null rows")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$fn: centroids must be a non-null literal array<array<double>>")
+    }
+  }
 
   private lazy val byName: Map[String, Seq[Expression] => Expression] =
     all.map(t => (t._1, t._3)).toMap

@@ -167,24 +167,22 @@ object Similarity {
     require(sample(0).length == dim,
       s"ivfTopK: dim=$dim but ${vecCol} has ${sample(0).length} components")
     val centroids = kmeans(sample, nlist, seed = seed)
-    def centDots(v: Column): Column = array(centroids.toIndexedSeq.map { cent =>
-      // rank lists by squared L2 distance, expressed via dot products:
-      // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2; |v|^2 is constant per row, so
-      // maximize <v,c> - |c|^2/2
-      val c2 = cent.map(x => x * x).sum / 2.0
-      dot(v, array(cent.toIndexedSeq.map(lit): _*)) - lit(c2)
-    }: _*)
+    // list assignment is ONE fused native pass per row
+    // ([[graft.functions.IvfLists]]): ranks lists by squared L2 distance
+    // via <v,c> - |c|^2/2 (|v|^2 is constant per row). The declarative
+    // form this replaced (nlist separate aggregate-over-zip_with dots
+    // per row — the shape the round-5 LshProbes rewrite killed for e3)
+    // stays in OpsSpec as the independently-derived parity cross-check.
+    graft.functions.IvfLists.register(corpus.sparkSession)
+    val centsSeq: Seq[Seq[Double]] = centroids.toIndexedSeq.map(_.toIndexedSeq)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("_scores", centDots(col("cv")))
-      .withColumn("list", expr("array_position(_scores, array_max(_scores)) - 1"))
-      .drop("_scores")
+      .withColumn("list", element_at(
+        graft.functions.IvfLists.ivfLists(col("cv"), centsSeq, 1), 1).cast("long"))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("_scores", centDots(col("qv")))
-      // probe the nprobe best lists: sort (score, idx) structs desc, slice
-      .withColumn("list", explode(expr(
-        s"transform(slice(reverse(array_sort(zip_with(_scores, sequence(0, ${nlist - 1}), (s, i) -> struct(s, i)))), 1, $nprobe), p -> p.i)")))
+      // probe the nprobe best lists, in ranked order
+      .withColumn("list", explode(
+        graft.functions.IvfLists.ivfLists(col("qv"), centsSeq, nprobe)))
       .withColumn("list", col("list").cast("long"))
-      .drop("_scores")
     val scored = c.join(broadcast(q0), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(corpus)(col("qv"), col("cv")))

@@ -22,6 +22,18 @@ class BenchLineSpec extends AnyFunSuite {
       s"real-suite final line is ${line.length} bytes — growth margin gone:\n$line")
   }
 
+  test("bench history resource loads and covers the previous round's suite") {
+    // the >4x-of-history re-time guard is only live if the resource parses:
+    // it must carry every query key the previous round recorded (new
+    // queries legitimately have no entry and fall back to the absolute
+    // 2.0 s guard alone)
+    val h = Bench.history
+    assert(h.nonEmpty, "bench-history.properties missing or unparseable")
+    assert(h.contains("q1_agg") && h("q1_agg") > 0)
+    assert(h.contains("e4_ann_ivf"))
+    assert(h.values.forall(v => v > 0 && v < 1000))
+  }
+
   test("final line self-shrinks under the budget with 15 extra queries") {
     val queries = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.567) ++
       engineKeys ++

@@ -204,6 +204,44 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf2.nonEmpty)
   }
 
+  test("fused ivf_lists matches the declarative centroid-score ranking") {
+    // independently-derived cross-check for the round-9 fused assignment
+    // ([[graft.functions.IvfLists]]): the declarative nlist-separate
+    // aggregate-over-zip_with scores it replaced in ivfTopK, rebuilt here
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample = emb.orderBy("vec_id").limit(64)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = Similarity.kmeans(sample, nlist = 8)
+    val centsSeq: Seq[Seq[Double]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    def declScores(v: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.array(cents.toIndexedSeq.map { cent =>
+        val c2 = cent.map(x => x * x).sum / 2.0
+        Similarity.dot(v, org.apache.spark.sql.functions.array(
+          cent.toIndexedSeq.map(lit): _*)) - lit(c2)
+      }: _*)
+    graft.functions.IvfLists.register(spark)
+    val nprobe = 3
+    val rows = emb
+      .withColumn("fused", graft.functions.IvfLists.ivfLists(col("v"), centsSeq, nprobe))
+      .withColumn("_s", declScores(col("v")))
+      .withColumn("decl_argmax", expr("array_position(_s, array_max(_s)) - 1"))
+      .withColumn("decl_probes", expr(
+        s"transform(slice(reverse(array_sort(zip_with(_s, sequence(0, 7), " +
+          s"(s, i) -> struct(s, i)))), 1, $nprobe), p -> p.i)")
+        .cast("array<long>"))
+      .select("fused", "decl_argmax", "decl_probes")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fused = r.getSeq[Int](0)
+      assert(fused.head.toLong === r.getLong(1),
+        "fused argmax must equal the declarative argmax")
+      assert(fused.map(_.toLong) === r.getSeq[Long](2).map(identity),
+        "fused ranked probe list must equal the declarative ranking")
+    }
+  }
+
   test("approximate ANN/near-dup recall is QUANTIFIED against the exact answers") {
     import org.apache.spark.sql.DataFrame
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
