@@ -636,6 +636,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Copy-on-write DELETE (round 9): write events sorted by event_id
+    // (zone-mapped containers), DELETE a mixed value+range predicate —
+    // the range conjunct prunes high containers whole, matched
+    // containers rewrite under one OCC swap — and aggregate what's left.
+    // The oracle runs the complement filter over the source table.
+    "c20_delete" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c20").toString
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      graft.sources.GraftMaintenance.delete(s, dir,
+        "event_id < 2000 AND event_type = 'click'")
+      s.read.format("graft").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // RENAME (round 8): write the even half as (event_id, value), rename
     // value -> amount (zero-row schema marker; positional identity),
     // append the odd half under the NEW name, and aggregate by the new
@@ -1132,6 +1155,16 @@ object SparkEntry {
                  (event_id % 3 = 0) AS priority
                FROM events)
          WHERE amount >= CAST(500.00 AS DECIMAL(18,2)) AND priority
+         GROUP BY 1 ORDER BY 1""",
+
+    // delete: the complement of the deleted predicate over the source
+    "c20_delete" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
+         WHERE NOT (event_id < 2000 AND event_type = 'click')
          GROUP BY 1 ORDER BY 1""",
 
     // rename: the renamed column is events.value under a new label

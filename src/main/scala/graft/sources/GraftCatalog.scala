@@ -37,7 +37,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(System) || namespace.isEmpty)
       Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"),
-        Identifier.of(System, "rename_column"))
+        Identifier.of(System, "rename_column"), Identifier.of(System, "delete"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -49,9 +49,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       case "compact" => GraftCatalog.CompactProcedure
       case "vacuum" => GraftCatalog.VacuumProcedure
       case "rename_column" => GraftCatalog.RenameColumnProcedure
+      case "delete" => GraftCatalog.DeleteProcedure
       case other => throw new RuntimeException(
         s"unknown graft procedure $other; have: compact, vacuum, " +
-          "rename_column")
+          "rename_column, delete")
     }
   }
 }
@@ -132,6 +133,33 @@ object GraftCatalog {
         StructType(Seq(
           StructField("renamed", BooleanType, nullable = false))),
         Array(true)))
+    }
+  }
+
+  object DeleteProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "delete"
+    override def description(): String =
+      "Copy-on-write row-level DELETE: rewrite exactly the containers " +
+        "that may hold rows matching the predicate (any deterministic " +
+        "Spark SQL boolean expression), swap under one OCC commit. " +
+        "Retained snapshots keep time-traveling to the pre-delete rows " +
+        "until expire_snapshots + vacuum purge them."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("predicate", StringType,
+        comment = "SQL boolean expression; matching rows are deleted"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val deleted = GraftMaintenance.delete(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      one(Report(
+        StructType(Seq(
+          StructField("rows_deleted", LongType, nullable = false))),
+        Array(deleted)))
     }
   }
 

@@ -1037,8 +1037,10 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
           // Spark.
           case StringType if !f.nullable &&
               committedForStats.exists(_.forall(m =>
-                m.schemaMarker || (m.hasChunkIndex && m.env.strRanges
-                  .contains(storedNameIn(m, c))))) =>
+                // zero-row tombstones (delete) contribute no values
+                m.schemaMarker || m.rows == 0 ||
+                  (m.hasChunkIndex && m.env.strRanges
+                    .contains(storedNameIn(m, c))))) =>
             Some(StringType)
           case _ => None
         }
@@ -1047,7 +1049,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).flatMap { f =>
         if (!f.nullable) Some(CountAgg(c, nullable = false))
         else committedForStats.filter(_.forall(m =>
-          m.schemaMarker ||
+          m.schemaMarker || m.rows == 0 ||
           // a manifest that PREDATES the column (add-only evolution)
           // is all-NULL for it — provable by POSITION (names are labels)
           (m.schemaCols.nonEmpty &&

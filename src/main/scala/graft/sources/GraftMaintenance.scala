@@ -160,7 +160,7 @@ object GraftMaintenance {
             if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
             else schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
           rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
-            digestCol, s"compact-$runId-$bin", bin)
+            digestCol, s"compact-$runId-$bin", bin)._1
         }
         .collect()
       catch {
@@ -192,15 +192,35 @@ object GraftMaintenance {
 
     beforeCommit()
     val consumed = work.flatMap(_._3).map(_.name).toSet
-    // one commit-generation stamp across the run's bins: a crashed
-    // compaction's stale stage and its committed retry are then
-    // distinguishable by the listing-fallback normalizer
+    swapGeneration(conf, path, consumed, newManifests.toSeq,
+      what = "compaction", reclaimConsumed = true, afterStage = afterStage)
+    (consumed.size, newManifests.length)
+  }
+
+  /** Publish a rewrite generation (shared by [[compact]] and [[delete]]):
+    * stamp ONE commit id across the run's bins (a crashed run's stale
+    * stage and its committed retry stay distinguishable in the
+    * listing-fallback normalizer), write the new manifests first (the
+    * commit-marker discipline of [[GraftCommits.publish]]), then ONE OCC
+    * index swap replacing exactly `consumed`. A consumed container
+    * replaced by a concurrent commit aborts with [[CompactionConflict]]
+    * and the staged generation is swept.
+    *
+    * `reclaimConsumed = true` deletes the consumed generation's files
+    * once the new snapshot is live (compaction's documented expire-now
+    * semantics); [[delete]] passes false, so retained time-travel
+    * snapshots keep reading the pre-delete rows until the generation
+    * ages out of retention and [[vacuum]] sweeps it.
+    */
+  private def swapGeneration(conf: org.apache.hadoop.conf.Configuration,
+                             path: String, consumed: Set[String],
+                             newManifests: Seq[PartManifest],
+                             what: String, reclaimConsumed: Boolean,
+                             afterStage: () => Unit): Unit = {
     val commitId = Manifests.newCommitId(conf, path)
     val stamped = newManifests.map(_.copy(commitId = commitId))
-    val newJsons = stamped.map(Manifests.manifestJson).toSeq
+    val newJsons = stamped.map(Manifests.manifestJson)
     val newNames = stamped.map(_.name).toSet
-    // publish discipline of GraftCommits.publish: manifests (commit
-    // markers) first, then the OCC snapshot swap, then old-file deletes
     stamped.foreach(m => Manifests.writeManifest(conf, path, m, 0L))
     afterStage()
     try {
@@ -210,8 +230,8 @@ object GraftMaintenance {
         // A concurrent Manifests.consolidate (end of every engine encode)
         // normalizes the LISTING — where this run's staged manifests
         // already sit as commit markers — and may have ADOPTED some or
-        // all of this run's compacted generation into the index, deleting
-        // the consumed originals as superseded. Those bins are already
+        // all of this run's generation into the index, deleting the
+        // consumed originals as superseded. Those bins are already
         // committed: a consumed name missing from the snapshot is a
         // genuine conflict only when no adopted bin of THIS run covers
         // its epoch (pre-round-7 this path threw CompactionConflict and
@@ -224,7 +244,7 @@ object GraftMaintenance {
           adoptedCover(Manifests.epochKey(Manifests.logicalName(n))))
         if (gone.nonEmpty) throw new CompactionConflict(
           s"containers ${gone.toSeq.sorted.mkString(", ")} were replaced " +
-            s"by a concurrent commit during compaction of $path; aborting")
+            s"by a concurrent commit during $what of $path; aborting")
         val adoptedNames = adopted.map(_.name).toSet
         old.lazyZip(parsedOld).collect {
           case (j, pm) if !consumed(pm.name) => j
@@ -247,13 +267,229 @@ object GraftMaintenance {
         }
         throw e
     }
-    // new snapshot is live: delete the consumed generation
-    val f = ContainerIO.fs(path, conf)
-    consumed.foreach { n =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
-      f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
+    if (reclaimConsumed) {
+      // new snapshot is live: delete the consumed generation
+      val f = ContainerIO.fs(path, conf)
+      consumed.foreach { n =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/blocks/part-$n.gblk"), false)
+        f.delete(new org.apache.hadoop.fs.Path(Manifests.manifestPath(path, n)), false)
+      }
     }
-    (consumed.size, newManifests.length)
+  }
+
+  /** Copy-on-write row-level DELETE (round 9) — the first operation a
+    * real training-data pipeline owner asks for (takedown, dedup-purge):
+    * rewrite exactly the containers that MAY hold matching rows, filter
+    * the matches out, and swap the generation in ONE OCC index commit.
+    *
+    * Planning: the predicate (any deterministic Spark SQL boolean
+    * expression over the table's columns — no subqueries) is resolved by
+    * the ordinary analyzer against the table's current schema; its
+    * conjuncts are translated to source filters and run through the SAME
+    * admission the scan uses (zone maps, envelopes, null counts, bucket
+    * ids, rename translation, add-only-evolution coverage), so
+    * containers that provably hold no match are never touched — their
+    * manifests, stats, and files stay byte-identical.
+    *
+    * Rewrite: one Spark task per affected container streams its chunks
+    * (CRC + digest verified) through the compaction re-encoder, dropping
+    * rows the bound predicate matches. A container where nothing matched
+    * keeps its ORIGINAL manifest (the staged rewrite is discarded); a
+    * fully-deleted container becomes a zero-row TOMBSTONE manifest (no
+    * block file) so its epoch stays ancestor-covered — an epoch replay
+    * or listing-fallback recovery can never resurrect the deleted rows.
+    *
+    * Commit: same OCC discipline as [[compact]] — a concurrent append
+    * retries on top and survives; a concurrent commit that REPLACED an
+    * affected container aborts with [[CompactionConflict]] and the
+    * staged generation is swept. Unlike compact, the consumed
+    * generation's files are NOT reclaimed eagerly: retained time-travel
+    * snapshots (`versionAsOf`) keep seeing the pre-delete rows until the
+    * generation ages out of snapshot retention, after which [[vacuum]]
+    * sweeps it (run `CALL graft.system.expire_snapshots` + `vacuum` to
+    * purge deleted rows from storage sooner).
+    *
+    * Streaming interplay: a tailing `readStream` that already emitted an
+    * affected container follows the compaction substitution contract —
+    * a replay re-emits the KEPT rows from the delete generation (deleted
+    * rows are gone everywhere); a delete generation spanning epochs
+    * outside a replay range fails loud, exactly like compaction.
+    *
+    * Returns the number of rows deleted.
+    */
+  def delete(spark: SparkSession, path: String, predicate: String): Long =
+    deleteWithHook(spark, path, predicate, () => ())
+
+  /** Test seams: `beforeCommit` runs after the rewrites are staged but
+    * before the swap (the concurrent-append window); `afterStage` runs
+    * after the new manifests (commit markers) are written but before the
+    * index commit.
+    */
+  private[graft] def deleteWithHook(spark: SparkSession, path: String,
+                                    predicate: String,
+                                    beforeCommit: () => Unit,
+                                    afterStage: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, SubqueryExpression}
+    val confKv = ContainerIO.confSnapshot(spark)
+    val conf = ContainerIO.confFrom(confKv)
+    val all = Manifests.readCommitted(conf, path)
+    require(all.nonEmpty, s"no graft table at $path")
+    val committed = all.filter(m => m.rows > 0 && !m.schemaMarker)
+    if (committed.isEmpty) return 0L
+    val st = GraftDataSource.schemaOf(GraftDataSource.currentSpecsOf(all))
+    val tableCols = st.fieldNames.toSeq
+
+    // resolve through the ordinary analyzer — full Spark SQL
+    // expressiveness, name resolution, implicit casts — then bind to
+    // positional ordinals for stored-row evaluation in the tasks
+    val analyzed = spark.read.format("graft").load(path)
+      .filter(org.apache.spark.sql.functions.expr(predicate))
+      .queryExecution.analyzed
+    val (cond, out) = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        (f.condition, f.child.output)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot resolve delete predicate '$predicate' against $path"))
+    require(cond.deterministic,
+      s"delete predicate must be deterministic: $predicate")
+    require(!cond.exists(_.isInstanceOf[SubqueryExpression]),
+      s"delete predicate must not contain a subquery: $predicate")
+    val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(cond, out)
+
+    // container admission: the predicate's conjuncts, translated to
+    // source filters and through the scan's decimal/boolean
+    // physical-constant translation — untranslatable conjuncts prune
+    // nothing (conservative over-approximation of "has matches").
+    // Hand-rolled attribute-vs-literal translation (Spark's own
+    // DataSourceStrategy.translateFilter is protected[sql]); constants
+    // surface as EXTERNAL values, the form pushed filters arrive in.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val pushed = conjuncts(cond).flatMap(sourceFilterOf)
+    val admission = GraftDataSource.translateFilters(pushed.toArray,
+      GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st)).toSeq
+    val defaultNames = GraftDataSource.schema.fieldNames.toSeq
+    val affected = committed.filter { m =>
+      GraftDataSource.containerFilters(m, admission, tableCols, defaultNames)
+        .exists(GraftDataSource.admitManifest(m, _))
+    }
+    if (affected.isEmpty) return 0L
+
+    val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
+    val width = tableCols.size
+    val hydrated = affected.map(Manifests.loadChunkIndex(conf, path, _))
+    // one task per affected container (1:1 rewrite keeps the schema
+    // generation, partitioning metadata, and epoch coverage of each)
+    val outs: Array[(String, PartManifest, Long)] =
+      try spark.sparkContext.parallelize(hydrated.zipWithIndex, hydrated.size)
+        .map { case (m, bin) =>
+          val c2 = ContainerIO.confFrom(confKv)
+          val containerCols: Seq[(String, Int)] =
+            if (m.schemaCols.isEmpty)
+              ColumnarEngine.DefaultSchema.map(s => (s.name, s.packed))
+            else m.schemaCols
+          val schema = containerCols.map { case (n, k) =>
+            ColumnSpec.fromPacked(n, k) }
+          val matcher = new StoredRowMatcher(bound, containerCols, width)
+          val (pm, dropped) = rewriteBin(c2, path, Seq(m), schema,
+            m.digestCol, s"delete-$runId-$bin", bin, drop = matcher)
+          if (dropped == 0L) {
+            // nothing matched here (admission over-approximates):
+            // discard the staged rewrite, the original stays committed
+            ContainerIO.fs(path, c2).delete(new org.apache.hadoop.fs.Path(
+              s"$path/blocks/part-${pm.name}.gblk"), false)
+          }
+          (m.name, pm, dropped)
+        }
+        .collect()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // same failure discipline as compact: sweep THIS run's staged
+          // containers; surface a vanished source as the controlled
+          // conflict shape
+          val f = ContainerIO.fs(path, conf)
+          ContainerIO.listNames(conf, s"$path/blocks")
+            .filter(_.startsWith(s"part-delete-$runId-"))
+            .foreach(n => f.delete(
+              new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
+          def hasFnf(t: Throwable): Boolean =
+            t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+              hasFnf(t.getCause))
+          if (hasFnf(e)) {
+            val c = new CompactionConflict(
+              s"a source container of $path vanished during the delete " +
+                "rewrite (concurrent overwrite/compaction); delete " +
+                "aborted, staged output removed")
+            c.initCause(e)
+            throw c
+          }
+          throw e
+      }
+    val changed = outs.filter(_._3 > 0L)
+    if (changed.isEmpty) return 0L
+    beforeCommit()
+    swapGeneration(conf, path, changed.map(_._1).toSet,
+      changed.map(_._2).toSeq, what = s"DELETE WHERE $predicate",
+      reclaimConsumed = false, afterStage = afterStage)
+    changed.map(_._3).sum
+  }
+
+  /** Conservative Catalyst-expression -> source-Filter translation for
+    * DELETE's container admission: attribute-vs-literal comparisons, IN,
+    * IS [NOT] NULL, and AND/OR compositions translate; anything else
+    * (casts around the attribute, functions, UDFs) returns None and the
+    * conjunct simply prunes nothing. Literal constants convert to their
+    * EXTERNAL representation ([[CatalystTypeConverters.convertToScala]])
+    * — String / BigDecimal / LocalDateTime / Date — the exact form the
+    * scan's pushed filters arrive in, so the admission machinery
+    * ([[GraftDataSource.translateFilters]] + zone maps) applies
+    * unchanged.
+    */
+  private def sourceFilterOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression):
+      Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    def ext(l: ce.Literal): Any = convertToScala(l.value, l.dataType)
+    e match {
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) if l.value != null =>
+        Some(sf.EqualTo(a.name, ext(l)))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) if l.value != null =>
+        Some(sf.EqualTo(a.name, ext(l)))
+      case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) if l.value != null =>
+        Some(sf.GreaterThan(a.name, ext(l)))
+      case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) if l.value != null =>
+        Some(sf.LessThan(a.name, ext(l)))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) if l.value != null =>
+        Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) if l.value != null =>
+        Some(sf.LessThanOrEqual(a.name, ext(l)))
+      case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) if l.value != null =>
+        Some(sf.LessThan(a.name, ext(l)))
+      case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) if l.value != null =>
+        Some(sf.GreaterThan(a.name, ext(l)))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) if l.value != null =>
+        Some(sf.LessThanOrEqual(a.name, ext(l)))
+      case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) if l.value != null =>
+        Some(sf.GreaterThanOrEqual(a.name, ext(l)))
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(v =>
+            v.isInstanceOf[ce.Literal] && v.asInstanceOf[ce.Literal].value != null) =>
+        Some(sf.In(a.name, vs.map(v => ext(v.asInstanceOf[ce.Literal])).toArray))
+      case ce.IsNull(a: ce.AttributeReference) => Some(sf.IsNull(a.name))
+      case ce.IsNotNull(a: ce.AttributeReference) => Some(sf.IsNotNull(a.name))
+      case ce.And(l, r) =>
+        for { lf <- sourceFilterOf(l); rf <- sourceFilterOf(r) }
+          yield sf.And(lf, rf)
+      case ce.Or(l, r) =>
+        for { lf <- sourceFilterOf(l); rf <- sourceFilterOf(r) }
+          yield sf.Or(lf, rf)
+      case _ => None
+    }
   }
 
   /** Rename a column (round 8). Field identity is POSITIONAL under the
@@ -416,11 +652,14 @@ object GraftMaintenance {
   /** Stream one bin's containers chunk-by-chunk (CRC + digest verified)
     * into a fresh encoder under an unpublished manifest. Task memory is
     * bounded by one decoded chunk plus one encoder chunk buffer.
+    * `drop` (the copy-on-write DELETE path) filters matched rows out of
+    * the rewrite; the second return is how many rows were dropped.
     */
   private def rewriteBin(conf: org.apache.hadoop.conf.Configuration,
                          path: String, ms: Seq[ParsedManifest],
                          schema: Seq[ColumnSpec], digestCol: String,
-                         partName: String, bin: Int): PartManifest = {
+                         partName: String, bin: Int,
+                         drop: StoredRowMatcher = null): (PartManifest, Long) = {
     val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
       partName = partName, schema = schema)
     // EPOCH identities folded into this container — with those the
@@ -454,6 +693,7 @@ object GraftMaintenance {
     val longNulls = if (anyNullable) new Array[Boolean](longNames.length) else null
     val binNulls = if (anyNullable) new Array[Boolean](binNames.length) else null
     val fltNulls = if (anyNullable) new Array[Boolean](fltNames.length) else null
+    var dropped = 0L
     ms.foreach { m =>
       val file = m.blockFile(path)
       val fs = ContainerIO.fs(file, conf)
@@ -481,6 +721,8 @@ object GraftMaintenance {
           val strCols = strNames.map(n => chunk.strs.get(n).strings)
           var j = 0
           while (j < chunk.rows) {
+            if (drop != null && drop.matches(chunk, j)) { dropped += 1; j += 1 }
+            else {
             val strs = new Array[String](strNames.length)
             var i = 0
             while (i < strNames.length) {
@@ -523,6 +765,7 @@ object GraftMaintenance {
             enc.addRow(strs, longs, binsRow, fltsRow, strNulls, longNulls,
               binNulls, fltNulls)
             j += 1
+            }
           }
         }
       } finally in.close()
@@ -541,7 +784,69 @@ object GraftMaintenance {
         .filter(c => ms.forall(_.bucketIds.contains(c)))
         .map(c => c -> ms.flatMap(_.bucketIds(c)).distinct.sorted)
         .toMap
-    enc.finish(publishManifest = false).copy(ancestors = ancestors,
-      partitioning = partitioning, bucketIds = bucketIds)
+    (enc.finish(publishManifest = false).copy(ancestors = ancestors,
+      partitioning = partitioning, bucketIds = bucketIds), dropped)
+  }
+}
+
+/** Evaluates a Catalyst predicate — resolved against the table's CURRENT
+  * schema and bound to positional ordinals — on decoded STORED rows of
+  * one container (the copy-on-write DELETE row filter). Positions the
+  * container covers are surfaced in Spark's internal representation per
+  * kind (micros/days for temporals, unscaled [[Decimal]], UTF8String
+  * slices over the decoded pool — no String materialization); positions
+  * past the container's width (add-only evolution) stay null, matching
+  * the reader's null-fill. Ships to tasks with the bound expression;
+  * the generated predicate and per-column getters build lazily on the
+  * executor.
+  */
+private[sources] final class StoredRowMatcher(
+    bound: org.apache.spark.sql.catalyst.expressions.Expression,
+    containerCols: Seq[(String, Int)], width: Int) extends Serializable {
+  import graft.engine.DecodedChunk
+
+  @transient private lazy val pred = {
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(bound)
+    p.initialize(0)
+    p
+  }
+
+  @transient private lazy val getters: Array[(DecodedChunk, Int) => Any] =
+    containerCols.toArray.map { case (n0, packed) =>
+      val s = graft.engine.ColumnSpec.fromPacked(n0, packed)
+      val n = s.name
+      val get: (DecodedChunk, Int) => Any = s.kind match {
+        case 0 | 3 => (c, j) => c.longs.get(n)(j)
+        case 2 | 4 => (c, j) => c.ints.get(n)(j)
+        case 5 => (c, j) => c.doubles.get(n)(j)
+        case 8 => (c, j) => org.apache.spark.sql.types.Decimal
+          .createUnsafe(c.longs.get(n)(j), s.precision, s.scale)
+        case 9 => (c, j) => c.ints.get(n)(j) != 0
+        case 1 => (c, j) => {
+          val u = c.strs.get(n)
+          org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(u.pool, u.offsets(j), u.lens(j))
+        }
+        case 6 => (c, j) => {
+          val u = c.strs.get(n)
+          java.util.Arrays.copyOfRange(u.pool, u.offsets(j),
+            u.offsets(j) + u.lens(j))
+        }
+        case 7 => (c, j) => org.apache.spark.sql.catalyst.expressions
+          .UnsafeArrayData.fromPrimitiveArray(c.flts.get(n).slice(j))
+        case other => throw new IllegalStateException(
+          s"unknown column kind $other for '$n'")
+      }
+      if (s.nullable) (c: DecodedChunk, j: Int) =>
+        if (c.validAt(n, j)) get(c, j) else null
+      else get
+    }
+
+  def matches(chunk: DecodedChunk, j: Int): Boolean = {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(width)
+    var i = 0
+    while (i < getters.length) { row.update(i, getters(i)(chunk, j)); i += 1 }
+    pred.eval(row)
   }
 }
