@@ -639,6 +639,58 @@ object Manifests {
     */
   final val SnapshotRetention = 8L
 
+  /** The rolling retention actually applied at commit time: the
+    * `graft.snapshot.retention` configuration key (settable per session
+    * via `spark.hadoop.graft.snapshot.retention`, or per table by the
+    * caller's Configuration) overrides the [[SnapshotRetention]] default.
+    * For one-off reclamation beyond the rolling policy — the Iceberg
+    * `expire_snapshots` shape — see [[expireSnapshots]] /
+    * `CALL graft.system.expire_snapshots`.
+    */
+  def snapshotRetention(conf: Configuration): Long =
+    math.max(0L, conf.getLong("graft.snapshot.retention", SnapshotRetention))
+
+  /** Expire retained time-travel snapshots NOW (round 9): truncate the
+    * content of superseded index versions beyond `retainLast` (the tip
+    * counts as one of the retained), optionally only those older than
+    * `olderThanMs`. An expired version keeps its tombstoned file (the
+    * number stays pinned — see [[commitIndex]]) but reads of it fail
+    * with the controlled "no longer retained" error, and [[vacuum]]'s
+    * referenced set stops protecting the blocks only it referenced —
+    * the delete-purge path: `delete` → `expire_snapshots` → `vacuum`
+    * removes deleted rows from storage.
+    *
+    * Returns the number of versions expired.
+    */
+  def expireSnapshots(conf: Configuration, tableDir: String,
+                      retainLast: Long,
+                      olderThanMs: Long = 0L): Int = {
+    require(retainLast >= 1,
+      s"retain_last must be >= 1 (the current snapshot is never expired): " +
+        s"$retainLast")
+    require(olderThanMs >= 0, s"older_than_ms must be >= 0: $olderThanMs")
+    val f = ContainerIO.fs(tableDir, conf)
+    val now = System.currentTimeMillis()
+    // rank content-bearing versions, newest first; the newest retainLast
+    // stay (the tip is by construction among them)
+    val withContent = versionedIndexes(conf, tableDir).flatMap { case (v, n) =>
+      val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
+      try {
+        val st = f.getFileStatus(p)
+        if (st.getLen > 0) Some((v, p, st.getModificationTime)) else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    }.sortBy(-_._1)
+    var expired = 0
+    withContent.drop(retainLast.toInt).foreach { case (_, p, mtime) =>
+      if (mtime <= now - olderThanMs) {
+        // truncate, never delete: the version number stays pinned
+        try { f.create(p, true).close(); expired += 1 }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+    expired
+  }
+
   /** Optimistic-concurrency commit of a new index snapshot (the Iceberg
     * shape): read the current snapshot, apply `transform`, and publish it
     * as `_manifest-index.v<current + 1>.json` via an ATOMIC
@@ -697,11 +749,12 @@ object Manifests {
           f.delete(new org.apache.hadoop.fs.Path(
             s"$tableDir/${versionedIndexName(next)}"), false)
         } else {
+          val retention = snapshotRetention(conf)
           listed.foreach { case (v, n) =>
             val p = new org.apache.hadoop.fs.Path(s"$tableDir/$n")
             if (v < ver - TombstoneRetention) f.delete(p, false)
-            else if (v < ver - SnapshotRetention &&
-                v >= ver - SnapshotRetention - 8) {
+            else if (v < ver - retention &&
+                v >= ver - retention - 8) {
               // tombstone: pin the claim, drop the payload. The EXISTENCE
               // of the file is what blocks number re-claim — truncation
               // only reclaims space, so the recent window suffices
@@ -896,8 +949,9 @@ object Manifests {
       }
     if (bytes.isEmpty) throw new IllegalArgumentException(
       s"graft snapshot version $version of $tableDir is no longer " +
-        s"retained (the table keeps the last $SnapshotRetention " +
-        "superseded versions)")
+        s"retained (the table keeps the last ${snapshotRetention(conf)} " +
+        "superseded versions; expired earlier if " +
+        "graft.system.expire_snapshots ran)")
     try parseIndexJsons(bytes).map(parseWithFallback)
     catch {
       case e: com.fasterxml.jackson.core.JacksonException =>

@@ -37,7 +37,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(System) || namespace.isEmpty)
       Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"),
-        Identifier.of(System, "rename_column"), Identifier.of(System, "delete"))
+        Identifier.of(System, "rename_column"), Identifier.of(System, "delete"),
+        Identifier.of(System, "expire_snapshots"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -50,9 +51,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       case "vacuum" => GraftCatalog.VacuumProcedure
       case "rename_column" => GraftCatalog.RenameColumnProcedure
       case "delete" => GraftCatalog.DeleteProcedure
+      case "expire_snapshots" => GraftCatalog.ExpireSnapshotsProcedure
       case other => throw new RuntimeException(
         s"unknown graft procedure $other; have: compact, vacuum, " +
-          "rename_column, delete")
+          "rename_column, delete, expire_snapshots")
     }
   }
 }
@@ -160,6 +162,38 @@ object GraftCatalog {
         StructType(Seq(
           StructField("rows_deleted", LongType, nullable = false))),
         Array(deleted)))
+    }
+  }
+
+  object ExpireSnapshotsProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "Expire retained time-travel snapshots now: keep the newest " +
+        "retain_last content-bearing versions (the tip counts), " +
+        "optionally only versions older than older_than_ms. Expired " +
+        "versions fail reads with the controlled 'no longer retained' " +
+        "error and stop protecting their blocks from vacuum (the " +
+        "delete-purge path). The rolling per-commit window is the " +
+        "graft.snapshot.retention configuration key (default 8)."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("retain_last", LongType, default = "2",
+        comment = "newest content-bearing versions to keep (>= 1)"),
+      in("older_than_ms", LongType, default = "0",
+        comment = "only expire versions at least this old"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val expired = GraftMaintenance.expireSnapshots(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        retainLast = input.getLong(1),
+        olderThanMs = input.getLong(2))
+      one(Report(
+        StructType(Seq(
+          StructField("snapshots_expired", IntegerType, nullable = false))),
+        Array(expired)))
     }
   }
 

@@ -609,11 +609,29 @@ object GraftMaintenance {
     // manifests/ listing: a mid-resume engine encode has per-partition
     // manifests the (stale) index doesn't know yet — their blocks are
     // committed data, not orphans
-    val committedNames = Manifests.readCommitted(c, path).map(_.name) ++
+    val committedMs = Manifests.readCommitted(c, path)
+    val committedNames = committedMs.map(_.name) ++
       Manifests.retainedSnapshotNames(c, path)
+    val committedRefs = committedNames.toSet
+    // SUPERSEDED generations (round 9): a delete keeps the consumed
+    // generation's files so retained snapshots still time-travel to the
+    // pre-delete rows. Once no current or retained snapshot references
+    // such a container AND its epoch is ancestor-covered by a live
+    // manifest (its surviving rows provably live there — the delete/
+    // compaction coverage invariant), its lingering commit marker and
+    // block are reclaimable. This is the delete-purge tail:
+    // `delete` → `expire_snapshots` → `vacuum` removes deleted rows
+    // from storage. Without a live index nothing is judged (disaster
+    // recovery keeps everything).
+    val indexLive = Manifests.readIndexSnapshot(c, path).isDefined
+    val ancestorCover = committedMs
+      .flatMap(m => m.ancestors ++ m.ancestors.map(Manifests.epochKey)).toSet
+    def superseded(n: String): Boolean = indexLive && !committedRefs(n) &&
+      ancestorCover(Manifests.epochKey(Manifests.logicalName(n)))
     val listedNames = ContainerIO.listNames(c, s"$path/manifests")
       .filter(n => n.startsWith("part-") && n.endsWith(".json"))
       .map(_.stripPrefix("part-").stripSuffix(".json"))
+      .filterNot(superseded)
     val referenced =
       (committedNames ++ listedNames).map(n => s"part-$n.gblk").toSet
     val fs = ContainerIO.fs(path, c)
@@ -641,13 +659,31 @@ object GraftMaintenance {
     // manifests stay untouched (they are the commit markers mid-encode
     // resume depends on), and without any index nothing is judged
     // (disaster recovery keeps every marker).
-    val indexLive = Manifests.readIndexSnapshot(c, path).isDefined
-    val committedSet = committedNames.toSet
     sweep(s"$path/manifests", n => indexLive &&
-      n.startsWith("part-schemamarker-") && n.endsWith(".json") &&
-      !committedSet(n.stripPrefix("part-").stripSuffix(".json")))
+      n.startsWith("part-") && n.endsWith(".json") && {
+        val base = n.stripPrefix("part-").stripSuffix(".json")
+        (n.startsWith("part-schemamarker-") && !committedRefs(base)) ||
+          // superseded-generation commit markers (see above): swept so
+          // the listing fallback can never resurrect a generation whose
+          // blocks this run reclaims
+          superseded(base)
+      })
     deleted
   }
+
+  /** Expire retained time-travel snapshots now (see
+    * [[Manifests.expireSnapshots]]): keep the newest `retainLast`
+    * content-bearing versions (the current tip counts), optionally only
+    * expiring versions older than `olderThanMs`. Returns the number of
+    * versions expired. The rolling per-commit retention is configurable
+    * via the `graft.snapshot.retention` Hadoop/Spark configuration key
+    * (default ${Manifests.SnapshotRetention}).
+    */
+  def expireSnapshots(spark: SparkSession, path: String, retainLast: Long,
+                      olderThanMs: Long = 0L): Int =
+    Manifests.expireSnapshots(
+      ContainerIO.confFrom(ContainerIO.confSnapshot(spark)), path,
+      retainLast, olderThanMs)
 
   /** Stream one bin's containers chunk-by-chunk (CRC + digest verified)
     * into a fresh encoder under an unpublished manifest. Task memory is

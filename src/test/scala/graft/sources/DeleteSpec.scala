@@ -276,6 +276,46 @@ class DeleteSpec extends AnyFunSuite {
       s"replay must re-emit exactly the kept rows, got $ids")
   }
 
+  test("takedown purge: delete -> expire_snapshots -> vacuum removes the " +
+    "deleted rows from storage") {
+    val d = tmp("purge")
+    append(d, 0, 100, "a")
+    append(d, 100, 200, "b")
+    assert(GraftMaintenance.delete(spark, d, "id < 150") === 150L)
+    val live = names(d)
+    val onDisk = () => ContainerIO.listNames(conf, s"$d/blocks")
+      .filter(_.endsWith(".gblk")).toSet
+    // pre-purge: old generation still on disk (retained snapshots read it)
+    assert(onDisk().size > live.count(n =>
+      Manifests.readCommitted(conf, d).exists(m => m.name == n && m.rows > 0)),
+      "the pre-delete generation must survive until purged")
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(d)
+      .count() === 200)
+    // purge: expire everything but the tip, then sweep
+    assert(GraftMaintenance.expireSnapshots(spark, d, retainLast = 1) >= 1)
+    val swept = GraftMaintenance.vacuum(spark, d, graceMs = 0L)
+    assert(swept > 0, "vacuum must reclaim the superseded generation")
+    // the deleted rows' containers are GONE from storage; the live
+    // generation reads exactly the kept rows
+    val liveBlocks = Manifests.readCommitted(conf, d)
+      .filter(_.rows > 0).map(m => s"part-${m.name}.gblk").toSet
+    assert(onDisk() === liveBlocks,
+      s"only live blocks may remain: ${onDisk()} vs $liveBlocks")
+    assert(spark.read.format("graft").load(d).count() === 50)
+    // the expired pre-delete snapshot now fails controlled
+    val ex = intercept[Exception] {
+      spark.read.format("graft").option("versionAsOf", "1").load(d).count()
+    }
+    assert(ex.getMessage.contains("no longer retained"), ex.getMessage)
+    // lingering superseded commit markers are swept too: the listing
+    // fallback can never resurrect the purged generation
+    val markers = ContainerIO.listNames(conf, s"$d/manifests")
+      .filter(n => n.startsWith("part-") && n.endsWith(".json"))
+      .map(_.stripPrefix("part-").stripSuffix(".json")).toSet
+    assert(markers === Manifests.readCommitted(conf, d).map(_.name).toSet,
+      s"superseded markers must be swept: $markers")
+  }
+
   test("delete predicate guards: nondeterministic and subquery predicates " +
     "are rejected") {
     val d = tmp("guards")

@@ -75,6 +75,56 @@ class SnapshotSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("no snapshot version"))
   }
 
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  test("snapshot retention is configurable via graft.snapshot.retention") {
+    val d = tmp("ret-conf")
+    val key = "graft.snapshot.retention"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set(key, "2")
+    try {
+      (0 until 6).foreach(i => append(d, i * 100L, s"t$i", n = 5))
+      // tip = version 5; retention 2 keeps v3..v5 content, truncates v2
+      assert(Manifests.readCommittedAt(conf2(), d, 4L).nonEmpty)
+      val ex = intercept[IllegalArgumentException] {
+        Manifests.readCommittedAt(conf2(), d, 1L)
+      }
+      assert(ex.getMessage.contains("no longer retained"), ex.getMessage)
+      assert(ex.getMessage.contains("last 2"), ex.getMessage)
+    } finally hc.unset(key)
+  }
+
+  private def conf2() = ContainerIO.confFrom(
+    ContainerIO.confSnapshot(spark.sparkContext.hadoopConfiguration))
+
+  test("expire_snapshots truncates beyond retain_last; SQL CALL surface " +
+    "reports it") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val d = tmp("expire")
+    (0 until 4).foreach(i => append(d, i * 100L, s"t$i", n = 5))
+    // tip = v3; all of v0..v2 retained content under the default window
+    assert(Manifests.readCommittedAt(conf, d, 0L).nonEmpty)
+    // age guard: nothing is old enough -> nothing expires
+    assert(GraftMaintenance.expireSnapshots(spark, d, retainLast = 1,
+      olderThanMs = 3600 * 1000L) === 0)
+    assert(Manifests.readCommittedAt(conf, d, 0L).nonEmpty)
+    // SQL CALL: keep the 2 newest content-bearing versions
+    val r = spark.sql(
+      s"CALL graft.system.expire_snapshots(path => '$d', retain_last => 2)")
+      .collect()(0)
+    assert(r.getInt(0) === 2, s"expected 2 expired, got $r")
+    assert(Manifests.readCommittedAt(conf, d, 2L).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Manifests.readCommittedAt(conf, d, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      GraftMaintenance.expireSnapshots(spark, d, retainLast = 0)
+    }
+    // the tip keeps reading
+    assert(spark.read.format("graft").load(d).count() === 20)
+  }
+
   test("time travel pins the snapshot's SCHEMA (pre-evolution reads are " +
     "narrow)") {
     import spark.implicits._
