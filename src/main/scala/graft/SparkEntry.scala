@@ -659,6 +659,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // FLOAT kind 10 (round 9): a 32-bit model-score column through the
+    // kind-2 narrow path behind the sortable-int mapping. The range
+    // filter pushes down (constants pre-translated to sortable ints,
+    // chunk zone maps prune the sorted containers); MIN/MAX of the
+    // floats are exact values (no accumulation), so the oracle compares
+    // float32 to float32.
+    "c21_float_score" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c21").toString
+      t(s, d, "events").select(col("event_id"), col("event_type"),
+          (col("value") * 0.1).cast("float").as("score"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "score")
+        .mode("overwrite").save(dir)
+      s.read.format("graft").load(dir)
+        .filter(col("score") >= lit(5.0f) && col("score") < lit(80.0f))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // RENAME (round 8): write the even half as (event_id, value), rename
     // value -> amount (zero-row schema marker; positional identity),
     // append the odd half under the NEW name, and aggregate by the new
@@ -1165,6 +1189,16 @@ object SparkEntry {
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events
          WHERE NOT (event_id < 2000 AND event_type = 'click')
+         GROUP BY 1 ORDER BY 1""",
+
+    // float scalar: REAL on both sides — min/max are exact picked values
+    "c21_float_score" ->
+      """SELECT event_type, count(*) AS n,
+         min(score) AS min_score, max(score) AS max_score,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM (SELECT event_id, event_type,
+                 CAST(value * 0.1 AS REAL) AS score FROM events)
+         WHERE score >= 5.0 AND score < 80.0
          GROUP BY 1 ORDER BY 1""",
 
     // rename: the renamed column is events.value under a new label

@@ -38,7 +38,11 @@ final case class ColumnMetric(column: String, codec: String,
   * inherit, since unscaled order IS decimal order at a fixed scale),
   * kind 9 = boolean (0/1 through the kind-0 stats-selected codecs —
   * bit-pack stores it at ~1 bit per row, RLE collapses runs — decoded
-  * back through the narrow int surface).
+  * back through the narrow int surface), kind 10 = float (32-bit
+  * scalar: order-preserving sortable-int bits —
+  * [[graft.codecs.FloatBits]] — through the kind-2 NARROW path, the
+  * kind-5 pattern at half width; zone maps and MIN/MAX inherit, pushed
+  * Float constants pre-translate to sortable ints).
   * The container format stores (name, kind, block) per column per chunk,
   * so any schema of these kinds round-trips; [[DerivedRow]] is simply
   * the engine's own schema ([[ColumnarEngine.DefaultSchema]]).
@@ -54,7 +58,7 @@ final case class ColumnMetric(column: String, codec: String,
   */
 final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false,
                             precision: Int = 0, scale: Int = 0) {
-  require(kind >= 0 && kind <= 9, s"unknown column kind $kind")
+  require(kind >= 0 && kind <= 10, s"unknown column kind $kind")
   require(kind != 8 || (precision >= 1 && precision <= 18 &&
     scale >= 0 && scale <= precision),
     s"decimal kind needs 1 <= precision <= 18 and 0 <= scale <= precision, " +
@@ -478,9 +482,9 @@ object ColumnarEngine {
         }
         // an all-null chunk has no real values: record no range at all
         val hasRange = nc < n
-        if (numKinds(ci) == 2 || numKinds(ci) == 4) {
-          // narrow i32 column (int / date days): zigzag-varint block
-          // behind the overflow-checked narrow decode
+        if (numKinds(ci) == 2 || numKinds(ci) == 4 || numKinds(ci) == 10) {
+          // narrow i32 column (int / date days / float sortable bits):
+          // zigzag-varint block behind the overflow-checked narrow decode
           // ([[graft.codecs.IntCodecs]]); the block carries its true kind
           val st = LongCodecs.stats(vals, n)
           writeCol(nm, numKinds(ci), IntCodecs.encode(vals, n), "varint-i32",
@@ -679,7 +683,7 @@ object ColumnarEngine {
           longNullCnt(j) += 1
           longBufs(j)(bufN) = 0L // placeholder; flushChunk re-fills
         } else {
-          require((numKinds(j) != 2 && numKinds(j) != 4) ||
+          require((numKinds(j) != 2 && numKinds(j) != 4 && numKinds(j) != 10) ||
               longVals(j) == longVals(j).toInt.toLong,
             s"value ${longVals(j)} out of i32 range for narrow column " +
               s"'${longNames(j)}' (partition $part)")

@@ -219,7 +219,7 @@ private[graft] object ContainerFormat {
       // (nullable columns write it only on chunks that contain nulls)
       val kind = rawKind & 0x7f
       val hasNulls = (rawKind & 0x80) != 0
-      require(kind >= 0 && kind <= 9, s"unknown column kind $kind")
+      require(kind >= 0 && kind <= 10, s"unknown column kind $kind")
       val blockLen = {
         val l = ci.readVarint()
         require(l >= 0 && l <= ci.remaining, s"block length $l overruns container")
@@ -252,7 +252,10 @@ private[graft] object ContainerFormat {
         // unscaled long straight through the kind-0 path
         if (kind == 0 || kind == 3 || kind == 8)
           longs.put(name, LongCodecs.decodeSlice(block, off, block.length))
-        else if (kind == 2 || kind == 4)
+        // kind 10 (float) is kind-2 narrow storage behind the
+        // order-preserving bit mapping: the ints lane carries the
+        // sortable bits; readers flip at the column boundary
+        else if (kind == 2 || kind == 4 || kind == 10)
           ints.put(name, graft.codecs.IntCodecs.decodeSlice(block, off, block.length))
         else if (kind == 9) {
           // boolean: kind-0 stats-selected storage (bit-pack/RLE),

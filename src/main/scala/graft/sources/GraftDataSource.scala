@@ -100,6 +100,7 @@ object GraftDataSource {
       case 7 => ArrayType(FloatType, containsNull = false)
       case 8 => DecimalType(s.precision, s.scale)
       case 9 => BooleanType
+      case 10 => FloatType
       case _ => StringType
     }, nullable = s.nullable)))
 
@@ -136,10 +137,14 @@ object GraftDataSource {
           s"graft DECIMAL columns support precision <= 18 (long-backed); " +
             s"column '${f.name}' is $d")
         case BooleanType => graft.engine.ColumnSpec(f.name, 9, f.nullable)
+        // FLOAT (round 9): sortable-int bits through the kind-2 narrow
+        // path — the kind-5 pattern at half width (a model-score column
+        // no longer forces a cast to DOUBLE)
+        case FloatType => graft.engine.ColumnSpec(f.name, 10, f.nullable)
         case other => throw new IllegalArgumentException(
           s"graft supports only BIGINT, INT, STRING, TIMESTAMP_NTZ, " +
-            s"DATE, DOUBLE, BINARY, ARRAY<FLOAT>, DECIMAL(<=18), and " +
-            s"BOOLEAN columns; column '${f.name}' is $other")
+            s"DATE, DOUBLE, FLOAT, BINARY, ARRAY<FLOAT>, DECIMAL(<=18), " +
+            s"and BOOLEAN columns; column '${f.name}' is $other")
       }
     }
   }
@@ -288,8 +293,22 @@ object GraftDataSource {
     * and Spark evaluates it residually). Constants beyond long range
     * likewise stay untranslated.
     */
+  /** (Round 9) FLOAT (kind 10) constants likewise pre-translate to their
+    * order-preserving sortable-int storage form: the mapping is a
+    * bijection so every comparison is exact — except ±0.0f, which SQL
+    * calls equal but which map to TWO adjacent storage values (-1, 0):
+    * equality expands to an IN over both, and each range bound picks the
+    * side that preserves SQL semantics. NaN constants stay untranslated
+    * (unpushed — Spark evaluates them residually), mirroring kind 5.
+    */
   private[sources] def translateFilters(filters: Array[Filter],
-      decScale: Map[String, Int], boolCols: Set[String]): Array[Filter] = {
+      decScale: Map[String, Int], boolCols: Set[String],
+      f32Cols: Set[String] = Set.empty): Array[Filter] = {
+    def f32(f: Float): java.lang.Integer =
+      java.lang.Integer.valueOf(graft.codecs.FloatBits.toSortableInt(f))
+    // the inclusive sortable range SQL considers EQUAL to the constant
+    def f32Lo(f: Float): java.lang.Integer = f32(if (f == 0.0f) -0.0f else f)
+    def f32Hi(f: Float): java.lang.Integer = f32(if (f == 0.0f) 0.0f else f)
     def floorU(bd: java.math.BigDecimal, s: Int): Long =
       bd.setScale(s, java.math.RoundingMode.FLOOR).unscaledValue().longValueExact()
     def ceilU(bd: java.math.BigDecimal, s: Int): Long =
@@ -317,6 +336,24 @@ object GraftDataSource {
             exactU(v.asInstanceOf[java.math.BigDecimal], decScale(c)))
           if (exact.isEmpty) f
           else In(c, exact.map(java.lang.Long.valueOf(_): AnyRef))
+        case EqualTo(c, x: java.lang.Float) if f32Cols(c) && !x.isNaN =>
+          val (lo, hi) = (f32Lo(x), f32Hi(x))
+          if (lo == hi) EqualTo(c, lo) else In(c, Array[Any](lo, hi))
+        case GreaterThan(c, x: java.lang.Float) if f32Cols(c) && !x.isNaN =>
+          GreaterThan(c, f32Hi(x))
+        case GreaterThanOrEqual(c, x: java.lang.Float) if f32Cols(c) && !x.isNaN =>
+          GreaterThanOrEqual(c, f32Lo(x))
+        case LessThan(c, x: java.lang.Float) if f32Cols(c) && !x.isNaN =>
+          LessThan(c, f32Lo(x))
+        case LessThanOrEqual(c, x: java.lang.Float) if f32Cols(c) && !x.isNaN =>
+          LessThanOrEqual(c, f32Hi(x))
+        case In(c, vs) if f32Cols(c) && vs.nonEmpty &&
+            vs.forall(v => v.isInstanceOf[java.lang.Float] &&
+              !v.asInstanceOf[java.lang.Float].isNaN) =>
+          In(c, vs.flatMap { v =>
+            val x = v.asInstanceOf[java.lang.Float].floatValue()
+            if (x == 0.0f) Seq[Any](f32Lo(x), f32Hi(x)) else Seq[Any](f32(x))
+          })
         case EqualTo(c, x: java.lang.Boolean) if boolCols(c) =>
           EqualTo(c, java.lang.Integer.valueOf(if (x) 1 else 0))
         case In(c, vs) if boolCols(c) && vs.nonEmpty &&
@@ -344,8 +381,14 @@ object GraftDataSource {
   private[sources] def intColsOf(st: StructType): Set[String] =
     st.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == DateType ||
-        f.dataType == BooleanType => f.name
+        f.dataType == BooleanType || f.dataType == FloatType => f.name
     }.toSet
+
+  /** Scalar FLOAT columns (kind 10): pushed Float constants pre-translate
+    * to their order-preserving sortable-int storage form.
+    */
+  private[sources] def f32ColsOf(st: StructType): Set[String] =
+    st.fields.collect { case f if f.dataType == FloatType => f.name }.toSet
   private[sources] def dblColsOf(st: StructType): Set[String] =
     st.fields.collect { case f if f.dataType == DoubleType => f.name }.toSet
   private[sources] def nullableColsOf(st: StructType): Set[String] =
@@ -1025,7 +1068,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       tableSchema.fields.find(_.name == c).flatMap { f =>
         f.dataType match {
           case LongType | IntegerType | TimestampNTZType | DateType |
-               DoubleType => Some(f.dataType)
+               DoubleType | FloatType => Some(f.dataType)
           // decimal zone maps hold unscaled longs, whose order IS the
           // decimal order at the column's fixed scale — MIN/MAX exact
           case d: DecimalType => Some(d)
@@ -1098,13 +1141,16 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
 
   private val decScale = GraftDataSource.decScaleOf(tableSchema)
   private val boolCols = GraftDataSource.boolColsOf(tableSchema)
+  private val f32Cols = GraftDataSource.f32ColsOf(tableSchema)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // decimal/boolean predicates are first rewritten to their PHYSICAL
-    // constants (unscaled long / 0-1 int), then the existing long/int
-    // pushdown machinery admits them untouched; a filter whose translated
-    // form is unpushable stays residual in its ORIGINAL form
-    val translated = GraftDataSource.translateFilters(filters, decScale, boolCols)
+    // decimal/boolean/float predicates are first rewritten to their
+    // PHYSICAL constants (unscaled long / 0-1 int / sortable int), then
+    // the existing long/int pushdown machinery admits them untouched; a
+    // filter whose translated form is unpushable stays residual in its
+    // ORIGINAL form
+    val translated =
+      GraftDataSource.translateFilters(filters, decScale, boolCols, f32Cols)
     val paired = filters.zip(translated)
     pushed = paired.collect { case (_, t) if
       GraftDataSource.pushable(t, longCols, strCols, intCols, dblCols, fltCols) => t }
@@ -1237,6 +1283,9 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       if (GraftAgg.narrow(dt)) java.lang.Integer.valueOf(v.toInt)
       else if (dt == DoubleType)
         java.lang.Double.valueOf(graft.codecs.DoubleBits.fromSortableLong(v))
+      else if (dt == FloatType)
+        // kind-10 zone maps carry the widened sortable ints
+        java.lang.Float.valueOf(graft.codecs.FloatBits.fromSortableInt(v.toInt))
       else dt match {
         case d: DecimalType =>
           org.apache.spark.sql.types.Decimal.createUnsafe(v, d.precision, d.scale)
@@ -1255,6 +1304,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
       case i: java.lang.Integer => i.intValue()
       case l: java.lang.Long => l.longValue()
       case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.floatValue()
       case dec: org.apache.spark.sql.types.Decimal => dec
       case s: String => s
     }))
@@ -1277,6 +1327,7 @@ class GraftAggScan(path: String, specs: Seq[GraftAgg],
                 case l: Long => row.setLong(i, l)
                 case n: Int => row.setInt(i, n)
                 case d: Double => row.setDouble(i, d)
+                case f: Float => row.setFloat(i, f)
                 case s: String => row.update(i, UTF8String.fromString(s))
                 case other => row.update(i, other)
               }
@@ -1349,7 +1400,8 @@ class GraftScan(path: String, required: StructType,
     // runtime (DPP) filters on decimal/boolean keys arrive in LOGICAL
     // form — translate to physical constants like the builder did
     val accepted = GraftDataSource.translateFilters(runtime,
-      GraftDataSource.decScaleOf(required), GraftDataSource.boolColsOf(required))
+      GraftDataSource.decScaleOf(required), GraftDataSource.boolColsOf(required),
+      GraftDataSource.f32ColsOf(required))
       .filter(GraftDataSource.pushable(_, longCols, strCols, intCols,
         dblCols, fltCols))
     filters = filters ++ accepted
@@ -1719,6 +1771,16 @@ class GraftColumnarReader(file: String, chunks: Seq[ChunkSpec],
                 else v.putBoolean(k, src(r) != 0)
                 k += 1
               }
+            case FloatType =>
+              // kind 10: sortable-int bits in the narrow lane
+              val src = chunk.ints.get(name)
+              var k = 0
+              while (k < m) {
+                val r = sel(k)
+                if (isNullRow(r)) v.putNull(k)
+                else v.putFloat(k, graft.codecs.FloatBits.fromSortableInt(src(r)))
+                k += 1
+              }
             case _ =>
               // straight from the decoded UTF-8 slices: no String
               // materialization, no re-encode
@@ -1806,6 +1868,9 @@ class GraftPartitionReader(file: String, chunks: Seq[ChunkSpec],
                 chunk.longs.get(name)(j), d.precision, d.scale))
             case BooleanType =>
               row.setBoolean(i, chunk.ints.get(name)(j) != 0)
+            case FloatType =>
+              row.setFloat(i, graft.codecs.FloatBits.fromSortableInt(
+                chunk.ints.get(name)(j)))
             case BinaryType =>
               // InternalRow owns its binary — copy the slice out
               val u = chunk.strs.get(name)
@@ -2591,6 +2656,9 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     .collect { case f if isNumeric(f.dataType) => isNarrow(f.dataType) }
   private val longIsDbl: Array[Boolean] = writeSchema.fields
     .collect { case f if isNumeric(f.dataType) => f.dataType == DoubleType }
+  // float scalar (kind 10): sortable-int bits ride the numeric lane
+  private val longIsF32: Array[Boolean] = writeSchema.fields
+    .collect { case f if isNumeric(f.dataType) => f.dataType == FloatType }
   // decimal (kind 8): unscaled long; boolean (kind 9): 0/1
   private val longDec: Array[DecimalType] = writeSchema.fields
     .collect { case f if isNumeric(f.dataType) => f.dataType match {
@@ -2688,6 +2756,9 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
           else if (longIsDbl(i))
             // kind 5: order-preserving sortable-long storage form
             graft.codecs.DoubleBits.toSortableLong(row.getDouble(longPos(i)))
+          else if (longIsF32(i))
+            // kind 10: sortable-int bits, widened through the narrow path
+            graft.codecs.FloatBits.toSortableInt(row.getFloat(longPos(i))).toLong
           else if (longDec(i) != null)
             // kind 8: the unscaled long at the column's declared scale
             row.getDecimal(longPos(i), longDec(i).precision, longDec(i).scale)

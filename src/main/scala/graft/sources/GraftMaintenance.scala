@@ -370,7 +370,8 @@ object GraftMaintenance {
     }
     val pushed = conjuncts(cond).flatMap(sourceFilterOf)
     val admission = GraftDataSource.translateFilters(pushed.toArray,
-      GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st)).toSeq
+      GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st),
+      GraftDataSource.f32ColsOf(st)).toSeq
     val defaultNames = GraftDataSource.schema.fieldNames.toSeq
     val affected = committed.filter { m =>
       GraftDataSource.containerFilters(m, admission, tableCols, defaultNames)
@@ -709,7 +710,8 @@ object GraftMaintenance {
       case s if s.kind == 0 || s.kind == 3 || s.kind == 8 => s.name }.toSet
     val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
     val neededI = schema.collect {
-      case s if s.kind == 2 || s.kind == 4 || s.kind == 9 => s.name }.toSet
+      case s if s.kind == 2 || s.kind == 4 || s.kind == 9 ||
+        s.kind == 10 => s.name }.toSet
     val neededD = schema.collect { case s if s.kind == 5 => s.name }.toSet
     // kind 6 (binary) decodes into the byte-slice (str) map
     val neededS6 = neededS ++ schema.collect { case s if s.kind == 6 => s.name }
@@ -771,8 +773,9 @@ object GraftMaintenance {
             while (i < longNames.length) {
               if (anyNullable) longNulls(i) = !chunk.validAt(longNames(i), j)
               longs(i) = numKind(i) match {
-                // booleans (kind 9) decode into the int lane as 0/1
-                case 2 | 4 | 9 => chunk.ints.get(longNames(i))(j).toLong
+                // booleans (kind 9) decode into the int lane as 0/1;
+                // floats (kind 10) pass their sortable bits through
+                case 2 | 4 | 9 | 10 => chunk.ints.get(longNames(i))(j).toLong
                 // back to the sortable-long storage form (bijective on
                 // stored values: the writer already canonicalized NaN)
                 case 5 => graft.codecs.DoubleBits.toSortableLong(
@@ -858,6 +861,8 @@ private[sources] final class StoredRowMatcher(
         case 8 => (c, j) => org.apache.spark.sql.types.Decimal
           .createUnsafe(c.longs.get(n)(j), s.precision, s.scale)
         case 9 => (c, j) => c.ints.get(n)(j) != 0
+        case 10 => (c, j) => java.lang.Float.valueOf(
+          graft.codecs.FloatBits.fromSortableInt(c.ints.get(n)(j)))
         case 1 => (c, j) => {
           val u = c.strs.get(n)
           org.apache.spark.unsafe.types.UTF8String

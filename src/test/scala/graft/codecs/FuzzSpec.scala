@@ -178,6 +178,9 @@ class FuzzSpec extends AnyFunSuite {
       .withColumn("m", when(pmod(col("id"), lit(9)) === 0, lit(null))
         .otherwise((col("id") * 7).cast("decimal(12,2)")))
       .withColumn("f", pmod(col("id"), lit(3)) === 0)
+      // round-9 kind: FLOAT scalar (10, sortable-int narrow path)
+      .withColumn("g", when(pmod(col("id"), lit(11)) === 0, lit(null))
+        .otherwise((col("id") * 0.25 - 30.0).cast("float")))
     val dir = java.nio.file.Files.createTempDirectory("graft-kind-fuzz").toString
     df.write.format("graft").option("chunkRows", "128").mode("overwrite").save(dir)
     val files = new java.io.File(s"$dir/blocks").listFiles()
@@ -185,7 +188,7 @@ class FuzzSpec extends AnyFunSuite {
     assert(files.nonEmpty)
     val neededL = Set("id", "ts", "m") // decimal decodes into the long map
     val neededS = Set("s", "b") // binary decodes into the byte-slice map
-    val neededI = Set("i", "dt", "f") // boolean decodes into the int map
+    val neededI = Set("i", "dt", "f", "g") // boolean + float ride the int map
     val neededD = Set("d")
     val neededF = Set("v")
     def parseAll(bytes: Array[Byte]): Unit = {
