@@ -57,7 +57,8 @@ final case class ColumnMetric(column: String, codec: String,
   * pre-decimal values are unchanged).
   */
 final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false,
-                            precision: Int = 0, scale: Int = 0) {
+                            precision: Int = 0, scale: Int = 0,
+                            dropped: Boolean = false) {
   require(kind >= 0 && kind <= 10, s"unknown column kind $kind")
   require(kind != 8 || (precision >= 1 && precision <= 18 &&
     scale >= 0 && scale <= precision),
@@ -66,17 +67,23 @@ final case class ColumnSpec(name: String, kind: Int, nullable: Boolean = false,
   require(name.nonEmpty && name.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 1024,
     s"column name out of range: '$name'")
   /** Manifest-schema encoding: kind | 0x80 when nullable; decimal
-    * precision/scale in bits 8-15/16-23.
+    * precision/scale in bits 8-15/16-23; bit 24 marks a position-DROPPED
+    * column (round 9: the position stays in the chain — field identity
+    * is positional — but no data is stored for it and readers project it
+    * out of the current schema).
     */
   def packed: Int = kind | (if (nullable) ColumnSpec.NullableFlag else 0) |
-    (precision << 8) | (scale << 16)
+    (precision << 8) | (scale << 16) |
+    (if (dropped) ColumnSpec.DroppedFlag else 0)
 }
 
 object ColumnSpec {
   final val NullableFlag = 0x80
+  final val DroppedFlag = 0x1000000
   def fromPacked(name: String, packed: Int): ColumnSpec =
     ColumnSpec(name, packed & 0x7f, (packed & NullableFlag) != 0,
-      (packed >> 8) & 0xff, (packed >> 16) & 0xff)
+      (packed >> 8) & 0xff, (packed >> 16) & 0xff,
+      (packed & DroppedFlag) != 0)
 }
 
 /** Per-partition manifest: lineage + metrics + integrity digest + the
@@ -138,10 +145,12 @@ object ColumnarEngine {
     * when the schema has it (the north-rule invariant), else the first
     * string column, else none (block CRCs still cover every read).
     */
-  def digestColumnOf(schema: Seq[ColumnSpec]): String =
-    schema.find(_.name == "content").filter(_.kind == 1).map(_.name)
-      .orElse(schema.find(_.kind == 1).map(_.name))
+  def digestColumnOf(schema: Seq[ColumnSpec]): String = {
+    val live = schema.filterNot(_.dropped)
+    live.find(_.name == "content").filter(_.kind == 1).map(_.name)
+      .orElse(live.find(_.kind == 1).map(_.name))
       .getOrElse("")
+  }
 
   // ---------------------------------------------------------------- derive
 
@@ -317,31 +326,33 @@ object ColumnarEngine {
     val name: String = if (partName == null) part.toString else partName
     /** Positional contract of [[addRow]]: string columns in schema order,
       * then NUMERIC columns (kind 0 longs and kind 2 ints, widened to
-      * Long) in schema order.
+      * Long) in schema order. Position-DROPPED columns (round 9) stay in
+      * the manifest's schema chain but hold no data: they have no lane.
       */
-    val strNames: Array[String] = schema.filter(_.kind == 1).map(_.name).toArray
+    private val live: Seq[ColumnSpec] = schema.filterNot(_.dropped)
+    val strNames: Array[String] = live.filter(_.kind == 1).map(_.name).toArray
     val longNames: Array[String] =
-      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+      live.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
         .map(_.name).toArray
     /** Kind-6 (binary) and kind-7 (float array) columns, each its own
       * positional group of the extended [[addRow]] (round 7).
       */
-    val binNames: Array[String] = schema.filter(_.kind == 6).map(_.name).toArray
-    val fltNames: Array[String] = schema.filter(_.kind == 7).map(_.name).toArray
+    val binNames: Array[String] = live.filter(_.kind == 6).map(_.name).toArray
+    val fltNames: Array[String] = live.filter(_.kind == 7).map(_.name).toArray
     private val numKinds: Array[Int] =
-      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+      live.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
         .map(_.kind).toArray
     // nullable columns (round 7): per-chunk validity bitmaps, allocated
     // lazily on the first null; all-present chunks write the plain layout
     private val strNullable: Array[Boolean] =
-      schema.filter(_.kind == 1).map(_.nullable).toArray
+      live.filter(_.kind == 1).map(_.nullable).toArray
     private val longNullable: Array[Boolean] =
-      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+      live.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
         .map(_.nullable).toArray
     private val binNullable: Array[Boolean] =
-      schema.filter(_.kind == 6).map(_.nullable).toArray
+      live.filter(_.kind == 6).map(_.nullable).toArray
     private val fltNullable: Array[Boolean] =
-      schema.filter(_.kind == 7).map(_.nullable).toArray
+      live.filter(_.kind == 7).map(_.nullable).toArray
     private val bmBytes = (chunkRowsCap + 7) >> 3
     private val strNullBms: Array[Array[Byte]] = new Array(strNames.length)
     private val longNullBms: Array[Array[Byte]] = new Array(longNames.length)

@@ -38,7 +38,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
     if (namespace.sameElements(System) || namespace.isEmpty)
       Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"),
         Identifier.of(System, "rename_column"), Identifier.of(System, "delete"),
-        Identifier.of(System, "expire_snapshots"))
+        Identifier.of(System, "expire_snapshots"),
+        Identifier.of(System, "drop_column"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -52,9 +53,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       case "rename_column" => GraftCatalog.RenameColumnProcedure
       case "delete" => GraftCatalog.DeleteProcedure
       case "expire_snapshots" => GraftCatalog.ExpireSnapshotsProcedure
+      case "drop_column" => GraftCatalog.DropColumnProcedure
       case other => throw new RuntimeException(
         s"unknown graft procedure $other; have: compact, vacuum, " +
-          "rename_column, delete, expire_snapshots")
+          "rename_column, delete, expire_snapshots, drop_column")
     }
   }
 }
@@ -134,6 +136,32 @@ object GraftCatalog {
       one(Report(
         StructType(Seq(
           StructField("renamed", BooleanType, nullable = false))),
+        Array(true)))
+    }
+  }
+
+  object DropColumnProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_column"
+    override def description(): String =
+      "Drop a column of a graft table (metadata-only: a zero-row schema " +
+        "marker tombstones the POSITION; committed containers keep " +
+        "their data for time travel, readers project it out, appends " +
+        "supply only the visible columns, and the name may later be " +
+        "re-added as a fresh trailing column)."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("col", StringType, comment = "current column name to drop"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      GraftMaintenance.dropColumn(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      one(Report(
+        StructType(Seq(
+          StructField("dropped", BooleanType, nullable = false))),
         Array(true)))
     }
   }

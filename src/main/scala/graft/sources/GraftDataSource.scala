@@ -212,7 +212,8 @@ object GraftDataSource {
     val widest = perManifest.map(_._3.size).max
     (0 until widest).map { i =>
       val covering = perManifest.filter(_._3.size > i)
-      // shape (everything but the label) must agree at each position
+      // shape (everything but the label and the dropped bit) must agree
+      // at each position
       val shapes = covering.map { c =>
         val s = c._3(i); (s.kind, s.nullable, s.precision, s.scale)
       }.distinct
@@ -221,16 +222,17 @@ object GraftDataSource {
           s"position $i: ${covering.map(c => s"${c._1}:${c._3(i)}")
             .mkString("; ")} (appends may only add trailing nullable " +
           "columns; only names may change, via renameColumn)")
-      // labels resolve from PLAIN manifests (appends + rename markers)
-      // when any covers the position: a compacted generation carries its
-      // FOLDED sources' historical labels under a fresh high commitId,
-      // and must not revert a rename it didn't witness
+      // labels (and the dropped bit, round 9 — a drop is label-like
+      // metadata) resolve from PLAIN manifests (appends + rename/drop
+      // markers) when any covers the position: a compacted generation
+      // carries its FOLDED sources' historical labels under a fresh high
+      // commitId, and must not revert a rename/drop it didn't witness
       val labelSources = {
         val plain = covering.filterNot(_._4)
         if (plain.nonEmpty) plain else covering
       }
-      val label = labelSources.maxBy(_._2)._3(i).name
-      covering.head._3(i).copy(name = label)
+      val latest = labelSources.maxBy(_._2)._3(i)
+      covering.head._3(i).copy(name = latest.name, dropped = latest.dropped)
     }
   }
 
@@ -244,17 +246,35 @@ object GraftDataSource {
         Manifests.readCommittedAt(c, path, _))
       if (ms.isEmpty) None
       else {
-        val current = currentSpecsOf(ms)
-        require(current.map(_.name).distinct.size == current.size,
+        // dropped positions (round 9) stay in the positional chain but
+        // are projected out of the visible schema; the duplicate-name
+        // guard applies to visible labels only (a re-added column may
+        // legitimately reuse a dropped one's name at a new position)
+        val visible = currentSpecsOf(ms).filterNot(_.dropped)
+        require(visible.map(_.name).distinct.size == visible.size,
           s"graft table $path resolves duplicate current column names: " +
-            current.map(_.name).mkString(","))
-        Some(schemaOf(current))
+            visible.map(_.name).mkString(","))
+        require(visible.nonEmpty,
+          s"graft table $path has no visible columns (all dropped)")
+        Some(schemaOf(visible))
       }
     } catch {
       case e: IllegalArgumentException => throw e
       case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
         s"corrupt graft table metadata under $path", e)
     }
+  }
+
+  /** The table's FULL positional spec chain — dropped positions included
+    * (round 9). None = no committed table yet.
+    */
+  private[sources] def fullSpecsFrom(path: String,
+      conf: org.apache.hadoop.conf.Configuration = null)
+      : Option[Seq[graft.engine.ColumnSpec]] = {
+    val c = if (conf != null) conf
+      else org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val ms = Manifests.readCommitted(c, path)
+    if (ms.isEmpty) None else Some(currentSpecsOf(ms))
   }
 
   private[sources] val longCols = ColumnarEngine.longColumns.toSet
@@ -1051,12 +1071,34 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     }
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The table's FULL positional name chain: the query's (visible)
+    * field names at their full positions, with position-DROPPED columns
+    * (round 9) keeping their tombstone labels in between — what every
+    * positional zip between current and stored names must use. Without
+    * drops this is exactly `tableSchema.fieldNames` (the fast path).
+    */
+  private lazy val chainNames: Seq[String] = {
+    val visNames = tableSchema.fieldNames.toSeq
+    committedForStats match {
+      case Some(ms) if ms.nonEmpty =>
+        val chain = GraftDataSource.currentSpecsOf(ms)
+        if (!chain.exists(_.dropped)) visNames
+        else {
+          val it = visNames.iterator
+          chain.map(s =>
+            if (s.dropped) s.name
+            else if (it.hasNext) it.next()
+            else s.name) ++ it
+        }
+      case _ => visNames
+    }
+  }
+
   /** A column's STORED (historical) label inside one manifest — the
     * key its stats use (rename support).
     */
   private def storedNameIn(m: graft.engine.ParsedManifest, c: String): String =
-    GraftDataSource.storedNamesOf(m, tableSchema.fieldNames.toSeq)
-      .getOrElse(c, c)
+    GraftDataSource.storedNamesOf(m, chainNames).getOrElse(c, c)
 
   /** COUNT(*)/COUNT(col)/MIN/MAX over integer columns, ungrouped and
     * unfiltered, translate to manifest lookups (row counts, per-chunk
@@ -1094,9 +1136,10 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
         else committedForStats.filter(_.forall(m =>
           m.schemaMarker || m.rows == 0 ||
           // a manifest that PREDATES the column (add-only evolution)
-          // is all-NULL for it — provable by POSITION (names are labels)
+          // is all-NULL for it — provable by POSITION (names are labels;
+          // the FULL chain keeps dropped positions in the count)
           (m.schemaCols.nonEmpty &&
-            tableSchema.fieldNames.indexOf(c) >= m.schemaCols.size) ||
+            chainNames.indexOf(c) >= m.schemaCols.size) ||
             (m.hasChunkIndex && m.env.nullCounts
               .contains(storedNameIn(m, c)))))
           .map(_ => CountAgg(c, nullable = true))
@@ -1169,10 +1212,10 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
     val verify = Option(options.get("verifyContent")).forall(_.toBoolean)
     aggs match {
       case Some(specs) => new GraftAggScan(path, specs, confKv, pinned,
-        tableSchema.fieldNames.toSeq)
+        chainNames)
       case None => new GraftScan(path, required, pushed, confKv, limit,
         maxSplit, verify, longCols, strCols, intCols, dblCols, fltCols,
-        pinned, tableSchema.fieldNames.toSeq)
+        pinned, chainNames)
     }
   }
 }
@@ -2278,8 +2321,21 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     // layout the transforms were declared for
     val writeParts = Option(info.options().get("writePartitions"))
       .map(_.toInt).getOrElse(0)
+    // column drops (round 9): the manifests' schema chain must keep
+    // dropped positions (field identity is positional) — interleave the
+    // visible write specs into the committed full chain. Tables without
+    // drops pass Nil (the untouched fast path).
+    val fullCols: Seq[(String, Int)] =
+      if (doTruncate) Nil
+      else GraftDataSource.fullSpecsFrom(path) match {
+        case Some(chain) if chain.exists(_.dropped) =>
+          val it = GraftDataSource.specsOf(in).iterator
+          (chain.map(s => if (s.dropped) s else it.next()) ++ it)
+            .map(s => (s.name, s.packed))
+        case _ => Nil
+      }
     new GraftWrite(path, doTruncate, info.queryId(), chunkRows, in, sortBy,
-      partBy, writeParts)
+      partBy, writeParts, fullCols)
   }
 }
 
@@ -2298,7 +2354,8 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
                  chunkRows: Int, writeSchema: StructType,
                  sortBy: Seq[String] = Nil,
                  partBy: Seq[GraftDataSource.PartTransform] = Nil,
-                 writeParts: Int = 0)
+                 writeParts: Int = 0,
+                 fullCols: Seq[(String, Int)] = Nil)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -2346,7 +2403,7 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
 
   override def toBatch: BatchWrite =
     new GraftBatchWrite(path, truncate, epoch, prepare(), chunkRows,
-      writeSchema, partBy)
+      writeSchema, partBy, fullCols)
 
   /** `writeStream.format("graft")` — append-only micro-batch sink. Each
     * micro-batch commits as one epoch (`<queryId>-e<epochId>`), so a
@@ -2359,7 +2416,7 @@ class GraftWrite(path: String, truncate: Boolean, epoch: String,
     require(!truncate,
       "graft streaming sink is append-only (outputMode(\"append\"))")
     new GraftStreamingWrite(path, epoch, prepare(), chunkRows, writeSchema,
-      partBy)
+      partBy, fullCols)
   }
 }
 
@@ -2553,10 +2610,12 @@ private[sources] object GraftCommits {
 class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
                       confKv: Map[String, String], chunkRows: Int,
                       writeSchema: StructType = GraftDataSource.schema,
-                      partBy: Seq[GraftDataSource.PartTransform] = Nil)
+                      partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                      fullCols: Seq[(String, Int)] = Nil)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(path, epoch, confKv, chunkRows, writeSchema, partBy)
+    new GraftWriterFactory(path, epoch, confKv, chunkRows, writeSchema, partBy,
+      fullCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate, messages)
@@ -2571,7 +2630,8 @@ class GraftBatchWrite(path: String, truncate: Boolean, epoch: String,
 class GraftStreamingWrite(path: String, queryEpoch: String,
                           confKv: Map[String, String], chunkRows: Int,
                           writeSchema: StructType = GraftDataSource.schema,
-                          partBy: Seq[GraftDataSource.PartTransform] = Nil)
+                          partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                          fullCols: Seq[(String, Int)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -2580,7 +2640,7 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(path, queryEpoch, confKv, chunkRows,
-      writeSchema, partBy)
+      writeSchema, partBy, fullCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     GraftCommits.publish(confKv, path, truncate = false, messages)
@@ -2592,22 +2652,24 @@ class GraftStreamingWrite(path: String, queryEpoch: String,
 class GraftStreamingWriterFactory(path: String, queryEpoch: String,
                                   confKv: Map[String, String], chunkRows: Int,
                                   writeSchema: StructType = GraftDataSource.schema,
-                                  partBy: Seq[GraftDataSource.PartTransform] = Nil)
+                                  partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                                  fullCols: Seq[(String, Int)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, s"$queryEpoch-e$epochId", confKv,
-      chunkRows, taskId, writeSchema, partBy)
+      chunkRows, taskId, writeSchema, partBy, fullCols)
 }
 
 class GraftWriterFactory(path: String, epoch: String,
                          confKv: Map[String, String], chunkRows: Int,
                          writeSchema: StructType = GraftDataSource.schema,
-                         partBy: Seq[GraftDataSource.PartTransform] = Nil)
+                         partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                         fullCols: Seq[(String, Int)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(path, partitionId, epoch, confKv, chunkRows, taskId,
-      writeSchema, partBy)
+      writeSchema, partBy, fullCols)
 }
 
 /** Streams rows through the engine's [[ColumnarEngine.PartitionEncoder]]:
@@ -2629,12 +2691,18 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
                       confKv: Map[String, String], chunkRows: Int,
                       taskId: Long,
                       writeSchema: StructType = GraftDataSource.schema,
-                      partBy: Seq[GraftDataSource.PartTransform] = Nil)
+                      partBy: Seq[GraftDataSource.PartTransform] = Nil,
+                      fullCols: Seq[(String, Int)] = Nil)
     extends DataWriter[InternalRow] {
   private val enc = new ColumnarEngine.PartitionEncoder(
     part, path, ContainerIO.confFrom(confKv),
     partName = s"$epoch-$part-a$taskId", chunkRowsCap = chunkRows,
-    schema = GraftDataSource.specsOf(writeSchema))
+    // fullCols (round 9, tables with dropped positions): the manifest's
+    // positional chain incl. dropped placeholders; its live columns are
+    // exactly the write schema's, in order
+    schema = if (fullCols.isEmpty) GraftDataSource.specsOf(writeSchema)
+      else fullCols.map { case (n, k) =>
+        graft.engine.ColumnSpec.fromPacked(n, k) })
   // row positions of the string/numeric fields, in the encoder's
   // (strNames, longNames) order — both preserve writeSchema field order;
   // narrow (INT/DATE) fields ride the numeric array widened to Long (the

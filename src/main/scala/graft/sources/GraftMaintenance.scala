@@ -336,8 +336,15 @@ object GraftMaintenance {
     require(all.nonEmpty, s"no graft table at $path")
     val committed = all.filter(m => m.rows > 0 && !m.schemaMarker)
     if (committed.isEmpty) return 0L
-    val st = GraftDataSource.schemaOf(GraftDataSource.currentSpecsOf(all))
-    val tableCols = st.fieldNames.toSeq
+    // the FULL positional chain (dropped positions included) drives the
+    // positional zips; the predicate resolves against the VISIBLE schema
+    val chain = GraftDataSource.currentSpecsOf(all)
+    val st = GraftDataSource.schemaOf(chain.filterNot(_.dropped))
+    val tableCols = chain.map(_.name)
+    // full positions of the visible columns, ascending — a container
+    // covers a PREFIX of them (chains are prefix-extensions)
+    val visPositions: Seq[Int] =
+      chain.zipWithIndex.filterNot(_._1.dropped).map(_._2)
 
     // resolve through the ordinary analyzer — full Spark SQL
     // expressiveness, name resolution, implicit casts — then bind to
@@ -380,7 +387,7 @@ object GraftMaintenance {
     if (affected.isEmpty) return 0L
 
     val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
-    val width = tableCols.size
+    val width = visPositions.size
     val hydrated = affected.map(Manifests.loadChunkIndex(conf, path, _))
     // one task per affected container (1:1 rewrite keeps the schema
     // generation, partitioning metadata, and epoch coverage of each)
@@ -388,12 +395,16 @@ object GraftMaintenance {
       try spark.sparkContext.parallelize(hydrated.zipWithIndex, hydrated.size)
         .map { case (m, bin) =>
           val c2 = ContainerIO.confFrom(confKv)
-          val containerCols: Seq[(String, Int)] =
+          val storedChain: Seq[(String, Int)] =
             if (m.schemaCols.isEmpty)
               ColumnarEngine.DefaultSchema.map(s => (s.name, s.packed))
             else m.schemaCols
-          val schema = containerCols.map { case (n, k) =>
+          val schema = storedChain.map { case (n, k) =>
             ColumnSpec.fromPacked(n, k) }
+          // the matcher's ordinals are VISIBLE positions; the covered
+          // ones form a prefix (full positions are ascending)
+          val containerCols = visPositions
+            .takeWhile(_ < storedChain.size).map(storedChain)
           val matcher = new StoredRowMatcher(bound, containerCols, width)
           val (pm, dropped) = rewriteBin(c2, path, Seq(m), schema,
             m.digestCol, s"delete-$runId-$bin", bin, drop = matcher)
@@ -519,21 +530,81 @@ object GraftMaintenance {
                    from: String, to: String,
                    beforeCommit: () => Unit): Unit = {
     require(to.nonEmpty && to != from, s"bad rename target '$to'")
+    schemaMarkerCommit(spark, path, beforeCommit,
+      mutate = current => {
+        val idx = current.indexWhere(_.name == from)
+        require(idx >= 0,
+          s"no column '$from' in ${current.map(_.name).mkString(",")}")
+        require(!current.exists(_.name == to),
+          s"column '$to' already exists in ${current.map(_.name).mkString(",")}")
+        current.updated(idx, current(idx).copy(name = to))
+      },
+      recheck = (cur, idx) =>
+        if (idx >= cur.size || cur(idx).name != from ||
+            cur.exists(_.name == to))
+          throw new SchemaEvolutionConflict(
+            s"concurrent schema change on $path: cannot rename '$from' -> " +
+              s"'$to' (current columns: ${cur.map(_.name).mkString(",")})"))
+  }
+
+  /** Drop a column (round 9). Field identity is POSITIONAL, so a drop is
+    * pure metadata like a rename: a zero-row schema marker flags the
+    * position DROPPED ([[graft.engine.ColumnSpec.DroppedFlag]]) and
+    * relabels it with a reserved tombstone name. The position stays in
+    * every manifest's chain — committed containers keep their data and
+    * labels (retained snapshots time-travel to it) — but the current
+    * schema projects it out: readers never request its blocks, appends
+    * supply only the visible columns (the writer re-interleaves the
+    * tombstone into the manifests' chain), and a LATER append may re-add
+    * the same name as a fresh trailing position. Compaction preserves
+    * the tombstone (compacted generations never label-resolve over plain
+    * markers). A concurrent rename/append that changed the column loses
+    * with [[SchemaEvolutionConflict]].
+    */
+  def dropColumn(spark: SparkSession, path: String, col: String): Unit =
+    dropColumnWithHook(spark, path, col, () => ())
+
+  private[graft] def dropColumnWithHook(spark: SparkSession, path: String,
+                   col: String, beforeCommit: () => Unit): Unit =
+    schemaMarkerCommit(spark, path, beforeCommit,
+      mutate = current => {
+        val idx = current.indexWhere(s => s.name == col && !s.dropped)
+        require(idx >= 0,
+          s"no column '$col' in ${current.filterNot(_.dropped)
+            .map(_.name).mkString(",")}")
+        require(current.count(s => !s.dropped) > 1,
+          s"cannot drop '$col': it is the table's last visible column")
+        val tomb = s"_dropped_p${idx}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        current.updated(idx, current(idx).copy(name = tomb, dropped = true))
+      },
+      recheck = (cur, idx) =>
+        if (idx >= cur.size || cur(idx).name != col || cur(idx).dropped)
+          throw new SchemaEvolutionConflict(
+            s"concurrent schema change on $path: cannot drop '$col' " +
+              s"(current columns: ${cur.filterNot(_.dropped)
+                .map(_.name).mkString(",")})"))
+
+  /** Shared zero-row schema-marker commit (rename, drop): `mutate`
+    * produces the marker's chain from the current one (its single
+    * changed position is re-validated by `recheck` against the snapshot
+    * the OCC commit actually lands on).
+    */
+  private def schemaMarkerCommit(spark: SparkSession, path: String,
+                   beforeCommit: () => Unit,
+                   mutate: Seq[ColumnSpec] => Seq[ColumnSpec],
+                   recheck: (Seq[ColumnSpec], Int) => Unit): Unit = {
     val conf = ContainerIO.confFrom(ContainerIO.confSnapshot(spark))
     val committed = Manifests.readCommitted(conf, path)
     require(committed.nonEmpty, s"no graft table at $path")
     val current = GraftDataSource.currentSpecsOf(committed)
-    val idx = current.indexWhere(_.name == from)
-    require(idx >= 0,
-      s"no column '$from' in ${current.map(_.name).mkString(",")}")
-    require(!current.exists(_.name == to),
-      s"column '$to' already exists in ${current.map(_.name).mkString(",")}")
-    val renamed = current.updated(idx, current(idx).copy(name = to))
+    val mutated = mutate(current)
+    val idx = current.indices.find(i => current(i) != mutated(i)).getOrElse(0)
     def mkMarker(commitId: String): PartManifest =
       PartManifest(part = 0, rows = 0L, chunks = 0,
         rawBytes = 0L, encodedBytes = 0L, skipped = false, digest = "",
         columns = Nil, name = s"schemamarker-$commitId-0",
-        schemaCols = renamed.map(s => (s.name, s.packed)), digestCol = "",
+        schemaCols = mutated.map(s => (s.name, s.packed)), digestCol = "",
         commitId = commitId, schemaMarker = true)
     var marker = mkMarker(Manifests.newCommitId(conf, path))
     Manifests.writeManifest(conf, path, marker, 0L)
@@ -542,11 +613,7 @@ object GraftMaintenance {
       // re-check against the snapshot this commit actually lands on
       val parsedOld = old.map(Manifests.parseWithFallback)
       val cur = GraftDataSource.currentSpecsOf(parsedOld)
-      if (idx >= cur.size || cur(idx).name != from ||
-          cur.exists(_.name == to))
-        throw new SchemaEvolutionConflict(
-          s"concurrent schema change on $path: cannot rename '$from' -> " +
-            s"'$to' (current columns: ${cur.map(_.name).mkString(",")})")
+      recheck(cur, idx)
       // last-commit-wins label resolution: the marker must outrank
       // EVERY manifest in the snapshot this commit actually lands on.
       // An append that committed between our newCommitId and here
@@ -706,18 +773,21 @@ object GraftMaintenance {
     val ancestors = Manifests.capAncestors(
       ms.map(m => Manifests.epochKey(Manifests.logicalName(m.name))) ++
         ms.flatMap(_.ancestors))
-    val neededL = schema.collect {
+    // dropped positions (round 9) hold no data: request no block, read
+    // no lane (the encoder's own lanes are live-filtered the same way)
+    val liveSchema = schema.filterNot(_.dropped)
+    val neededL = liveSchema.collect {
       case s if s.kind == 0 || s.kind == 3 || s.kind == 8 => s.name }.toSet
-    val neededS = schema.collect { case s if s.kind == 1 => s.name }.toSet
-    val neededI = schema.collect {
+    val neededS = liveSchema.collect { case s if s.kind == 1 => s.name }.toSet
+    val neededI = liveSchema.collect {
       case s if s.kind == 2 || s.kind == 4 || s.kind == 9 ||
         s.kind == 10 => s.name }.toSet
-    val neededD = schema.collect { case s if s.kind == 5 => s.name }.toSet
+    val neededD = liveSchema.collect { case s if s.kind == 5 => s.name }.toSet
     // kind 6 (binary) decodes into the byte-slice (str) map
-    val neededS6 = neededS ++ schema.collect { case s if s.kind == 6 => s.name }
-    val neededF = schema.collect { case s if s.kind == 7 => s.name }.toSet
+    val neededS6 = neededS ++ liveSchema.collect { case s if s.kind == 6 => s.name }
+    val neededF = liveSchema.collect { case s if s.kind == 7 => s.name }.toSet
     val numKind: Array[Int] =
-      schema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
+      liveSchema.filter(s => s.kind != 1 && s.kind != 6 && s.kind != 7)
         .map(_.kind).toArray
     val strNames = enc.strNames
     val longNames = enc.longNames
@@ -726,7 +796,7 @@ object GraftMaintenance {
     // null masks reused per row (addRow reads them synchronously); only
     // nullable schemas pay for them — and they must be PROPAGATED here or
     // compaction would silently turn NULLs into their stored placeholders
-    val anyNullable = schema.exists(_.nullable)
+    val anyNullable = liveSchema.exists(_.nullable)
     val strNulls = if (anyNullable) new Array[Boolean](strNames.length) else null
     val longNulls = if (anyNullable) new Array[Boolean](longNames.length) else null
     val binNulls = if (anyNullable) new Array[Boolean](binNames.length) else null
