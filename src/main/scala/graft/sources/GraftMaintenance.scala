@@ -145,21 +145,22 @@ object GraftMaintenance {
     val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
     // one task per bin; RDD because the payload is driver-planned
     // manifest metadata, not table rows (genuine per-partition
-    // imperative rewrite)
-    // hydrate chunk detail for exactly the containers being consumed
-    // (index entries are summary-only since round 8); the rewrite tasks
-    // need per-chunk offsets + CRCs for verified streaming
-    val hydratedWork = work.map { case (s, d, ms) =>
-      (s, d, ms.map(Manifests.loadChunkIndex(conf, path, _)))
-    }
+    // imperative rewrite). Chunk detail (index entries are summary-only
+    // since round 8) hydrates INSIDE each task from the container's own
+    // commit marker — the driver plans from summaries alone, so its
+    // memory stays O(containers), not O(containers x chunks), at any
+    // table size (round 9; the rewrite tasks need per-chunk offsets +
+    // CRCs for verified streaming)
     val newManifests: Array[PartManifest] =
       try spark.sparkContext
-        .parallelize(hydratedWork.zipWithIndex, hydratedWork.size)
-        .map { case ((schemaCols, digestCol, ms), bin) =>
+        .parallelize(work.zipWithIndex, work.size)
+        .map { case ((schemaCols, digestCol, ms0), bin) =>
+          val c2 = ContainerIO.confFrom(confKv)
+          val ms = ms0.map(Manifests.loadChunkIndex(c2, path, _))
           val schema =
             if (schemaCols.isEmpty) ColumnarEngine.DefaultSchema
             else schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
-          rewriteBin(ContainerIO.confFrom(confKv), path, ms, schema,
+          rewriteBin(c2, path, ms, schema,
             digestCol, s"compact-$runId-$bin", bin)._1
         }
         .collect()
@@ -388,13 +389,14 @@ object GraftMaintenance {
 
     val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
     val width = visPositions.size
-    val hydrated = affected.map(Manifests.loadChunkIndex(conf, path, _))
     // one task per affected container (1:1 rewrite keeps the schema
-    // generation, partitioning metadata, and epoch coverage of each)
+    // generation, partitioning metadata, and epoch coverage of each);
+    // chunk detail hydrates INSIDE the task (driver stays O(containers))
     val outs: Array[(String, PartManifest, Long)] =
-      try spark.sparkContext.parallelize(hydrated.zipWithIndex, hydrated.size)
-        .map { case (m, bin) =>
+      try spark.sparkContext.parallelize(affected.zipWithIndex, affected.size)
+        .map { case (m0, bin) =>
           val c2 = ContainerIO.confFrom(confKv)
+          val m = Manifests.loadChunkIndex(c2, path, m0)
           val storedChain: Seq[(String, Int)] =
             if (m.schemaCols.isEmpty)
               ColumnarEngine.DefaultSchema.map(s => (s.name, s.packed))
