@@ -659,6 +659,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Copy-on-write UPDATE (round 9): matched rows rewrite with the
+    // assignment applied (originals visible to the expression), other
+    // containers keep their manifests. The oracle applies the same CASE
+    // to the source table.
+    "c22_update" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c22").toString
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      graft.sources.GraftMaintenance.update(s, dir,
+        "event_type = 'click' AND event_id < 3000",
+        Map("value" -> "value * 2"))
+      s.read.format("graft").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // FLOAT kind 10 (round 9): a 32-bit model-score column through the
     // kind-2 narrow path behind the sortable-int mapping. The range
     // filter pushes down (constants pre-translated to sortable ints,
@@ -1189,6 +1212,17 @@ object SparkEntry {
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events
          WHERE NOT (event_id < 2000 AND event_type = 'click')
+         GROUP BY 1 ORDER BY 1""",
+
+    // update: the same CASE applied to the source table
+    "c22_update" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(
+           CASE WHEN event_type = 'click' AND event_id < 3000
+                THEN value * 2 ELSE value END * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events
          GROUP BY 1 ORDER BY 1""",
 
     // float scalar: REAL on both sides — min/max are exact picked values

@@ -39,7 +39,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       Array(Identifier.of(System, "compact"), Identifier.of(System, "vacuum"),
         Identifier.of(System, "rename_column"), Identifier.of(System, "delete"),
         Identifier.of(System, "expire_snapshots"),
-        Identifier.of(System, "drop_column"))
+        Identifier.of(System, "drop_column"), Identifier.of(System, "update"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -54,9 +54,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       case "delete" => GraftCatalog.DeleteProcedure
       case "expire_snapshots" => GraftCatalog.ExpireSnapshotsProcedure
       case "drop_column" => GraftCatalog.DropColumnProcedure
+      case "update" => GraftCatalog.UpdateProcedure
       case other => throw new RuntimeException(
         s"unknown graft procedure $other; have: compact, vacuum, " +
-          "rename_column, delete, expire_snapshots, drop_column")
+          "rename_column, delete, expire_snapshots, drop_column, update")
     }
   }
 }
@@ -137,6 +138,39 @@ object GraftCatalog {
         StructType(Seq(
           StructField("renamed", BooleanType, nullable = false))),
         Array(true)))
+    }
+  }
+
+  object UpdateProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "update"
+    override def description(): String =
+      "Copy-on-write row-level UPDATE: rows matching the predicate are " +
+        "rewritten with set_column = set_expr (any deterministic Spark " +
+        "SQL expression over the row's original values, cast to the " +
+        "column's type); only containers that may hold matches rewrite, " +
+        "one OCC swap. Multi-column updates: the Scala API " +
+        "GraftMaintenance.update(spark, path, predicate, Map(...))."
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("path", StringType, comment = "graft table directory"),
+      in("predicate", StringType,
+        comment = "SQL boolean expression; matching rows are updated"),
+      in("set_column", StringType, comment = "column to assign"),
+      in("set_expr", StringType,
+        comment = "SQL expression for the new value"))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val updated = GraftMaintenance.update(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        Map(input.getUTF8String(2).toString ->
+          input.getUTF8String(3).toString))
+      one(Report(
+        StructType(Seq(
+          StructField("rows_updated", LongType, nullable = false))),
+        Array(updated)))
     }
   }
 

@@ -451,6 +451,313 @@ object GraftMaintenance {
     changed.map(_._3).sum
   }
 
+  /** Copy-on-write row-level UPDATE (round 9) — DELETE's sibling on the
+    * same machinery: rows matching `predicate` are rewritten with the
+    * `set` assignments applied (column -> any deterministic Spark SQL
+    * expression over the row's ORIGINAL values, cast to the column's
+    * type); everything else about the container is preserved. Planning
+    * prunes via the same scan admission as [[delete]]; affected
+    * containers rewrite 1:1 at the table's CURRENT schema width (a
+    * container predating an added column null-fills it, so an UPDATE can
+    * backfill added columns); zero-match rewrites are discarded; the
+    * swap is one OCC commit with DELETE's concurrency story (appends
+    * survive, replaces abort, retained snapshots keep the pre-update
+    * rows, epoch replays substitute the updated generation).
+    *
+    * Updating a partition-transform source column drops that container's
+    * partitioning metadata (recorded bucket-id admission would otherwise
+    * prune on stale facts); zone maps re-record from the updated values.
+    *
+    * Returns the number of rows updated.
+    */
+  def update(spark: SparkSession, path: String, predicate: String,
+             set: Map[String, String]): Long =
+    updateWithHook(spark, path, predicate, set, () => ())
+
+  private[graft] def updateWithHook(spark: SparkSession, path: String,
+                                    predicate: String,
+                                    set: Map[String, String],
+                                    beforeCommit: () => Unit): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, SubqueryExpression}
+    require(set.nonEmpty, "update needs at least one column assignment")
+    val confKv = ContainerIO.confSnapshot(spark)
+    val conf = ContainerIO.confFrom(confKv)
+    val all = Manifests.readCommitted(conf, path)
+    require(all.nonEmpty, s"no graft table at $path")
+    val committed = all.filter(m => m.rows > 0 && !m.schemaMarker)
+    if (committed.isEmpty) return 0L
+    val chain = GraftDataSource.currentSpecsOf(all)
+    val visible = chain.filterNot(_.dropped)
+    val st = GraftDataSource.schemaOf(visible)
+    val tableCols = chain.map(_.name)
+    val visPositions: Seq[Int] =
+      chain.zipWithIndex.filterNot(_._1.dropped).map(_._2)
+    set.keys.foreach(c => require(st.fieldNames.contains(c),
+      s"update target '$c' is not a column of ${st.fieldNames.mkString(",")}"))
+
+    // resolve the predicate AND the assignments through the analyzer in
+    // one pass: a filter over a projection of (assignment expressions
+    // cast to their target types), all bound to the relation's output
+    val df = spark.read.format("graft").load(path)
+    val setSeq = set.toSeq
+    val probe = df.select(setSeq.map { case (c, e) =>
+        org.apache.spark.sql.functions.expr(e)
+          .cast(st(st.fieldIndex(c)).dataType).as(c)
+      } :+ org.apache.spark.sql.functions.expr(predicate).as("_pred"): _*)
+      .queryExecution.analyzed
+    val (projList, out) = probe.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        (p.projectList, p.child.output)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot resolve update of $path"))
+    def bind(e: Expression): Expression = {
+      require(e.deterministic, s"update expressions must be deterministic: $e")
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"update expressions must not contain a subquery: $e")
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(e, out)
+    }
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val boundAssigns: Seq[(Int, Expression)] =
+      projList.init.lazyZip(setSeq).map { case (a, (c, _)) =>
+        (st.fieldIndex(c), bind(a.asInstanceOf[Alias].child))
+      }.toSeq
+    val cond = bind(projList.last.asInstanceOf[Alias].child)
+
+    // admission: identical to delete's
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val pushed = conjuncts(cond).flatMap(sourceFilterOf)
+    val admission = GraftDataSource.translateFilters(pushed.toArray,
+      GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st),
+      GraftDataSource.f32ColsOf(st)).toSeq
+    val defaultNames = GraftDataSource.schema.fieldNames.toSeq
+    val affected = committed.filter { m =>
+      GraftDataSource.containerFilters(m, admission, tableCols, defaultNames)
+        .exists(GraftDataSource.admitManifest(m, _))
+    }
+    if (affected.isEmpty) return 0L
+
+    val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
+    val width = visPositions.size
+    val chainCols: Seq[(String, Int)] = chain.map(s => (s.name, s.packed))
+    val targetOrds = boundAssigns.map(_._1)
+    val outs: Array[(String, PartManifest, Long)] =
+      try spark.sparkContext.parallelize(affected.zipWithIndex, affected.size)
+        .map { case (m0, bin) =>
+          val c2 = ContainerIO.confFrom(confKv)
+          val m = Manifests.loadChunkIndex(c2, path, m0)
+          val storedChain: Seq[(String, Int)] =
+            if (m.schemaCols.isEmpty)
+              ColumnarEngine.DefaultSchema.map(s => (s.name, s.packed))
+            else m.schemaCols
+          val containerCols = visPositions
+            .takeWhile(_ < storedChain.size).map(storedChain)
+          val matcher = new StoredRowMatcher(cond, containerCols, width)
+          val (pm, updated) = rewriteUpdate(c2, path, m, chainCols,
+            visPositions, matcher, boundAssigns, targetOrds,
+            s"update-$runId-$bin", bin)
+          if (updated == 0L) {
+            ContainerIO.fs(path, c2).delete(new org.apache.hadoop.fs.Path(
+              s"$path/blocks/part-${pm.name}.gblk"), false)
+          }
+          (m.name, pm, updated)
+        }
+        .collect()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val f = ContainerIO.fs(path, conf)
+          ContainerIO.listNames(conf, s"$path/blocks")
+            .filter(_.startsWith(s"part-update-$runId-"))
+            .foreach(n => f.delete(
+              new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
+          def hasFnf(t: Throwable): Boolean =
+            t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+              hasFnf(t.getCause))
+          if (hasFnf(e)) {
+            val c = new CompactionConflict(
+              s"a source container of $path vanished during the update " +
+                "rewrite (concurrent overwrite/compaction); update " +
+                "aborted, staged output removed")
+            c.initCause(e)
+            throw c
+          }
+          throw e
+      }
+    val changed = outs.filter(_._3 > 0L)
+    if (changed.isEmpty) return 0L
+    beforeCommit()
+    swapGeneration(conf, path, changed.map(_._1).toSet,
+      changed.map(_._2).toSeq, what = s"UPDATE WHERE $predicate",
+      reclaimConsumed = false, afterStage = () => ())
+    changed.map(_._3).sum
+  }
+
+  /** Stream one container through a CURRENT-width re-encoder, applying
+    * the bound assignments to matched rows (UPDATE's rewrite). Every row
+    * round-trips through the visible internal representation (the same
+    * bijective per-kind conversions the matcher and readers use), which
+    * also WIDENS containers predating added columns to the current
+    * chain — a backfilling UPDATE works on them.
+    */
+  private def rewriteUpdate(conf: org.apache.hadoop.conf.Configuration,
+                            path: String, m: ParsedManifest,
+                            chainCols: Seq[(String, Int)],
+                            visPositions: Seq[Int],
+                            matcher: StoredRowMatcher,
+                            assigns: Seq[(Int,
+                              org.apache.spark.sql.catalyst.expressions.Expression)],
+                            targetOrds: Seq[Int],
+                            partName: String, bin: Int): (PartManifest, Long) = {
+    val chainSpecs = chainCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
+    val containerSpecs: Seq[ColumnSpec] =
+      if (m.schemaCols.isEmpty) ColumnarEngine.DefaultSchema
+      else m.schemaCols.map { case (n, k) => ColumnSpec.fromPacked(n, k) }
+    val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
+      partName = partName, schema = chainSpecs)
+    // visible-ordinal -> (lane, laneIdx, spec) routing over the CURRENT
+    // chain's live lanes (enc's own order)
+    val visSpecs = visPositions.map(chainSpecs)
+    val strIdx = scala.collection.mutable.Map.empty[String, Int]
+    enc.strNames.zipWithIndex.foreach { case (n, i) => strIdx(n) = i }
+    val longIdx = scala.collection.mutable.Map.empty[String, Int]
+    enc.longNames.zipWithIndex.foreach { case (n, i) => longIdx(n) = i }
+    val binIdx = scala.collection.mutable.Map.empty[String, Int]
+    enc.binNames.zipWithIndex.foreach { case (n, i) => binIdx(n) = i }
+    val fltIdx = scala.collection.mutable.Map.empty[String, Int]
+    enc.fltNames.zipWithIndex.foreach { case (n, i) => fltIdx(n) = i }
+    val strs = new Array[String](enc.strNames.length)
+    val longs = new Array[Long](enc.longNames.length)
+    val binsRow = new Array[Array[Byte]](enc.binNames.length)
+    val fltsRow = new Array[Array[Float]](enc.fltNames.length)
+    val strNulls = new Array[Boolean](enc.strNames.length)
+    val longNulls = new Array[Boolean](enc.longNames.length)
+    val binNulls = new Array[Boolean](enc.binNames.length)
+    val fltNulls = new Array[Boolean](enc.fltNames.length)
+    // read EVERY live column of the container (full rewrite)
+    val live = containerSpecs.filterNot(_.dropped)
+    val neededL = live.collect {
+      case s if s.kind == 0 || s.kind == 3 || s.kind == 8 => s.name }.toSet
+    val neededS6 = live.collect {
+      case s if s.kind == 1 || s.kind == 6 => s.name }.toSet
+    val neededI = live.collect {
+      case s if s.kind == 2 || s.kind == 4 || s.kind == 9 ||
+        s.kind == 10 => s.name }.toSet
+    val neededD = live.collect { case s if s.kind == 5 => s.name }.toSet
+    val neededF = live.collect { case s if s.kind == 7 => s.name }.toSet
+    val ancestors = Manifests.capAncestors(
+      Seq(Manifests.epochKey(Manifests.logicalName(m.name))) ++ m.ancestors)
+    // partition-transform metadata survives only when no updated column
+    // is one of its source columns (stale bucket-id/range facts would
+    // prune wrongly); stored names compared, since the metadata was
+    // recorded under them
+    val targetStored = targetOrds.map(visPositions).filter(_ < containerSpecs.size)
+      .map(fp => containerSpecs(fp).name).toSet
+    val keepPart = m.partitioning.nonEmpty &&
+      !m.partitioning.exists(p => targetStored.exists(t =>
+        p.contains(s"($t)") || p.contains(s",$t)")))
+    var updated = 0L
+    val file = m.blockFile(path)
+    val fs = ContainerIO.fs(file, conf)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fileLen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      val chunks: Iterator[DecodedChunk] =
+        if (m.chunkIndex.nonEmpty) m.chunkIndex.iterator.map { cs =>
+          val ci = new ContainerInput(in, cs.offset, cs.offset + cs.length)
+          ContainerFormat.readChunk(ci, neededL, neededS6, cs.blockCrcs,
+            neededI, neededD, neededF)
+        } else {
+          val ci = new ContainerInput(in, 0L, fileLen)
+          ContainerFormat.readPrelude(ci)
+          new Iterator[DecodedChunk] {
+            override def hasNext: Boolean = !ci.atEnd
+            override def next(): DecodedChunk =
+              ContainerFormat.readChunk(ci, neededL, neededS6, Map.empty,
+                neededI, neededD, neededF)
+          }
+        }
+      chunks.foreach { chunk =>
+        if (m.digestCol.nonEmpty)
+          ContainerFormat.verifyContentDigest(chunk, m.digestCol)
+        var j = 0
+        while (j < chunk.rows) {
+          val row = matcher.buildRow(chunk, j)
+          if (matcher.matchesRow(row)) {
+            updated += 1
+            // all assignments see the ORIGINAL row: evaluate first,
+            // apply after
+            val vals = assigns.map(_._2.eval(row))
+            assigns.lazyZip(vals).foreach { case ((ord, _), v) =>
+              row.update(ord, v)
+            }
+          }
+          // internal row -> encoder lanes, per kind (bijective on
+          // stored values; the writer already canonicalized NaN)
+          var v = 0
+          while (v < visSpecs.length) {
+            val s = visSpecs(v)
+            val x = row.values(v)
+            if (x == null) {
+              require(s.nullable, s"update produced NULL for " +
+                s"non-nullable column '${s.name}'")
+              s.kind match {
+                case 1 => strNulls(strIdx(s.name)) = true
+                  strs(strIdx(s.name)) = null
+                case 6 => binNulls(binIdx(s.name)) = true
+                  binsRow(binIdx(s.name)) = null
+                case 7 => fltNulls(fltIdx(s.name)) = true
+                  fltsRow(fltIdx(s.name)) = null
+                case _ => longNulls(longIdx(s.name)) = true
+                  longs(longIdx(s.name)) = 0L
+              }
+            } else s.kind match {
+              case 1 =>
+                strNulls(strIdx(s.name)) = false
+                strs(strIdx(s.name)) =
+                  x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+              case 6 =>
+                binNulls(binIdx(s.name)) = false
+                binsRow(binIdx(s.name)) = x.asInstanceOf[Array[Byte]]
+              case 7 =>
+                fltNulls(fltIdx(s.name)) = false
+                fltsRow(fltIdx(s.name)) = x
+                  .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                  .toFloatArray()
+              case k =>
+                longNulls(longIdx(s.name)) = false
+                longs(longIdx(s.name)) = k match {
+                  case 0 | 3 => x.asInstanceOf[Long]
+                  case 2 | 4 => x.asInstanceOf[Int].toLong
+                  case 5 => graft.codecs.DoubleBits
+                    .toSortableLong(x.asInstanceOf[Double])
+                  case 8 => x.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                    .toUnscaledLong
+                  case 9 => if (x.asInstanceOf[Boolean]) 1L else 0L
+                  case 10 => graft.codecs.FloatBits
+                    .toSortableInt(x.asInstanceOf[Float]).toLong
+                  case other => throw new IllegalStateException(
+                    s"unknown column kind $other for '${s.name}'")
+                }
+            }
+            v += 1
+          }
+          enc.addRow(strs, longs, binsRow, fltsRow, strNulls, longNulls,
+            binNulls, fltNulls)
+          j += 1
+        }
+      }
+    } finally in.close()
+    (enc.finish(publishManifest = false).copy(ancestors = ancestors,
+      partitioning = if (keepPart) m.partitioning else Nil,
+      bucketIds =
+        if (keepPart) m.bucketIds.map { case (k, v) => k -> v.toSeq.sorted }
+        else Map.empty), updated)
+  }
+
   /** Conservative Catalyst-expression -> source-Filter translation for
     * DELETE's container admission: attribute-vs-literal comparisons, IN,
     * IS [NOT] NULL, and AND/OR compositions translate; anything else
@@ -955,11 +1262,21 @@ private[sources] final class StoredRowMatcher(
       else get
     }
 
-  def matches(chunk: DecodedChunk, j: Int): Boolean = {
+  /** The row in the CURRENT visible schema's internal representation:
+    * covered positions from the decoded chunk, the rest null.
+    */
+  def buildRow(chunk: DecodedChunk, j: Int):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(width)
     var i = 0
     while (i < getters.length) { row.update(i, getters(i)(chunk, j)); i += 1 }
-    pred.eval(row)
+    row
   }
+
+  def matches(chunk: DecodedChunk, j: Int): Boolean =
+    pred.eval(buildRow(chunk, j))
+
+  def matchesRow(row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    pred.eval(row)
 }
