@@ -84,6 +84,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("e4 IVF: list assignment is the fused ivf_lists expression, not " +
+    "per-centroid aggregate-over-zip dots") {
+    // round-9 regression guard: the declarative form evaluated nlist
+    // separate aggregate(zip_with(...)) dot products per row — the shape
+    // whose fusion cut e3 7x in round 5 and e4 1.6x in round 9
+    val p = plan("e4_ann_ivf")
+    assert(p.contains("ivf_lists"),
+      s"e4 must assign lists via the fused expression:\n${p.take(1200)}")
+    assert(!p.contains("zip_with"),
+      "no declarative zip_with dot products may remain in e4's plan")
+  }
+
   test("ann brute force: query side is broadcast") {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
     val p = graft.ops.Similarity.bruteForceTopK(
