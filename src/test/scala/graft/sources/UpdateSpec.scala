@@ -155,6 +155,38 @@ class UpdateSpec extends AnyFunSuite {
     assert(pre.filter(col("id") < 10 && col("score") > 0L).count() === 9)
   }
 
+  test("updating a bucket-partition source column drops the recorded " +
+    "bucket facts: point queries stay exact afterwards") {
+    import spark.implicits._
+    val d = tmp("bucket")
+    (0 until 200).map(i => (i.toLong, (i % 16).toLong, i * 1.0))
+      .toDF("event_id", "user_id", "value")
+      .write.format("graft").option("chunkRows", "64")
+      .option("partitionBy", "bucket(8, user_id)")
+      .option("writePartitions", "8")
+      .mode("overwrite").save(d)
+    // rewrite every user_id 3 row to user_id 99 — 99's Murmur3 bucket is
+    // NOT in the original containers' recorded id sets; stale facts
+    // would make the point query below prune the rewritten container
+    val n = GraftMaintenance.update(spark, d, "user_id = 3",
+      Map("user_id" -> "99L"))
+    assert(n > 0)
+    val r = spark.read.format("graft").load(d)
+    assert(r.filter(col("user_id") === 99L).count() === n)
+    assert(r.filter(col("user_id") === 3L).count() === 0)
+    // untouched containers keep their bucket facts and still prune
+    assert(r.filter(col("user_id") === 5L).count() ===
+      (0 until 200).count(_ % 16 == 5))
+    // an update NOT touching the bucket column keeps the metadata
+    val m2 = GraftMaintenance.update(spark, d, "user_id = 5",
+      Map("value" -> "value + 1000"))
+    assert(m2 === (0 until 200).count(_ % 16 == 5))
+    val touched = Manifests.readCommitted(conf, d)
+      .filter(m => m.name.startsWith("update-") && m.bucketIds.nonEmpty)
+    assert(touched.nonEmpty,
+      "a value-only update must keep the recorded bucket facts")
+  }
+
   test("guards: unknown column, nondeterministic expr, NULL into " +
     "non-nullable") {
     val d = tmp("guards")
