@@ -682,6 +682,30 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // MERGE-style UPSERT (round 9): whole-row replace-by-key in one OCC
+    // swap — overlapping keys take the source's row, new keys append.
+    // The oracle computes src UNION ALL (target ANTI JOIN src).
+    "c23_upsert" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c23").toString
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(pmod(col("event_id"), lit(3)) < 2)
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      val src = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 1000.0).as("value"))
+      graft.sources.GraftMaintenance.upsert(s, dir, src, Seq("event_id"))
+      s.read.format("graft").load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // FLOAT kind 10 (round 9): a 32-bit model-score column through the
     // kind-2 narrow path behind the sortable-int mapping. The range
     // filter pushes down (constants pre-translated to sortable ints,
@@ -1224,6 +1248,25 @@ object SparkEntry {
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events
          GROUP BY 1 ORDER BY 1""",
+
+    // upsert: src wins on overlap, target keeps the rest
+    "c23_upsert" ->
+      """WITH target AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 3 < 2),
+         src AS (
+           SELECT event_id, event_type, value + 1000.0 AS value FROM events
+           WHERE event_id % 2 = 0),
+         merged AS (
+           SELECT * FROM src
+           UNION ALL
+           SELECT * FROM target
+           WHERE event_id NOT IN (SELECT event_id FROM src))
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM merged GROUP BY 1 ORDER BY 1""",
 
     // float scalar: REAL on both sides — min/max are exact picked values
     "c21_float_score" ->

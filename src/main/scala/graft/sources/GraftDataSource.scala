@@ -2879,12 +2879,20 @@ class GraftDataWriter(path: String, part: Int, epoch: String,
     n += 1
   }
 
-  override def commit(): WriterCommitMessage = {
-    val manifest = enc.finish(publishManifest = false).copy(
+  /** The unpublished manifest of this task's staged container — shared
+    * by the DSv2 `commit()` and the maintenance paths (upsert) that
+    * stage appends under their own OCC swap instead of
+    * [[GraftCommits.publish]].
+    */
+  private[sources] def commitManifest(): graft.engine.PartManifest =
+    enc.finish(publishManifest = false).copy(
       partitioning = partBy.map(_.render),
       bucketIds = bucketSpecs.lazyZip(bucketSeen).map { case ((pos, _, _), seen) =>
         writeSchema.fields(pos).name -> seen.toSeq.sorted
       }.toMap)
+
+  override def commit(): WriterCommitMessage = {
+    val manifest = commitManifest()
     GraftCommitMessage(manifest.name, n, Manifests.manifestJson(manifest))
   }
 

@@ -595,6 +595,197 @@ object GraftMaintenance {
     changed.map(_._3).sum
   }
 
+  /** Copy-on-write MERGE-style UPSERT (round 9) — the third leg of
+    * row-level mutation: the SQL-equivalent of
+    * `MERGE INTO target USING source ON <keys> WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *` (whole-row replace-by-key).
+    * `source` must have exactly the table's visible schema; its key
+    * tuples must be unique and non-null.
+    *
+    * Shape: the source's distinct keys collect to the driver and
+    * broadcast as a stored-form key set (the broadcast-join MERGE — the
+    * common dimension/correction-feed case; a shuffle-join rewrite for
+    * arbitrarily large sources is future engine surface). Containers
+    * that MAY hold a key (per-column IN admission over zone maps /
+    * bucket facts, when the key set is ≤ 4096) rewrite 1:1 dropping the
+    * matched rows; the source itself stages as fresh containers through
+    * the ordinary write machinery; ONE OCC swap publishes rewrites +
+    * appends together — readers never see a state with both (or
+    * neither) version of a key. Concurrency, retention, and replay
+    * interplay are DELETE's.
+    *
+    * Returns (rows replaced or deleted from the old generation, rows
+    * appended from the source).
+    */
+  def upsert(spark: SparkSession, path: String,
+             source: org.apache.spark.sql.DataFrame,
+             keys: Seq[String]): (Long, Long) =
+    upsertWithHook(spark, path, source, keys, () => ())
+
+  private[graft] def upsertWithHook(spark: SparkSession, path: String,
+                                    source: org.apache.spark.sql.DataFrame,
+                                    keys: Seq[String],
+                                    beforeCommit: () => Unit): (Long, Long) = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val confKv = ContainerIO.confSnapshot(spark)
+    val conf = ContainerIO.confFrom(confKv)
+    val all = Manifests.readCommitted(conf, path)
+    require(all.nonEmpty, s"no graft table at $path")
+    val committed = all.filter(m => m.rows > 0 && !m.schemaMarker)
+    val chain = GraftDataSource.currentSpecsOf(all)
+    val visible = chain.filterNot(_.dropped)
+    val st = GraftDataSource.schemaOf(visible)
+    val tableCols = chain.map(_.name)
+    val visPositions: Seq[Int] =
+      chain.zipWithIndex.filterNot(_._1.dropped).map(_._2)
+    // the source must BE the visible schema (same names, kinds, order)
+    val srcSpecs = GraftDataSource.specsOf(source.schema)
+    require(srcSpecs.map(s => (s.name, s.kind, s.precision, s.scale)) ==
+        visible.map(s => (s.name, s.kind, s.precision, s.scale)),
+      s"upsert source schema ${source.schema.simpleString} must match " +
+        s"the table's ${st.simpleString}")
+    keys.foreach(k => require(st.fieldNames.contains(k),
+      s"upsert key '$k' is not a column of ${st.fieldNames.mkString(",")}"))
+    val keyVis = keys.map(st.fieldIndex)
+    keyVis.foreach { v =>
+      val kind = visible(v).kind
+      require(Set(0, 1, 2, 3, 4, 8, 9)(kind),
+        s"upsert key '${visible(v).name}' has unsupported kind $kind " +
+          "(float/double/binary/array keys are not comparable-by-value)")
+    }
+
+    // distinct external key tuples -> driver; uniqueness is the upsert
+    // contract (two source rows with one key would race each other)
+    val keyDf = source.selectExpr(keys: _*)
+    val srcCount = source.count()
+    val keyRows = keyDf.distinct().collect()
+    require(keyRows.length.toLong == srcCount,
+      s"upsert source has ${srcCount - keyRows.length} duplicate key rows")
+    require(keyRows.forall(r => !r.anyNull), "upsert keys must be non-null")
+    def storedKeyOf(x: Any, spec: ColumnSpec): Any = spec.kind match {
+      case 0 => x.asInstanceOf[java.lang.Long].longValue()
+      case 3 => GraftDataSource.microsOf(x.asInstanceOf[java.time.LocalDateTime])
+      case 8 => x.asInstanceOf[java.math.BigDecimal]
+        .setScale(spec.scale).unscaledValue().longValueExact()
+      case 2 => x.asInstanceOf[java.lang.Integer].intValue()
+      case 4 => GraftDataSource.daysOf(x).getOrElse(
+        throw new IllegalArgumentException(s"bad DATE key value $x"))
+      case 9 => if (x.asInstanceOf[java.lang.Boolean]) 1 else 0
+      case _ => x.asInstanceOf[String]
+    }
+    val keySet: Set[Seq[Any]] = keyRows.map(r =>
+      keys.indices.map(i => storedKeyOf(r.get(i), visible(keyVis(i))))).toSet
+    val keySetB = spark.sparkContext.broadcast(keySet)
+
+    // container admission: per-column IN over the external key values —
+    // implied conjuncts of key membership (zone maps, dicts, bucket
+    // facts all apply); above the cap every container is a candidate
+    val admission: Seq[org.apache.spark.sql.sources.Filter] =
+      if (keyRows.length > 4096 || keyRows.isEmpty) Nil
+      else GraftDataSource.translateFilters(
+        keys.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.sources.In(c,
+            keyRows.map(_.get(i)).distinct.toArray)
+        }.toArray,
+        GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st),
+        GraftDataSource.f32ColsOf(st)).toSeq
+    val defaultNames = GraftDataSource.schema.fieldNames.toSeq
+    val affected =
+      if (keyRows.isEmpty) Nil
+      else committed.filter { m =>
+        GraftDataSource.containerFilters(m, admission, tableCols, defaultNames)
+          .exists(GraftDataSource.admitManifest(m, _))
+      }
+
+    val runId = "r" + java.util.UUID.randomUUID().toString.take(7)
+    val epoch = s"upsert-$runId"
+    val chunkRows = ColumnarEngine.ChunkRows
+    val fullCols: Seq[(String, Int)] =
+      if (chain.exists(_.dropped)) chain.map(s => (s.name, s.packed)) else Nil
+    def sweepStaged(): Unit = {
+      val f = ContainerIO.fs(path, conf)
+      ContainerIO.listNames(conf, s"$path/blocks")
+        .filter(n => n.startsWith(s"part-$epoch-") ||
+          n.startsWith(s"part-merge-$runId-"))
+        .foreach(n => f.delete(
+          new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
+    }
+    try {
+      // 1) stage the source as fresh containers (attempt-qualified, one
+      // new epoch) through the ordinary writer — unpublished until the
+      // single swap below
+      val appended: Array[PartManifest] = source.queryExecution.toRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val w = new GraftDataWriter(path, pid, epoch, confKv, chunkRows,
+              pid.toLong, st, Nil, fullCols)
+            it.foreach(w.write)
+            Iterator.single(w.commitManifest())
+          }
+        }.collect().filter(_.rows > 0)
+
+      // 2) rewrite the admitted containers, dropping matched keys
+      val keyVisSer = keyVis
+      val visPosSer = visPositions
+      val outs: Array[(String, PartManifest, Long)] =
+        if (affected.isEmpty) Array.empty
+        else spark.sparkContext.parallelize(affected.zipWithIndex, affected.size)
+          .map { case (m0, bin) =>
+            val c2 = ContainerIO.confFrom(confKv)
+            val m = Manifests.loadChunkIndex(c2, path, m0)
+            val storedChain: Seq[(String, Int)] =
+              if (m.schemaCols.isEmpty)
+                ColumnarEngine.DefaultSchema.map(s => (s.name, s.packed))
+              else m.schemaCols
+            val keyFull = keyVisSer.map(visPosSer)
+            if (keyFull.exists(_ >= storedChain.size))
+              // the container predates a key column: all-null keys,
+              // nothing can match
+              (m.name, null: PartManifest, 0L)
+            else {
+              val schema = storedChain.map { case (n, k) =>
+                ColumnSpec.fromPacked(n, k) }
+              val matcher = new StoredKeyMatcher(
+                keyFull.map(storedChain), keySetB.value)
+              val (pm, dropped) = rewriteBin(c2, path, Seq(m), schema,
+                m.digestCol, s"merge-$runId-$bin", bin, drop = matcher)
+              if (dropped == 0L) {
+                ContainerIO.fs(path, c2).delete(new org.apache.hadoop.fs.Path(
+                  s"$path/blocks/part-${pm.name}.gblk"), false)
+              }
+              (m.name, pm, dropped)
+            }
+          }.collect()
+      val changed = outs.filter(_._3 > 0L)
+      if (changed.isEmpty && appended.isEmpty) return (0L, 0L)
+      beforeCommit()
+      // ONE swap: rewrites replace their originals, appends just land —
+      // no reader ever sees a key twice or not at all
+      swapGeneration(conf, path, changed.map(_._1).toSet,
+        changed.map(_._2).toSeq ++ appended,
+        what = s"UPSERT ON ${keys.mkString(",")}",
+        reclaimConsumed = false, afterStage = () => ())
+      (changed.map(_._3).sum, appended.map(_.rows).sum)
+    } catch {
+      case e: CompactionConflict => throw e // staged sweep already done
+      case scala.util.control.NonFatal(e) =>
+        sweepStaged()
+        def hasFnf(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+            hasFnf(t.getCause))
+        if (hasFnf(e)) {
+          val c = new CompactionConflict(
+            s"a source container of $path vanished during the upsert " +
+              "rewrite (concurrent overwrite/compaction); upsert aborted, " +
+              "staged output removed")
+          c.initCause(e)
+          throw c
+        }
+        throw e
+    } finally keySetB.destroy()
+  }
+
   /** Stream one container through a CURRENT-width re-encoder, applying
     * the bound assignments to matched rows (UPDATE's rewrite). Every row
     * round-trips through the visible internal representation (the same
@@ -1072,7 +1263,7 @@ object GraftMaintenance {
                          path: String, ms: Seq[ParsedManifest],
                          schema: Seq[ColumnSpec], digestCol: String,
                          partName: String, bin: Int,
-                         drop: StoredRowMatcher = null): (PartManifest, Long) = {
+                         drop: RowDropper = null): (PartManifest, Long) = {
     val enc = new ColumnarEngine.PartitionEncoder(bin, path, conf,
       partName = partName, schema = schema)
     // EPOCH identities folded into this container — with those the
@@ -1207,6 +1398,52 @@ object GraftMaintenance {
   }
 }
 
+/** A row-removal decision over decoded stored rows — the hook
+  * [[GraftMaintenance]]'s rewrite streams matched rows through
+  * (predicate DELETE, key-set upsert).
+  */
+private[sources] trait RowDropper extends Serializable {
+  def matches(chunk: graft.engine.DecodedChunk, j: Int): Boolean
+}
+
+/** Key-set membership over decoded STORED rows (the upsert matcher): a
+  * row matches when its key tuple — each component normalized to the
+  * stored representation (unscaled/micros/days/0-1) — is in `keySet`.
+  * Rows with a NULL key component never match (SQL join semantics).
+  */
+private[sources] final class StoredKeyMatcher(
+    keyCols: Seq[(String, Int)], keySet: Set[Seq[Any]]) extends RowDropper {
+  import graft.engine.DecodedChunk
+
+  @transient private lazy val getters: Array[(DecodedChunk, Int) => Any] =
+    keyCols.toArray.map { case (n0, packed) =>
+      val s = graft.engine.ColumnSpec.fromPacked(n0, packed)
+      val n = s.name
+      val get: (DecodedChunk, Int) => Any = s.kind match {
+        case 0 | 3 | 8 => (c, j) => c.longs.get(n)(j)
+        case 2 | 4 | 9 => (c, j) => c.ints.get(n)(j)
+        case 1 => (c, j) => c.strs.get(n).string(j)
+        case other => throw new IllegalStateException(
+          s"unsupported upsert key kind $other for '$n'")
+      }
+      if (s.nullable) (c: DecodedChunk, j: Int) =>
+        if (c.validAt(n, j)) get(c, j) else null
+      else get
+    }
+
+  def matches(chunk: DecodedChunk, j: Int): Boolean = {
+    val t = new Array[Any](getters.length)
+    var i = 0
+    while (i < getters.length) {
+      val v = getters(i)(chunk, j)
+      if (v == null) return false
+      t(i) = v
+      i += 1
+    }
+    keySet.contains(t.toSeq)
+  }
+}
+
 /** Evaluates a Catalyst predicate — resolved against the table's CURRENT
   * schema and bound to positional ordinals — on decoded STORED rows of
   * one container (the copy-on-write DELETE row filter). Positions the
@@ -1220,7 +1457,7 @@ object GraftMaintenance {
   */
 private[sources] final class StoredRowMatcher(
     bound: org.apache.spark.sql.catalyst.expressions.Expression,
-    containerCols: Seq[(String, Int)], width: Int) extends Serializable {
+    containerCols: Seq[(String, Int)], width: Int) extends RowDropper {
   import graft.engine.DecodedChunk
 
   @transient private lazy val pred = {

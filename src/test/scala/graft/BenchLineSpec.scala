@@ -44,6 +44,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.endsWith("}"))
+    // if the doomsday rung fired, the engine legs must have survived the
+    // cut and the cut must be recorded
+    if (line.contains("\"_cut\":")) {
+      assert(line.contains("\"engine_encode\":"))
+      assert(line.contains("\"engine_decode\":"))
+    }
+  }
+
+  test("doomsday rung: an absurdly grown suite still renders a parseable " +
+    "line with engine legs + the slowest queries and a _cut count") {
+    val queries = (1 to 300).map(i => f"z$i%03d_q" -> i.toDouble) ++ engineKeys
+    val line = Bench.finalLine(9.9, queries, "/tmp/sf0.1", 32)
+    assert(line.length < Bench.FinalLineBudget, s"${line.length}:\n$line")
+    assert(line.contains("\"_cut\":"))
+    assert(line.contains("\"engine_encode\":4"))
+    assert(line.contains("\"z300_q\":300"), "the slowest queries must survive")
+    assert(!line.contains("\"z001_q\":"), "the fastest queries are cut")
   }
 
   test("final line has no diagnostics blobs") {
