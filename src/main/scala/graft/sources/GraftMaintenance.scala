@@ -679,16 +679,53 @@ object GraftMaintenance {
 
     // container admission: per-column IN over the external key values —
     // implied conjuncts of key membership (zone maps, dicts, bucket
-    // facts all apply); above the cap every container is a candidate
+    // facts all apply). Above the IN cap, per-column [min, max] RANGE
+    // conjuncts take over (also implied by membership): bounded-size
+    // admission at ANY source size, so key-sorted/clustered tables keep
+    // pruning whole containers outside the source's key range.
     val admission: Seq[org.apache.spark.sql.sources.Filter] =
-      if (keyRows.length > 4096 || keyRows.isEmpty) Nil
-      else GraftDataSource.translateFilters(
-        keys.zipWithIndex.map { case (c, i) =>
-          org.apache.spark.sql.sources.In(c,
-            keyRows.map(_.get(i)).distinct.toArray)
-        }.toArray,
-        GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st),
-        GraftDataSource.f32ColsOf(st)).toSeq
+      if (keyRows.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.{sources => sf}
+        val raw: Seq[sf.Filter] =
+          if (keyRows.length <= 4096)
+            keys.indices.map(i =>
+              sf.In(keys(i), keyRows.map(_.get(i)).distinct.toArray))
+          else keys.indices.flatMap { i =>
+            // one Spark type per column, so values are mutually
+            // comparable; booleans get no range proof (and need none)
+            val vs = keyRows.map(_.get(i))
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: java.lang.Long, y: java.lang.Long) => x < y
+              case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+              case (x: String, y: String) => x.compareTo(y) < 0
+              case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+                x.compareTo(y) < 0
+              case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) =>
+                x.isBefore(y)
+              case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+              case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+                x.isBefore(y)
+              case _ => false
+            }
+            val comparable = vs.head match {
+              case _: java.lang.Long | _: java.lang.Integer | _: String |
+                   _: java.math.BigDecimal | _: java.time.LocalDateTime |
+                   _: java.sql.Date | _: java.time.LocalDate => true
+              case _ => false
+            }
+            if (!comparable) Nil
+            else {
+              val lo = vs.reduceLeft((a, b) => if (lt(b, a)) b else a)
+              val hi = vs.reduceLeft((a, b) => if (lt(a, b)) b else a)
+              Seq(sf.GreaterThanOrEqual(keys(i), lo),
+                sf.LessThanOrEqual(keys(i), hi))
+            }
+          }
+        GraftDataSource.translateFilters(raw.toArray,
+          GraftDataSource.decScaleOf(st), GraftDataSource.boolColsOf(st),
+          GraftDataSource.f32ColsOf(st)).toSeq
+      }
     val defaultNames = GraftDataSource.schema.fieldNames.toSeq
     val affected =
       if (keyRows.isEmpty) Nil

@@ -126,6 +126,25 @@ class UpsertSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 10L)
   }
 
+  test("a source past the IN cap still prunes via key-range admission") {
+    import spark.implicits._
+    val d = tmp("range")
+    append(d, 0, 2000, "a")       // low container
+    append(d, 100000, 102000, "b") // high container, far away
+    val before = names(d)
+    // 5000 keys (> the 4096 IN cap) all inside the LOW container's range
+    val src = (0L until 5000L).map(i => (i, "u", -i))
+      .toDF("id", "tag", "score")
+    val (rep, app) = GraftMaintenance.upsert(spark, d, src, Seq("id"))
+    assert(rep === 2000L && app === 5000L)
+    assert((before intersect names(d)).size === 1,
+      "range admission must keep the high container's manifest untouched")
+    val r = spark.read.format("graft").load(d)
+    assert(r.count() === 2000 + 2000 - 2000 + 5000)
+    assert(r.filter(col("id") === 100500L).select("tag")
+      .collect().head.getString(0).startsWith("b"))
+  }
+
   test("guards: duplicate source keys, null keys, schema mismatch") {
     import spark.implicits._
     val d = tmp("guards")
