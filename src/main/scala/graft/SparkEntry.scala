@@ -682,6 +682,32 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // COLUMN DROP + name re-add (round 9): drop the middle column
+    // (positional tombstone), append a second generation that re-adds
+    // the NAME as a fresh trailing nullable column — pre-drop rows must
+    // read NULL there (never the old values), COUNT(user_id) must stay
+    // exact across the mixed generations, and the survivor column after
+    // the dropped position must translate positionally.
+    "c24_drop_column" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-c24").toString
+      val ev = t(s, d, "events")
+      ev.select(col("event_id"), col("user_id"), col("value"))
+        .write.format("graft").option("chunkRows", "1024")
+        .option("sortBy", "event_id")
+        .mode("overwrite").save(dir)
+      graft.sources.GraftMaintenance.dropColumn(s, dir, "user_id")
+      ev.select((col("event_id") + lit(1000000L)).as("event_id"),
+          col("value"), col("user_id"))
+        .write.format("graft").option("chunkRows", "1024")
+        .mode("append").save(dir)
+      s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n"),
+          count(col("user_id")).as("n_user"),
+          sum(cents(col("value"))).as("value_cents"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
     // MERGE-style UPSERT (round 9): whole-row replace-by-key in one OCC
     // swap — overlapping keys take the source's row, new keys append.
     // The oracle computes src UNION ALL (target ANTI JOIN src).
@@ -1248,6 +1274,20 @@ object SparkEntry {
          min(event_id) AS min_id, max(event_id) AS max_id
          FROM events
          GROUP BY 1 ORDER BY 1""",
+
+    // drop + re-add: generation 1 reads NULL in the re-added column
+    "c24_drop_column" ->
+      """WITH merged AS (
+           SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id
+           FROM events
+           UNION ALL
+           SELECT event_id + 1000000 AS event_id, value, user_id
+           FROM events)
+       SELECT count(*) AS n, count(user_id) AS n_user,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM merged""",
 
     // upsert: src wins on overlap, target keeps the rest
     "c23_upsert" ->

@@ -59,6 +59,24 @@ class FloatScalarSpec extends AnyFunSuite {
       FloatBits.toSortableInt(Float.PositiveInfinity))
   }
 
+  test("the mapping sorts 10k random bit patterns exactly like " +
+    "Float.compare (NaNs canonicalized)") {
+    val rnd = new java.util.Random(77)
+    val sample = Array.fill(10000)(
+      java.lang.Float.intBitsToFloat(rnd.nextInt()))
+    sample.foreach { f =>
+      val back = FloatBits.fromSortableInt(FloatBits.toSortableInt(f))
+      if (f.isNaN) assert(back.isNaN)
+      else assert(java.lang.Float.compare(back, f) === 0, s"round-trip $f")
+    }
+    val byMapped = sample.sortBy(FloatBits.toSortableInt)
+    val byCompare = sample.sortWith((a, b) => java.lang.Float.compare(a, b) < 0)
+    byMapped.lazyZip(byCompare).foreach { (a, b) =>
+      assert(java.lang.Float.compare(a, b) == 0 || (a.isNaN && b.isNaN),
+        s"order diverged at ($a, $b)")
+    }
+  }
+
   test("float scalar round-trips exactly, including special values") {
     val d = write(Seq(
       Row(0L, -0.0f), Row(1L, 0.0f), Row(2L, Float.NaN),
