@@ -654,6 +654,33 @@ object GraftMaintenance {
           "(float/double/binary/array keys are not comparable-by-value)")
     }
 
+    // the source is read THREE times (count, key collect, staging):
+    // persist it for the op so all three see the SAME rows even when
+    // the source plan is nondeterministic/non-idempotent (a shuffled
+    // sample, a REST-backed view) — otherwise staged rows could carry
+    // keys the collected set never saw and a key could end up twice
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try upsertPersisted(spark, path, src, keys, beforeCommit)
+    finally { src.unpersist(); () }
+  }
+
+  private def upsertPersisted(spark: SparkSession, path: String,
+                              source: org.apache.spark.sql.DataFrame,
+                              keys: Seq[String],
+                              beforeCommit: () => Unit): (Long, Long) = {
+    val confKv = ContainerIO.confSnapshot(spark)
+    val conf = ContainerIO.confFrom(confKv)
+    val all = Manifests.readCommitted(conf, path)
+    val committed = all.filter(m => m.rows > 0 && !m.schemaMarker)
+    val chain = GraftDataSource.currentSpecsOf(all)
+    val visible = chain.filterNot(_.dropped)
+    val st = GraftDataSource.schemaOf(visible)
+    val tableCols = chain.map(_.name)
+    val visPositions: Seq[Int] =
+      chain.zipWithIndex.filterNot(_._1.dropped).map(_._2)
+    val keyVis = keys.map(st.fieldIndex)
+
     // distinct external key tuples -> driver; uniqueness is the upsert
     // contract (two source rows with one key would race each other)
     val keyDf = source.selectExpr(keys: _*)
