@@ -316,6 +316,25 @@ class DeleteSpec extends AnyFunSuite {
       s"superseded markers must be swept: $markers")
   }
 
+  test("two concurrent deletes on DISJOINT containers both commit (OCC " +
+    "retry, no conflict)") {
+    val d = tmp("disjoint")
+    append(d, 0, 100, "a")       // low container
+    append(d, 10000, 10100, "b") // high container
+    // delete B races into delete A's commit window; their consumed
+    // containers are disjoint, so A's OCC retry lands on top of B
+    val nA = GraftMaintenance.deleteWithHook(spark, d, "id < 50",
+      beforeCommit = () =>
+        assert(GraftMaintenance.delete(spark, d, "id >= 10050") === 50L))
+    assert(nA === 50L)
+    val r = spark.read.format("graft").load(d)
+    assert(r.count() === 100)
+    assert(r.filter(col("id") < 50).count() === 0)
+    assert(r.filter(col("id") >= 10050).count() === 0)
+    assert(r.filter(col("id") >= 50 && col("id") < 100).count() === 50)
+    assert(r.filter(col("id") >= 10000 && col("id") < 10050).count() === 50)
+  }
+
   test("delete predicate guards: nondeterministic and subquery predicates " +
     "are rejected") {
     val d = tmp("guards")
