@@ -391,7 +391,9 @@ object GraftMaintenance {
     val width = visPositions.size
     // one task per affected container (1:1 rewrite keeps the schema
     // generation, partitioning metadata, and epoch coverage of each);
-    // chunk detail hydrates INSIDE the task (driver stays O(containers))
+    // chunk detail hydrates INSIDE the task (driver stays O(containers)).
+    // The collect (here and in update/upsert) returns ONE manifest per
+    // affected container — bounded metadata, never rows.
     val outs: Array[(String, PartManifest, Long)] =
       try spark.sparkContext.parallelize(affected.zipWithIndex, affected.size)
         .map { case (m0, bin) =>
