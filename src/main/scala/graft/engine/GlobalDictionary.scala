@@ -23,12 +23,18 @@ object GlobalDictionary {
     val distinct = df.select(col(column).cast("string").as("value"))
       .where($"value".isNotNull).distinct()
     val bucketed = distinct.withColumn("_b", pmod(xxhash64($"value"), lit(buckets.toLong)))
-    // one row per bucket — safe to bring to the driver at any scale
+    // one row per bucket; the cumulative offset is a running sum over
+    // those <= `buckets` rows — a bounded single-partition window, NOT a
+    // driver collect (round 10): the collect forced one eager job per
+    // dictionary on the driver's critical path (three per derive), where
+    // this lazy form folds into the caller's job and lets AQE overlap
+    // the three dictionaries' stages
     val counts = bucketed.groupBy("_b").agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_b", "_off")
+    val offW = Window.orderBy($"_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = counts
+      .withColumn("_off", coalesce(sum($"_c").over(offW), lit(0L)))
+      .select($"_b", $"_off")
     val w = Window.partitionBy($"_b").orderBy($"value")
     bucketed.join(broadcast(offDf), "_b")
       .withColumn("code", ($"_off" + row_number().over(w) - 1).cast("long"))

@@ -82,7 +82,10 @@ case class IvfLists(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
       var dot = 0.0
       var j = 0
       while (j < dim) { dot += v(j) * cent(j); j += 1 }
-      scores(c) = dot - halfNorm(c)
+      // a NaN dot (non-finite vector component) scores as -Inf so the
+      // selection below never carries NaN into its comparisons
+      val s = dot - halfNorm(c)
+      scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     // partial selection of the top nprobe by (score desc, id asc) —
@@ -94,7 +97,14 @@ case class IvfLists(child: Expression, cents: Seq[Seq[Double]], nprobe: Int)
       var bestS = Double.NegativeInfinity
       var q = 0
       while (q < nlist) {
-        if (scores(q) > bestS) { bestS = scores(q); best = q }
+        // `|| best < 0` keeps the selection total when every remaining
+        // score is -Inf (a NaN vector maps all scores there above): a bad
+        // vector then ranks lists deterministically and fails in the
+        // caller's exact-cosine verify with a diagnosable NaN, instead of
+        // throwing ArrayIndexOutOfBounds from inside codegen. For any
+        // vector with at least one finite score this picks exactly what
+        // the plain max did.
+        if (scores(q) > bestS || best < 0) { bestS = scores(q); best = q }
         q += 1
       }
       scores(best) = Double.NegativeInfinity // consumed

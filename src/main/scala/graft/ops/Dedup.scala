@@ -26,6 +26,28 @@ object Dedup {
     result
   }
 
+  /** Input-skew guard (round 10, guide §2.5): a corpus arriving in far
+    * fewer partitions than the session has cores (one unsplit file, a
+    * collapsed upstream coalesce) serializes every per-row expression
+    * downstream — the shingling/signature stages here ran as ONE task on
+    * the bench's single-file corpus. Hash-repartition by the id column
+    * (deterministic under retries, unlike round-robin) up to the default
+    * parallelism. At scale the input already has >= cores partitions and
+    * this is a no-op — the partition count check, not a config, keeps it
+    * scale-adaptive. Partitioning by id also lets the per-document
+    * aggregations downstream (ngramJaccard's prefix groupBy) reuse this
+    * exchange instead of adding their own (guide §2.4).
+    */
+  private def widen(df: DataFrame, idCol: String): DataFrame = {
+    // cores/4 target: enough to unserialize the expression stages while
+    // keeping the per-task fixed cost of every DOWNSTREAM stage low —
+    // measured on d6 at sf0.1: 1 part = 1.9 s wall (serial simhash),
+    // 8 parts = 0.9 s at +0.2 s total CPU, 32 parts = 0.8 s at +0.6 s CPU
+    val target = math.max(df.sparkSession.sparkContext.defaultParallelism / 4, 2)
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, col(idCol))
+    else df
+  }
+
   /** Exact dedup: one representative (min id) + duplicate count per
     * distinct text. Groups by sha2(text) so the shuffle carries a 32-byte
     * key rather than the full document (100 TB shape); collision odds are
@@ -75,7 +97,7 @@ object Dedup {
     // persisted FIRST so the banding pass and both verify joins all read
     // the one materialized shingle set (released below); the single-pass
     // expression emits it SORTED for the merge-based exact-Jaccard verify
-    val shs = df.select(col(idCol).as("id"),
+    val shs = widen(df, idCol).select(col(idCol).as("id"),
         graft.functions.WordNGrams.wordNgrams(col(textCol), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = shs.withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
@@ -117,7 +139,8 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.SimHash64.register(df.sparkSession)
     simhashPairsFromHashes(
-      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash")),
+      widen(df, idCol)
+        .select(col(idCol).as("id"), simhash64(col(textCol)).as("simhash")),
       maxHamming)
   }
 
@@ -186,7 +209,7 @@ object Dedup {
     // The single-pass expression emits each document's distinct grams
     // SORTED, so the verify stage can use the merge-with-early-exit
     // Jaccard kernel instead of per-pair hash sets.
-    val base = df.select(col(idCol).as("id"),
+    val base = widen(df, idCol).select(col(idCol).as("id"),
       graft.functions.WordNGrams.wordNgrams(col(textCol), n).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // _sz rides the explode — no sizes join (and no extra shuffle) needed
@@ -301,7 +324,7 @@ object Dedup {
     // verify joins; released below. The vector keeps its NATIVE element
     // type (embeddings are array<float>): CosineSim widens per component,
     // and the verify joins shuffle half the bytes of a double plan.
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = widen(df, idCol).select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only bucket join, the minhashLsh discipline: vectors NEVER
     // ride the (tbl, bucket) shuffle — at tables x (probes+1) rows a

@@ -32,6 +32,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Input-skew guard (round 10, guide §2.5; [[graft.ops.Dedup]] has the
+    * same one): a corpus arriving in far fewer partitions than the session
+    * has cores serializes the bucketing/scoring stages on one task — the
+    * bench's single-file corpus scans as ONE partition. Deterministic
+    * hash-repartition by id; a no-op once the input has >= cores/2
+    * partitions, so at scale nothing is shuffled.
+    */
+  private def widen(df: DataFrame, idCol: String): DataFrame = {
+    // cores/4 target — see [[graft.ops.Dedup]]'s widen for the measured
+    // wall/CPU trade behind the divisor
+    val target = math.max(df.sparkSession.sparkContext.defaultParallelism / 4, 2)
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target, col(idCol))
+    else df
+  }
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     *
     * Scale shape: the query set is broadcast (queries are the small side
@@ -43,6 +58,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // no input widening here (cf. lshTopK): the corpus-side work is one
+    // fused cosine pass, so an extra exchange costs more than the
+    // parallelism returns on a narrow input
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineFast(corpus)(col("qv"), col("cv")))
@@ -175,6 +193,8 @@ object Similarity {
     // stays in OpsSpec as the independently-derived parity cross-check.
     graft.functions.IvfLists.register(corpus.sparkSession)
     val centsSeq: Seq[Seq[Double]] = centroids.toIndexedSeq.map(_.toIndexedSeq)
+    // no input widening (cf. lshTopK): ivf_lists assignment is one fused
+    // pass — the exchange would cost more than it parallelizes
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("list", element_at(
         graft.functions.IvfLists.ivfLists(col("cv"), centsSeq, 1), 1).cast("long"))
@@ -219,7 +239,8 @@ object Similarity {
     // tiny, so probe volume is cheap here, unlike the all-pairs near-dup).
     def buckets(vec: Column, nProbes: Int) = explode(
       graft.functions.LshProbes.lshProbes(vec, dim, planes, tables, nProbes, 42L))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = widen(corpus, idCol)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("tb", buckets(col("cv"), 0))
       .select(col("neighbor_id"), col("cv"), col("tb.tbl"), col("tb.bucket"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -1174,7 +1174,7 @@ class GraftScanBuilder(path: String, tableSchema: StructType,
       if (requiredSchema.isEmpty) {
         def weight(dt: DataType): Int = dt match {
           case LongType | IntegerType | TimestampNTZType | DateType |
-               DoubleType => 0
+               DoubleType | FloatType | BooleanType | _: DecimalType => 0
           case StringType => 1
           case _ => 2 // binary / float-array
         }

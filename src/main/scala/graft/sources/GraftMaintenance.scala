@@ -684,10 +684,17 @@ object GraftMaintenance {
     val keyVis = keys.map(st.fieldIndex)
 
     // distinct external key tuples -> driver; uniqueness is the upsert
-    // contract (two source rows with one key would race each other)
-    val keyDf = source.selectExpr(keys: _*)
-    val srcCount = source.count()
-    val keyRows = keyDf.distinct().collect()
+    // contract (two source rows with one key would race each other).
+    // ONE grouped aggregation answers both questions the old
+    // count-then-distinct pair ran as two jobs over the persisted source
+    // (round 10): the group rows ARE the distinct keys and the counts sum
+    // to the source row count, so the duplicate check is unchanged.
+    val keyRows = source
+      .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("_n"))
+      .collect()
+    val srcCount = keyRows.map(_.getLong(keys.length)).sum
     require(keyRows.length.toLong == srcCount,
       s"upsert source has ${srcCount - keyRows.length} duplicate key rows")
     require(keyRows.forall(r => !r.anyNull), "upsert keys must be non-null")
@@ -784,8 +791,15 @@ object GraftMaintenance {
         .mapPartitionsWithIndex { (pid, it) =>
           if (it.isEmpty) Iterator.empty
           else {
+            // the real task ATTEMPT id (not pid): writeAtomic is
+            // first-commit-wins, so a retry after a partial first attempt
+            // must stage under a fresh name or the collected manifest can
+            // describe different bytes than the committed file — the same
+            // failure mode GraftDataWriter's DSv2 path guards against
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(pid.toLong)
             val w = new GraftDataWriter(path, pid, epoch, confKv, chunkRows,
-              pid.toLong, st, Nil, fullCols)
+              attempt, st, Nil, fullCols)
             it.foreach(w.write)
             Iterator.single(w.commitManifest())
           }
