@@ -169,25 +169,34 @@ object Fsst {
       shortCodes(((w >>> 48)).toInt & 0xffff) // already (code << 8) | len, or -1
     }
 
-    /** Greedy longest-match encode of src into w; returns bytes written. */
+    /** Greedy longest-match encode of src into w; returns bytes written.
+      * Worst case is 2 output bytes per input byte (every byte escaped),
+      * so ONE up-front reservation covers the whole value and the loop
+      * writes into the raw backing array — byte-identical output to the
+      * per-putByte form, without a capacity test per output byte (round
+      * 10; the per-byte form was ~27% of the engine encode leg).
+      */
     def encodeInto(src: Array[Byte], w: BlockWriter): Int = {
-      var written = 0
-      var i = 0
       val n = src.length
+      val b = w.reserveRaw(2 * n)
+      val p0 = w.rawPos
+      var p = p0
+      var i = 0
       while (i < n) {
         val m = longestMatch(src, i, n)
         if (m >= 0) {
-          w.putByte(m >>> 8)
-          written += 1
+          b(p) = (m >>> 8).toByte
+          p += 1
           i += m & 0xff
         } else {
-          w.putByte(EscapeCode)
-          w.putByte(src(i) & 0xff)
-          written += 2
+          b(p) = EscapeCode.toByte
+          b(p + 1) = src(i)
+          p += 2
           i += 1
         }
       }
-      written
+      w.advance(p - p0)
+      p - p0
     }
 
     def decode(src: Array[Byte], off: Int, encLen: Int, decLen: Int): Array[Byte] = {

@@ -125,6 +125,22 @@ final class BlockWriter(initialCapacity: Int = 4096) {
 
   def putByte(b: Int): Unit = { ensure(1); buf(pos) = b.toByte; pos += 1 }
 
+  /** Reserve `extra` bytes and expose the backing array + write cursor
+    * for an unchecked append run (round 10: the FSST encode loop paid a
+    * capacity test per OUTPUT BYTE through putByte — ~27% of the whole
+    * engine encode leg in the sampling profile). The caller writes at
+    * most `extra` bytes starting at the returned offset and then calls
+    * [[advance]] with the count actually written. The array reference is
+    * invalidated by any other put/ensure in between — use only for a
+    * single tight run.
+    */
+  def reserveRaw(extra: Int): Array[Byte] = { ensure(extra); buf }
+  def rawPos: Int = pos
+  def advance(n: Int): Unit = {
+    require(n >= 0 && pos + n <= buf.length, s"advance($n) overruns buffer")
+    pos += n
+  }
+
   def putBytes(src: Array[Byte], off: Int, n: Int): Unit = {
     ensure(n)
     System.arraycopy(src, off, buf, pos, n)

@@ -181,12 +181,18 @@ object ColumnarEngine {
     val df = src.toDF().select(
       required("repo"), required("path"), required("commit"),
       required("lang"), required("content"))
-    val repoDict = GlobalDictionary.build(df, "repo").withColumnsRenamed(
-      Map("value" -> "repo", "code" -> "repo_code"))
-    val langDict = GlobalDictionary.build(df, "lang").withColumnsRenamed(
-      Map("value" -> "lang", "code" -> "lang_code"))
-    val pathDict = GlobalDictionary.build(df, "path").withColumnsRenamed(
-      Map("value" -> "path", "code" -> "path_code"))
+    // ONE fused dictionary pass for all three columns (round 10): the
+    // per-column builds scanned the source and paid their exchanges three
+    // times; buildMulti unions the columns as (kind, value) rows, and the
+    // three filtered views below share its exchanges via plan-level
+    // reuse — same codes, one scan (guide §1.2: fewer passes).
+    val dict = GlobalDictionary.buildMulti(df, Seq("repo", "lang", "path"))
+    val repoDict = dict.filter($"kind" === "repo")
+      .select($"value".as("repo"), $"code".as("repo_code"))
+    val langDict = dict.filter($"kind" === "lang")
+      .select($"value".as("lang"), $"code".as("lang_code"))
+    val pathDict = dict.filter($"kind" === "path")
+      .select($"value".as("path"), $"code".as("path_code"))
     // distinct (repo, commit) is bounded by repos x commits-per-repo —
     // tiny next to the row count; the window sees only skinny pairs
     val commitOrds = df.select($"repo", $"commit").distinct()

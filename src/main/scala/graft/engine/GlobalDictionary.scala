@@ -17,27 +17,57 @@ import org.apache.spark.sql.expressions.Window
 object GlobalDictionary {
 
   /** @return DataFrame(value, code) with dense deterministic codes. */
-  def build(df: DataFrame, column: String, buckets: Int = 64): DataFrame = {
+  def build(df: DataFrame, column: String, buckets: Int = 64): DataFrame =
+    buildMulti(df, Seq(column), buckets)
+      .select(col("value"), col("code"))
+
+  /** All requested columns' dictionaries in ONE pass over `df` (round
+    * 10): the per-column form scanned the table once per dictionary and
+    * chained one distinct + one repartition exchange each — the derive
+    * stage paid that three times. Unioning the columns as (kind, value)
+    * rows makes it one scan + one map-side-deduped distinct + one
+    * clustered exchange shared by the counts aggregate and the rank
+    * window (guide §2.3/§2.4), and the per-kind branches the caller
+    * filters out of the result REUSE those exchanges (identical
+    * subplans), so the heavy work runs once however many dictionaries
+    * are pulled from it.
+    *
+    * Codes are IDENTICAL to the single-column form: bucket id and
+    * in-bucket (value) rank are per (kind, value), and the cumulative
+    * offset runs over each kind's <= `buckets` count rows alone.
+    *
+    * @return DataFrame(kind, value, code); `kind` is the column name.
+    */
+  def buildMulti(df: DataFrame, columns: Seq[String],
+                 buckets: Int = 64): DataFrame = {
+    require(columns.nonEmpty)
     val spark = df.sparkSession
     import spark.implicits._
-    val distinct = df.select(col(column).cast("string").as("value"))
-      .where($"value".isNotNull).distinct()
-    val bucketed = distinct.withColumn("_b", pmod(xxhash64($"value"), lit(buckets.toLong)))
-    // one row per bucket; the cumulative offset is a running sum over
-    // those <= `buckets` rows — a bounded single-partition window, NOT a
-    // driver collect (round 10): the collect forced one eager job per
-    // dictionary on the driver's critical path (three per derive), where
-    // this lazy form folds into the caller's job and lets AQE overlap
-    // the three dictionaries' stages
-    val counts = bucketed.groupBy("_b").agg(count(lit(1)).as("_c"))
-    val offW = Window.orderBy($"_b")
+    val stackArgs = columns
+      .map(c => s"'${c}', CAST(`$c` AS STRING)").mkString(", ")
+    val kinds = df
+      .selectExpr(s"stack(${columns.size}, $stackArgs) AS (kind, value)")
+      .where($"value".isNotNull)
+      .distinct()
+    // ONE exchange clustered by (kind, bucket) feeds BOTH the per-bucket
+    // counts and the in-bucket rank window below; the window then only
+    // sorts. The offset is a running sum over each kind's <= `buckets`
+    // count rows — a bounded per-kind window, NOT a driver collect
+    // (round 10): the collect forced one eager job per dictionary on the
+    // driver's critical path, where this lazy form folds into the
+    // caller's job.
+    val bucketed = kinds
+      .withColumn("_b", pmod(xxhash64($"value"), lit(buckets.toLong)))
+      .repartition($"kind", $"_b")
+    val counts = bucketed.groupBy($"kind", $"_b").agg(count(lit(1)).as("_c"))
+    val offW = Window.partitionBy($"kind").orderBy($"_b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offDf = counts
       .withColumn("_off", coalesce(sum($"_c").over(offW), lit(0L)))
-      .select($"_b", $"_off")
-    val w = Window.partitionBy($"_b").orderBy($"value")
-    bucketed.join(broadcast(offDf), "_b")
+      .select($"kind", $"_b", $"_off")
+    val w = Window.partitionBy($"kind", $"_b").orderBy($"value")
+    bucketed.join(broadcast(offDf), Seq("kind", "_b"))
       .withColumn("code", ($"_off" + row_number().over(w) - 1).cast("long"))
-      .select($"value", $"code")
+      .select($"kind", $"value", $"code")
   }
 }

@@ -268,10 +268,21 @@ object Dedup {
       // off the bench's critical path.
       .filter(lit(1) + least(col("_szi") - col("_pi"), col("_szp") - col("_pp"))
         >= ceil(lit(threshold / (1.0 + threshold)) * (col("_szi") + col("_szp"))))
+    // EXCHANGE-FREE dedup (round 10): a pair is generated only with its
+    // larger-(size, id) member as the probing side, so every duplicate of
+    // one pair (several shared prefix grams) carries the SAME (id_p,
+    // _szp) — both functionally determined by the pair. Adding them to
+    // the dedup key changes nothing about which pairs survive, but lets
+    // Spark prove the clustering from `pre`'s existing partitioning
+    // ((id) after widen, (id, _sz) from the prefix groupBy otherwise) and
+    // drop the dedup's own exchange — measured 0.3-0.5 s of
+    // shuffle-file fixed cost per run on this box (guide §2.4).
     val cand = matches
-      .select(least(col("id_i"), col("id_p")).as("id_a"),
+      .select(col("id_p"), col("_szp"),
+        least(col("id_i"), col("id_p")).as("id_a"),
         greatest(col("id_i"), col("id_p")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_p", "_szp", "id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
     // exact verify via the sorted-merge kernel: most false candidates
     // exit within a few compares (the suffix-filter effect), survivors
     // get their EXACT Jaccard from the same pass
@@ -328,15 +339,27 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only bucket join, the minhashLsh discipline: vectors NEVER
     // ride the (tbl, bucket) shuffle — at tables x (probes+1) rows a
-    // vector would otherwise cross the exchange hundreds of times
-    def side(npr: Int) = v.select(col("id"),
+    // vector would otherwise cross the exchange hundreds of times.
+    // The (tbl, bucket) pair packs into ONE long join key when it fits
+    // (bucket < 2^planes by construction): narrower shuffle rows and a
+    // single-column hash/compare on the highest-multiplicity join of the
+    // op (round 10, guide §2.3 — narrower types). Identical matching:
+    // the packing is injective.
+    val packKey = planes + 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(tables - 1, 1).toLong) <= 62
+    def side(npr: Int) = {
+      val s = v.select(col("id"),
         explode(graft.functions.LshProbes.lshProbes(
           col("v"), dim, planes, tables, npr, seed)).as("tb"))
-      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+      if (packKey)
+        s.select(col("id"), (col("tb.tbl").cast("long") * (1L << planes) +
+          col("tb.bucket")).as("tb"))
+      else s.select(col("id"), col("tb.tbl"), col("tb.bucket"))
+    }
+    val joinKeys = if (packKey) Seq("tb") else Seq("tbl", "bucket")
     val matched = side(nProbes)
-      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(side(0).select(col("tbl"), col("bucket"), col("id").as("id_b")),
-        Seq("tbl", "bucket"))
+      .withColumnRenamed("id", "id_a")
+      .join(side(0).withColumnRenamed("id", "id_b"), joinKeys)
     val cand = (if (symmetric)
         // either direction's probes may find the pair: canonicalize,
         // at the price of double-counting identity collisions

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only: phase timing of c3 (derive -> encode -> readColumns). */
+object C3Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("c3probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def tt[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[t] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    for (rep <- 1 to 3) {
+      val src = spark.read.parquet(s"$d/documents.parquet").select(
+        concat(lit("repo/"), col("source")).as("repo"),
+        concat(lit("docs/doc_"), col("doc_id")).as("path"),
+        concat(lit("c"), col("doc_id")).as("commit"),
+        col("lang"),
+        col("text").as("content")).as[graft.engine.SourceFile]
+      val derived = tt(s"rep$rep derive-plan")(
+        graft.engine.ColumnarEngine.derive(src))
+      val dir = java.nio.file.Files.createTempDirectory("graft-c3p").toString
+      tt(s"rep$rep encode")(
+        graft.engine.ColumnarEngine.encode(derived, dir, numParts = 4))
+      tt(s"rep$rep read+agg")(
+        graft.engine.ColumnarEngine.readColumns(spark, dir,
+          Seq("lang", "len_content"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len_content")).as("sum_chars"))
+          .orderBy(col("lang")).count())
+    }
+    spark.stop()
+  }
+}

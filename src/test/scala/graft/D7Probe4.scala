@@ -17,7 +17,7 @@ object D7Probe4 {
     graft.functions.WordNGrams.register(spark)
     val threshold = 0.5
 
-    def pipeline(): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def pipeline(): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
       val base = docs.select(col("doc_id").as("id"),
         graft.functions.WordNGrams.wordNgrams(col("text"), 3).as("grams"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -59,7 +59,7 @@ object D7Probe4 {
           col("g_a"), col("g_b"), lit(threshold)))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-      (base, pre, cand, out)
+      (base, pre, matches, cand, out)
     }
 
     def cpuS(): Double =
@@ -78,16 +78,17 @@ object D7Probe4 {
     for (rep <- 1 to 3) {
       println(s"--- rep $rep")
       // phase 1: base materialize
-      val (base, pre, cand, out) = pipeline()
+      val (base, pre, matches, cand, out) = pipeline()
       tt("base")(base.count())
       tt("pre")(pre.count())
+      tt("matches")(matches.count())
+      tt("matchesNoCond")(matches.select(col("id_i")).count())
       tt("cand")(cand.count())
       tt("out")(out.count())
-      tt("cand2")(cand.count())
       base.unpersist(true); pre.unpersist(true)
       spark.catalog.clearCache()
       // full, exactly as Dedup runs it (single count over everything)
-      val (b2, p2, _, out2) = pipeline()
+      val (b2, p2, _, _, out2) = pipeline()
       tt("FULL")(out2.count())
       b2.unpersist(true); p2.unpersist(true)
       spark.catalog.clearCache()

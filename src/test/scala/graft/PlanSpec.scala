@@ -236,8 +236,12 @@ class PlanSpec extends AnyFunSuite {
       self ++ kids.flatMap(allExchanges)
     }
     val exchanges = allExchanges(pairs.queryExecution.executedPlan)
-    val bucketed = exchanges.filter(_.outputPartitioning.toString.contains("bucket"))
-    assert(bucketed.nonEmpty, "expected a (tbl, bucket) exchange in:\n" +
+    // round 10: the (tbl, bucket) pair rides the join as ONE packed long
+    // key `tb` (injective; narrower shuffle rows) — match either form
+    val bucketed = exchanges.filter(e =>
+      e.outputPartitioning.toString.contains("bucket") ||
+        e.outputPartitioning.toString.contains("tb#"))
+    assert(bucketed.nonEmpty, "expected a (tbl, bucket) / packed tb exchange in:\n" +
       pairs.queryExecution.executedPlan.toString.take(1200))
     for (e <- bucketed)
       assert(!e.child.output.exists(_.dataType.typeName.startsWith("array")),
