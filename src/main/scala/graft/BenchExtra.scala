@@ -68,8 +68,9 @@ object BenchExtra {
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
       .count().collect()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => wanted.isEmpty || wanted.contains(n))
+    val names =
+      if (wanted.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq.distinct // argument ORDER, for A/B ordering probes
     val totals = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     for (name <- names) {
       val fn = SparkEntry.queries(name)

@@ -49,22 +49,28 @@ object GlobalDictionary {
       .selectExpr(s"stack(${columns.size}, $stackArgs) AS (kind, value)")
       .where($"value".isNotNull)
       .distinct()
-    // ONE exchange clustered by (kind, bucket) feeds BOTH the per-bucket
-    // counts and the in-bucket rank window below; the window then only
-    // sorts. The offset is a running sum over each kind's <= `buckets`
-    // count rows — a bounded per-kind window, NOT a driver collect
-    // (round 10): the collect forced one eager job per dictionary on the
-    // driver's critical path, where this lazy form folds into the
-    // caller's job.
     val bucketed = kinds
       .withColumn("_b", pmod(xxhash64($"value"), lit(buckets.toLong)))
-      .repartition($"kind", $"_b")
+    // one row per (kind, bucket) — bounded at columns x buckets rows,
+    // safe to bring to the driver at any scale. A lazy running-sum window
+    // was tried here in round 10 and measured SLOWER: it chains
+    // counts-exchange -> offsets-window -> broadcast into the caller's
+    // critical path, where this ONE eager job (for all kinds together —
+    // the per-column form paid it three times) yields a LocalRelation the
+    // join below broadcasts instantly.
     val counts = bucketed.groupBy($"kind", $"_b").agg(count(lit(1)).as("_c"))
-    val offW = Window.partitionBy($"kind").orderBy($"_b")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = counts
-      .withColumn("_off", coalesce(sum($"_c").over(offW), lit(0L)))
-      .select($"kind", $"_b", $"_off")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    var curKind: String = null
+    var acc = 0L
+    for ((k, b, c) <- counts) {
+      if (k != curKind) { curKind = k; acc = 0L }
+      offsets += ((k, b, acc))
+      acc += c
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("kind", "_b", "_off")
     val w = Window.partitionBy($"kind", $"_b").orderBy($"value")
     bucketed.join(broadcast(offDf), Seq("kind", "_b"))
       .withColumn("code", ($"_off" + row_number().over(w) - 1).cast("long"))
