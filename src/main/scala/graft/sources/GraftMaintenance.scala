@@ -775,6 +775,10 @@ object GraftMaintenance {
     val chunkRows = ColumnarEngine.ChunkRows
     val fullCols: Seq[(String, Int)] =
       if (chain.exists(_.dropped)) chain.map(s => (s.name, s.packed)) else Nil
+    def drainQuietly(f: scala.concurrent.Future[_]): Unit =
+      if (f != null)
+        try scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+        catch { case scala.util.control.NonFatal(_) => () }
     def sweepStaged(): Unit = {
       val f = ContainerIO.fs(path, conf)
       ContainerIO.listNames(conf, s"$path/blocks")
@@ -783,27 +787,36 @@ object GraftMaintenance {
         .foreach(n => f.delete(
           new org.apache.hadoop.fs.Path(s"$path/blocks/$n"), false))
     }
+    var appendedF: scala.concurrent.Future[Array[PartManifest]] = null
     try {
       // 1) stage the source as fresh containers (attempt-qualified, one
       // new epoch) through the ordinary writer — unpublished until the
-      // single swap below
-      val appended: Array[PartManifest] = source.queryExecution.toRdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          if (it.isEmpty) Iterator.empty
-          else {
-            // the real task ATTEMPT id (not pid): writeAtomic is
-            // first-commit-wins, so a retry after a partial first attempt
-            // must stage under a fresh name or the collected manifest can
-            // describe different bytes than the committed file — the same
-            // failure mode GraftDataWriter's DSv2 path guards against
-            val attempt = Option(org.apache.spark.TaskContext.get())
-              .map(_.taskAttemptId()).getOrElse(pid.toLong)
-            val w = new GraftDataWriter(path, pid, epoch, confKv, chunkRows,
-              attempt, st, Nil, fullCols)
-            it.foreach(w.write)
-            Iterator.single(w.commitManifest())
-          }
-        }.collect().filter(_.rows > 0)
+      // single swap below. Submitted CONCURRENTLY with the rewrite job in
+      // step 2 (guide §2.6 — overlap independent jobs): the two touch
+      // disjoint containers and only meet at the single swap, so the
+      // rewrite's tasks back-fill cores the staging job leaves idle.
+      // Failure handling below AWAITS this future before sweeping staged
+      // output, so a crash can never race the sweep against a straggling
+      // staging task.
+      appendedF = scala.concurrent.Future {
+        source.queryExecution.toRdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              // the real task ATTEMPT id (not pid): writeAtomic is
+              // first-commit-wins, so a retry after a partial first attempt
+              // must stage under a fresh name or the collected manifest can
+              // describe different bytes than the committed file — the same
+              // failure mode GraftDataWriter's DSv2 path guards against
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(pid.toLong)
+              val w = new GraftDataWriter(path, pid, epoch, confKv, chunkRows,
+                attempt, st, Nil, fullCols)
+              it.foreach(w.write)
+              Iterator.single(w.commitManifest())
+            }
+          }.collect().filter(_.rows > 0)
+      }(scala.concurrent.ExecutionContext.global)
 
       // 2) rewrite the admitted containers, dropping matched keys
       val keyVisSer = keyVis
@@ -837,6 +850,8 @@ object GraftMaintenance {
               (m.name, pm, dropped)
             }
           }.collect()
+      val appended = scala.concurrent.Await.result(
+        appendedF, scala.concurrent.duration.Duration.Inf)
       val changed = outs.filter(_._3 > 0L)
       if (changed.isEmpty && appended.isEmpty) return (0L, 0L)
       beforeCommit()
@@ -848,8 +863,15 @@ object GraftMaintenance {
         reclaimConsumed = false, afterStage = () => ())
       (changed.map(_._3).sum, appended.map(_.rows).sum)
     } catch {
-      case e: CompactionConflict => throw e // staged sweep already done
+      case e: CompactionConflict =>
+        // rewrite-side conflicts sweep their own staging, but the
+        // CONCURRENT source staging may still be landing containers:
+        // drain it, then sweep (idempotent) so nothing survives the abort
+        drainQuietly(appendedF)
+        sweepStaged()
+        throw e
       case scala.util.control.NonFatal(e) =>
+        drainQuietly(appendedF)
         sweepStaged()
         def hasFnf(t: Throwable): Boolean =
           t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
